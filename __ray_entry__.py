@@ -1,44 +1,551 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract: entry() smoke, queries() vs oracle_sql() correctness.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver before import — nothing here calls
+ray.init()/ray.shutdown(). Each queries()[name](sf_dir) exercises one
+operator family from SURVEY.md §2 (or an engine addition: dedup / ANN /
+text analysis); the matching oracle_sql()[name] is the DuckDB ground
+truth over the same parquet tables. Aggregate float columns are rounded
+identically on both sides so the driver's value-hash compares cleanly.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _round_cols(ds, cols: dict[str, int]):
+    def f(t: pa.Table) -> pa.Table:
+        for c, nd in cols.items():
+            if c in t.column_names:
+                # np.round (scale/rint/unscale) matches DuckDB's ROUND on
+                # doubles bit-for-bit; pyarrow's pc.round does not.
+                v = np.round(
+                    pc.cast(t[c], pa.float64()).to_numpy(zero_copy_only=False), nd
+                )
+                t = t.set_column(t.column_names.index(c), c, pa.array(v))
+        return t
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _read(sf_dir: str, name: str, columns=None):
+    from opentelemetry_collector_contrib_ray.sources.parquet import read_table
+
+    return read_table(sf_dir, name, columns=columns)
+
+
+# ----------------------------------------------------------------- flagship
+
+
+def _corpus_dir(sf_dir: str) -> str:
+    from opentelemetry_collector_contrib_ray.sources.synth import write_synth_corpus
+
+    sf = float(sf_dir.rstrip("/").split("sf")[-1])
+    n = max(1000, int(sf * 1_000_000))
+    path = f"/tmp/otelray_corpus_{n}"
+    write_synth_corpus(path, n, num_files=max(4, min(64, n // 25000)))
+    return path
+
+
+def _flagship_routed(sf_dir: str):
+    import ray.data
+
+    from opentelemetry_collector_contrib_ray.pipelines import log_pipeline as lp
+
+    ds = ray.data.read_parquet(_corpus_dir(sf_dir))
+    return lp.build_pipeline(ds)
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship parse→enrich→route→aggregate on the sf0.001-scale corpus."""
+    from opentelemetry_collector_contrib_ray.pipelines import log_pipeline as lp
+
+    routed = _flagship_routed("/root/testdata/sf0.001")
+    return lp.aggregate_sinks(routed)
+
+
+def _q_flagship_route_counts(sf_dir: str):
+    from opentelemetry_collector_contrib_ray.pipelines import log_pipeline as lp
+
+    return lp.aggregate_sinks(_flagship_routed(sf_dir))
+
+
+def _q_flagship_token_equality(sf_dir: str):
+    """One row: input vs routed-output token checksums (must be equal).
+
+    The per-row token-array-equality invariant, evidenced by an
+    order-insensitive corpus digest (rows, xor of per-row order-
+    sensitive checksums, total token count) on both sides.
+    """
+    import pandas as pd
+    import ray.data
+
+    from opentelemetry_collector_contrib_ray.functions.tokens import corpus_checksum
+    from opentelemetry_collector_contrib_ray.pipelines import log_pipeline as lp
+
+    path = _corpus_dir(sf_dir)
+    in_rows, in_xor, in_ntok = corpus_checksum(ray.data.read_parquet(path))
+    routed = _flagship_routed(sf_dir)
+    dup = {
+        s
+        for sinks in list(lp.DEFAULT_ROUTING["table"].values())
+        + [lp.DEFAULT_ROUTING["default"]]
+        for s in sinks[1:]
+    }
+    for s in dup:
+        routed = routed.filter(expr=f"sink != '{s}'")
+    out_rows, out_xor, out_ntok = corpus_checksum(routed)
+    return pd.DataFrame(
+        {
+            "rows_in": [in_rows],
+            "rows_out": [out_rows],
+            "rows_equal": [in_rows == out_rows],
+            "checksum_equal": [in_xor == out_xor and in_ntok == out_ntok],
+        }
+    )
+
+
+# ------------------------------------------------------------ events (logs)
+
+# event_type → stanza severity alias (severity_parser mapping table)
+_EVENT_SEV_ALIAS = {
+    "error": "error",
+    "click": "debug",
+    "view": "trace",
+    "signup": "notice",
+    "purchase": "info",
+}
+
+_EVENT_ROUTES = {"error": ["oncall"], "purchase": ["billing"], "signup": ["crm"]}
+_EVENT_DEFAULT = ["archive"]
+
+
+def _q_severity_map(sf_dir: str):
+    from opentelemetry_collector_contrib_ray.functions import severity as sev
+    from opentelemetry_collector_contrib_ray.stages.aggregate import two_phase_agg
+
+    ds = _read(sf_dir, "events", ["event_type"])
+
+    def conv(t: pa.Table) -> pa.Table:
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        alias = np.array([_EVENT_SEV_ALIAS.get(x, "default") for x in et], dtype=object)
+        levels = sev.parse_severity_text(alias)
+        text, num = sev.convert_severity(levels)
+        return pa.table(
+            {
+                "severity_text": pa.array(text, pa.string()),
+                "severity_number": pa.array(num.astype(np.int64)),
+            }
+        )
+
+    mapped = ds.map_batches(conv, batch_format="pyarrow")
+    return two_phase_agg(mapped, ["severity_text", "severity_number"], {"*": ["count"]})
+
+
+def _q_route_events(sf_dir: str):
+    from opentelemetry_collector_contrib_ray.stages.aggregate import two_phase_agg
+    from opentelemetry_collector_contrib_ray.stages.route import RoutingTable
+
+    ds = _read(sf_dir, "events", ["event_type"])
+    router = RoutingTable("event_type", _EVENT_ROUTES, _EVENT_DEFAULT)
+    routed = ds.map_batches(router, batch_format="pyarrow")
+    return two_phase_agg(routed, ["sink"], {"*": ["count"]})
+
+
+def _q_json_parse_props(sf_dir: str):
+    from opentelemetry_collector_contrib_ray.stages.parse import JsonParser
+
+    ds = _read(sf_dir, "events", ["event_id", "props"])
+    parsed = ds.map_batches(
+        JsonParser(parse_from="props", fields=["k"]), batch_format="pyarrow"
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"event_id": t["event_id"], "k": pc.cast(t["k"], pa.int64())}
+        )
+
+    return parsed.map_batches(fin, batch_format="pyarrow")
+
+
+def _q_statsd_agg(sf_dir: str):
+    from opentelemetry_collector_contrib_ray.stages.aggregate import statsd_agg
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    out = statsd_agg(ds, ["event_type"], "value")
+    return _round_cols(out, {"value_sum": 6, "value_mean": 6})
+
+
+def _q_spanmetrics_hist(sf_dir: str):
+    from opentelemetry_collector_contrib_ray.stages.aggregate import histogram_agg
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    out = histogram_agg(ds, ["event_type"], "value", bounds=[50.0, 100.0, 150.0])
+    return _round_cols(out, {"value_sum": 6})
+
+
+def _q_groupby_attrs(sf_dir: str):
+    from opentelemetry_collector_contrib_ray.stages.aggregate import groupby_attrs_counts
+
+    ds = _read(sf_dir, "documents", ["lang", "source"])
+    return groupby_attrs_counts(ds, ["lang", "source"])
+
+
+def _q_enrich_users(sf_dir: str):
+    """Broadcast lookup enrich (k8sprocessor shape): user → nation name,
+    insert 'unknown' when the cache misses; then grouped counts."""
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_contrib_ray.stages.aggregate import two_phase_agg
+
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
+    )
+    nat = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
+    )
+    nmap = dict(zip(nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist()))
+    lookup = {
+        ck: nmap.get(nk, "unknown")
+        for ck, nk in zip(cust["c_custkey"].to_pylist(), cust["c_nationkey"].to_pylist())
+    }
+
+    ds = _read(sf_dir, "events", ["user_id"])
+
+    def enrich_batch(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        uid = pd.Series(t["user_id"].to_numpy(zero_copy_only=False))
+        nation = uid.map(lookup).fillna("unknown")
+        return pa.table({"nation": pa.array(nation.to_numpy(dtype=object), pa.string())})
+
+    return two_phase_agg(
+        ds.map_batches(enrich_batch, batch_format="pyarrow"), ["nation"], {"*": ["count"]}
+    )
+
+
+def _q_delta_conversion(sf_dir: str):
+    """Cumulative→delta per series key (datadogexporter
+    metrics_translator.go:106-134): per user ordered by (ts, event_id),
+    delta = value - previous (first point keeps its value)."""
+    import pandas as pd
+
+    from opentelemetry_collector_contrib_ray.stages.aggregate import sorted_group_apply
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def delta(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable")
+        d = g["value"].diff()
+        d.iloc[0:1] = g["value"].iloc[0:1]
+        return pd.DataFrame({"event_id": g["event_id"], "delta": d})
+
+    return sorted_group_apply(ds, "user_id", "ts", lambda g: delta(g))
+
+
+def _q_time_window_agg(sf_dir: str):
+    from opentelemetry_collector_contrib_ray.stages.aggregate import two_phase_agg
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def win(t: pa.Table) -> pa.Table:
+        w = pc.floor_temporal(t["ts"], unit="hour")
+        return pa.table(
+            {"event_type": t["event_type"], "window_start": w, "value": t["value"]}
+        )
+
+    out = two_phase_agg(
+        ds.map_batches(win, batch_format="pyarrow"),
+        ["event_type", "window_start"],
+        {"value": ["sum"]},
+    )
+    return _round_cols(out, {"value_sum": 6})
+
+
+# ------------------------------------------------------- documents / dedup
+
+
+def _q_exact_dedup(sf_dir: str):
+    from ray.data.aggregate import Count, Min
+
+    from opentelemetry_collector_contrib_ray.stages.dedup import add_content_hash
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    hashed = ds.map_batches(
+        lambda b: add_content_hash(b, "text").select(["content_hash", "doc_id"]),
+        batch_format="pyarrow",
+    )
+    agg = hashed.groupby("content_hash").aggregate(
+        Min("doc_id", alias_name="doc_id"), Count(alias_name="n")
+    )
+    return agg.select_columns(["doc_id", "n"])
+
+
+def _q_token_count(sf_dir: str):
+    from opentelemetry_collector_contrib_ray.stages.textstats import token_count
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: token_count(b).select(["doc_id", "n_words"]), batch_format="pyarrow"
+    )
+
+
+def _q_fingerprint(sf_dir: str):
+    from opentelemetry_collector_contrib_ray.stages.textstats import fingerprint_md5
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: fingerprint_md5(b).select(["doc_id", "fingerprint"]),
+        batch_format="pyarrow",
+    )
+
+
+def _q_quality(sf_dir: str):
+    from opentelemetry_collector_contrib_ray.stages.textstats import quality_score
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(
+        lambda b: quality_score(b).select(["doc_id", "n_words", "mean_word_len"]),
+        batch_format="pyarrow",
+    )
+    return _round_cols(out, {"mean_word_len": 6})
+
+
+def _q_langid(sf_dir: str):
+    from opentelemetry_collector_contrib_ray.stages.aggregate import two_phase_agg
+    from opentelemetry_collector_contrib_ray.stages.textstats import LangId
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    pred = ds.map_batches(LangId, batch_format="pyarrow", concurrency=(1, 4))
+    return two_phase_agg(pred, ["lang", "lang_pred"], {"*": ["count"]})
+
+
+def _q_minhash_dedup(sf_dir: str):
+    from opentelemetry_collector_contrib_ray.stages.dedup import minhash_lsh_groups
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    groups = minhash_lsh_groups(ds, id_col="doc_id")
+    return groups.filter(expr="n >= 2")
+
+
+def _q_simhash(sf_dir: str):
+    from opentelemetry_collector_contrib_ray.stages.dedup import SimHasher
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        SimHasher, batch_format="pyarrow", concurrency=(1, 4)
+    ).select_columns(["doc_id", "simhash"])
+
+
+def _q_embedding_knn(sf_dir: str):
+    """Brute-force cosine top-10 for query vec_id=0: broadcast query,
+    per-batch matmul + local top-k, tiny final sort."""
+    import pyarrow.parquet as pq
+    import ray
+
+    q = None
+    tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    for vid, emb in zip(tbl["vec_id"].to_pylist(), tbl["embedding"].to_pylist()):
+        if vid == 0:
+            q = np.asarray(emb, dtype=np.float32)
+            break
+    qn = q / np.linalg.norm(q)
+    qref = ray.put(qn)
+
+    class TopK:
+        def __init__(self):
+            self.q = ray.get(qref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            lens = pc.list_value_length(batch["embedding"]).to_numpy()
+            flat = np.asarray(batch["embedding"].combine_chunks().flatten(), dtype=np.float32)
+            mat = flat.reshape(len(batch), -1) if len(set(lens)) == 1 else None
+            if mat is None:
+                mat = np.stack([np.asarray(v, np.float32) for v in batch["embedding"].to_pylist()])
+            mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            cos = mat @ self.q
+            k = min(10, len(cos))
+            idx = np.argpartition(-cos, k - 1)[:k]
+            return pa.table(
+                {
+                    "vec_id": pc.take(batch["vec_id"], pa.array(idx)),
+                    "cos": pa.array(cos[idx].astype(np.float64)),
+                }
+            )
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    partials = ds.map_batches(TopK, batch_format="pyarrow", concurrency=(1, 4))
+    top = partials.sort("cos", descending=True).limit(10)
+    return top.select_columns(["vec_id"])
+
+
+def _q_embedding_neardup(sf_dir: str):
+    from opentelemetry_collector_contrib_ray.stages.dedup import embedding_neardup_pairs
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return embedding_neardup_pairs(ds, threshold=0.9)
+
+
+# -------------------------------------------------------------- relational
+
+
+def _q_q1_pricing(sf_dir: str):
+    from opentelemetry_collector_contrib_ray.stages.aggregate import two_phase_agg
+
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["l_shipdate"], pa.scalar(np.datetime64("1998-09-02", "us"))))
+        disc = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "qty": t["l_quantity"],
+                "base": t["l_extendedprice"],
+                "disc_price": disc,
+            }
+        )
+
+    out = two_phase_agg(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        {"qty": ["count", "sum", "mean"], "base": ["sum"], "disc_price": ["sum"]},
+    )
+    return _round_cols(out, {"qty_sum": 4, "base_sum": 4, "disc_price_sum": 4, "qty_mean": 6})
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "flagship_route_counts": _q_flagship_route_counts,
+        "flagship_token_equality": _q_flagship_token_equality,
+        "severity_map": _q_severity_map,
+        "route_events": _q_route_events,
+        "json_parse_props": _q_json_parse_props,
+        "statsd_agg": _q_statsd_agg,
+        "spanmetrics_hist": _q_spanmetrics_hist,
+        "groupby_attrs": _q_groupby_attrs,
+        "enrich_users": _q_enrich_users,
+        "delta_conversion": _q_delta_conversion,
+        "time_window_agg": _q_time_window_agg,
+        "exact_dedup": _q_exact_dedup,
+        "token_count": _q_token_count,
+        "fingerprint": _q_fingerprint,
+        "quality": _q_quality,
+        "langid": _q_langid,
+        "minhash_dedup": _q_minhash_dedup,
+        "simhash": _q_simhash,
+        "embedding_knn": _q_embedding_knn,
+        "embedding_neardup": _q_embedding_neardup,
+        "q1_pricing": _q_q1_pricing,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sev_case_text = (
+        "CASE event_type WHEN 'error' THEN 'Error' WHEN 'click' THEN 'Debug' "
+        "WHEN 'view' THEN 'Trace' WHEN 'signup' THEN 'Info' WHEN 'purchase' THEN 'Info' "
+        "ELSE 'Undefined' END"
+    )
+    sev_case_num = (
+        "CASE event_type WHEN 'error' THEN 17 WHEN 'click' THEN 5 "
+        "WHEN 'view' THEN 2 WHEN 'signup' THEN 11 WHEN 'purchase' THEN 9 ELSE 0 END"
+    )
+    route_case = (
+        "CASE event_type WHEN 'error' THEN 'oncall' WHEN 'purchase' THEN 'billing' "
+        "WHEN 'signup' THEN 'crm' ELSE 'archive' END"
+    )
+    return {
+        "severity_map": f"""
+            SELECT {sev_case_text} AS severity_text,
+                   CAST({sev_case_num} AS BIGINT) AS severity_number,
+                   COUNT(*) AS "count"
+            FROM events GROUP BY 1, 2
+        """,
+        "route_events": f"""
+            SELECT {route_case} AS sink, COUNT(*) AS "count"
+            FROM events GROUP BY 1
+        """,
+        "json_parse_props": """
+            SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events
+        """,
+        "statsd_agg": """
+            SELECT event_type, COUNT(*) AS "count", COUNT(value) AS value_count,
+                   ROUND(SUM(value), 6) AS value_sum, MIN(value) AS value_min,
+                   MAX(value) AS value_max, ROUND(SUM(value)/COUNT(*), 6) AS value_mean
+            FROM events GROUP BY 1
+        """,
+        "spanmetrics_hist": """
+            SELECT event_type, COUNT(*) AS call_count, ROUND(SUM(value), 6) AS value_sum,
+                   SUM(CASE WHEN value <= 50 THEN 1 ELSE 0 END) AS bucket_0,
+                   SUM(CASE WHEN value > 50 AND value <= 100 THEN 1 ELSE 0 END) AS bucket_1,
+                   SUM(CASE WHEN value > 100 AND value <= 150 THEN 1 ELSE 0 END) AS bucket_2,
+                   SUM(CASE WHEN value > 150 THEN 1 ELSE 0 END) AS bucket_3
+            FROM events GROUP BY 1
+        """,
+        "groupby_attrs": """
+            SELECT lang, source, COUNT(*) AS "count",
+                   (lang IS NOT NULL OR source IS NOT NULL) AS grouped
+            FROM documents GROUP BY 1, 2
+        """,
+        "enrich_users": """
+            SELECT COALESCE(n_name, 'unknown') AS nation, COUNT(*) AS "count"
+            FROM events
+            LEFT JOIN customer ON user_id = c_custkey
+            LEFT JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY 1
+        """,
+        "delta_conversion": """
+            SELECT event_id,
+                   value - COALESCE(LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 0) AS delta
+            FROM events
+        """,
+        "time_window_agg": """
+            SELECT event_type, date_trunc('hour', ts) AS window_start,
+                   COUNT(*) AS "count", ROUND(SUM(value), 6) AS value_sum
+            FROM events GROUP BY 1, 2
+        """,
+        "exact_dedup": """
+            SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n FROM documents GROUP BY text
+        """,
+        "token_count": """
+            SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words FROM documents
+        """,
+        "fingerprint": """
+            SELECT doc_id, md5(text) AS fingerprint FROM documents
+        """,
+        "quality": """
+            SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+                   ROUND((length(text) - (len(string_split(text, ' ')) - 1))
+                         / CAST(GREATEST(len(string_split(text, ' ')), 1) AS DOUBLE), 6) AS mean_word_len
+            FROM documents
+        """,
+        "embedding_knn": """
+            SELECT vec_id FROM embeddings
+            ORDER BY list_cosine_similarity(embedding,
+                (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC
+            LIMIT 10
+        """,
+        "q1_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   COUNT(*) AS "count",
+                   COUNT(l_quantity) AS qty_count,
+                   ROUND(SUM(l_quantity), 4) AS qty_sum,
+                   ROUND(SUM(l_extendedprice), 4) AS base_sum,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS disc_price_sum,
+                   ROUND(SUM(l_quantity)/COUNT(*), 6) AS qty_mean
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY 1, 2
+        """,
+    }

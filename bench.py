@@ -1,0 +1,179 @@
+"""Benchmark harness. Prints ONE JSON line with the headline metric.
+
+  python bench.py             # full bench at $RAY_GRAFT_CPUS (default 32)
+  python bench.py --scaling   # same job at num_cpus=8 and 32 in fresh
+                              # processes; reports scaling efficiency
+
+Headline: the flagship parse→enrich→route→aggregate pipeline over the
+synthetic pre-tokenized corpus (rows scaled from $GRAFT_SF_DIR's scale
+factor), including the partitioned per-sink Parquet write and the
+salted grouped aggregate. Metric value = wall seconds; seq/sec and
+per-query timings are included in the JSON payload.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# queries() entries timed alongside the headline (representative set)
+BENCH_QUERIES = [
+    "statsd_agg",
+    "spanmetrics_hist",
+    "groupby_attrs",
+    "enrich_users",
+    "time_window_agg",
+    "exact_dedup",
+    "minhash_dedup",
+    "embedding_knn",
+    "q1_pricing",
+]
+
+
+def _sf() -> float:
+    try:
+        return float(SF_DIR.rstrip("/").split("sf")[-1])
+    except ValueError:
+        return 0.1
+
+
+def corpus_rows(sf: float) -> int:
+    return max(200_000, int(sf * 10_000_000))
+
+
+def prepare_corpus(n_rows: int) -> str:
+    """Generate (once, idempotent) + warm the page cache with one read."""
+    from opentelemetry_collector_contrib_ray.sources.synth import write_synth_corpus
+
+    path = f"/tmp/otelray_bench_corpus_{n_rows}"
+    write_synth_corpus(path, n_rows, num_files=32)
+    for f in os.listdir(path):
+        with open(os.path.join(path, f), "rb") as fh:
+            while fh.read(1 << 24):
+                pass
+    return path
+
+
+def run_headline(corpus_path: str, n_rows: int) -> dict:
+    import ray.data
+
+    from opentelemetry_collector_contrib_ray.pipelines import log_pipeline as lp
+
+    out_dir = "/tmp/otelray_bench_out"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    ds = ray.data.read_parquet(corpus_path)
+    routed = lp.build_pipeline(ds, enrich_concurrency=(2, max(4, NUM_CPUS // 2)))
+    routed.write_parquet(out_dir, partition_cols=["sink"])
+    agg = lp.aggregate_sinks(ray.data.read_parquet(out_dir))
+    n_groups = agg.count()
+    elapsed = time.perf_counter() - t0
+    return {
+        "seconds": elapsed,
+        "rows": n_rows,
+        "seq_per_sec": n_rows / elapsed,
+        "agg_groups": n_groups,
+    }
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    sf = _sf()
+    n_rows = corpus_rows(sf)
+    corpus = prepare_corpus(n_rows)
+
+    import __ray_entry__ as entrymod
+
+    headline = run_headline(corpus, n_rows)
+
+    qtimes: dict[str, float] = {}
+    qs = entrymod.queries()
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        res = qs[name](SF_DIR)
+        # consume lazily-built datasets
+        try:
+            import ray.data as rd
+
+            if isinstance(res, rd.Dataset):
+                res.count()
+        except Exception:  # noqa: BLE001
+            pass
+        qtimes[name] = round(time.perf_counter() - t0, 3)
+
+    result = {
+        "metric": "flagship_parse_enrich_route_aggregate_sec",
+        "value": round(headline["seconds"], 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": sf,
+        "num_cpus": NUM_CPUS,
+        "rows": headline["rows"],
+        "seq_per_sec": round(headline["seq_per_sec"], 1),
+        "agg_groups": headline["agg_groups"],
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    """Same job, fresh processes, num_cpus=8 then 32 → efficiency."""
+    sf = _sf()
+    n_rows = corpus_rows(sf)
+    prepare_corpus(n_rows)  # generate + warm before either timed run
+
+    def child(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR)
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = child(lo), child(hi)
+    tput_lo = r_lo["seq_per_sec"]
+    tput_hi = r_hi["seq_per_sec"]
+    eff = (tput_hi / tput_lo) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "cpus_low": lo,
+        "cpus_high": hi,
+        "sec_low": r_lo["value"],
+        "sec_high": r_hi["value"],
+        "seq_per_sec_low": tput_lo,
+        "seq_per_sec_high": tput_hi,
+        "sf": sf,
+        "rows": r_lo["rows"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

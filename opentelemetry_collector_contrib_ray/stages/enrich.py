@@ -1,0 +1,165 @@
+"""Enrich stage: stateful lookup enrichment as an actor-pool map_batches.
+
+Two reference semantics re-expressed:
+
+- **ResourceDetection** (processor/resourcedetectionprocessor/internal/
+  resourcedetection.go:108-192): a detector chain runs ONCE producing a
+  small attribute dict, then every batch gets those attributes merged
+  with insert-if-absent (first-wins unless override). Here: detect on
+  the driver, broadcast via ``ray.put``, apply as constant columns.
+
+- **K8s-style metadata lookup** (processor/k8sprocessor): a metadata
+  cache keyed by an identifier extracted from each row through an
+  association-rule chain (pod_association.go:31-87 — try each rule in
+  order, first one that yields a key present in the cache wins), then
+  the cached attributes are added with insert-if-absent semantics
+  (processor.go:102-116 InsertString = do not overwrite existing).
+
+The lookup table is built/broadcast once and held per actor
+(``__init__``), the per-batch path is a vectorized pandas ``map`` per
+enrichment column — a broadcast hash join, never a shuffle.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pyarrow as pa
+
+from .parse import _set_column
+
+
+def detect_resource(detectors: Sequence[dict] | None = None, override: bool = False) -> dict:
+    """Run a detector chain once (driver-side), merging first-wins.
+
+    Each detector is a dict of attributes (stand-ins for env/ec2/gce/...
+    detectors — the sandbox has no cloud metadata endpoints). Mirrors
+    internal/resourcedetection.go:108-139: iterate detectors in order,
+    merge into one resource; existing keys win unless ``override``.
+    """
+    import os
+
+    merged: dict = {}
+    chain = list(detectors) if detectors is not None else [_env_detector(), _system_detector()]
+    for d in chain:
+        for k, v in d.items():
+            if override or k not in merged:
+                merged[k] = v
+    return merged
+
+
+def _env_detector() -> dict:
+    """OTEL_RESOURCE env var: comma-separated k=v (reference env detector)."""
+    import os
+
+    raw = os.environ.get("OTEL_RESOURCE", "")
+    out = {}
+    for pair in raw.split(","):
+        if "=" in pair:
+            k, v = pair.split("=", 1)
+            out[k.strip()] = v.strip()
+    return out
+
+
+def _system_detector() -> dict:
+    """host.name + os.type (reference system detector,
+    internal/system/system.go + GOOS mapping resourcedetection.go:199-205)."""
+    import platform
+
+    return {"host.name": platform.node(), "os.type": platform.system().upper()}
+
+
+class ApplyResource:
+    """Add detected resource attributes as constant columns,
+    insert-if-absent: existing non-null columns are NOT overwritten
+    (resourcedetection.go:178-192 Insert semantics)."""
+
+    def __init__(self, resource: dict, override: bool = False):
+        self.resource = resource
+        self.override = override
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        for k, v in self.resource.items():
+            if k in batch.column_names and not self.override:
+                continue
+            batch = _set_column(
+                batch, k, pa.array(np.full(len(batch), v, dtype=object), pa.string())
+            )
+        return batch
+
+
+class LookupEnrich:
+    """Actor-pool enrichment: association-rule key extraction + cached
+    metadata join, insert-if-absent.
+
+    Parameters
+    ----------
+    table_ref : ray.ObjectRef | dict
+        ``{key: {attr: value}}`` metadata cache, broadcast once with
+        ``ray.put`` on the driver; each actor fetches it in __init__
+        (zero-copy shared-memory read on the node).
+    association : list[str]
+        Ordered column names to try as the lookup key per row — the
+        first column whose value hits the cache wins
+        (pod_association.go:31-87).
+    prefix : str
+        Prefix for added attribute columns (e.g. "k8s.").
+
+    Use: ``ds.map_batches(LookupEnrich, fn_constructor_kwargs=...,
+    concurrency=N, batch_format="pyarrow")``.
+    """
+
+    def __init__(self, table_ref, association: Sequence[str], prefix: str = ""):
+        import ray
+
+        self.table = ray.get(table_ref) if not isinstance(table_ref, dict) else table_ref
+        self.association = list(association)
+        self.prefix = prefix
+        # column-oriented views of the cache for vectorized mapping
+        self.attr_names = sorted({a for m in self.table.values() for a in m})
+        self._maps = {
+            a: {k: m.get(a) for k, m in self.table.items() if a in m}
+            for a in self.attr_names
+        }
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        n = len(batch)
+        key = pd.Series([None] * n, dtype=object)
+        hit = np.zeros(n, dtype=bool)
+        for col in self.association:
+            if col not in batch.column_names:
+                continue
+            vals = pd.Series(batch[col].to_numpy(zero_copy_only=False), dtype=object)
+            ok = (~hit) & vals.map(lambda v: v in self.table)
+            key[ok.to_numpy()] = vals[ok.to_numpy()]
+            hit |= ok.to_numpy()
+        for a in self.attr_names:
+            out_name = self.prefix + a
+            new = key.map(self._maps[a])
+            if out_name in batch.column_names:
+                # insert-if-absent: only fill rows where existing is null
+                existing = pd.Series(
+                    batch[out_name].to_numpy(zero_copy_only=False), dtype=object
+                )
+                merged = existing.where(existing.notna(), new)
+                batch = _set_column(batch, out_name, pa.array(merged, pa.string()))
+            else:
+                batch = _set_column(batch, out_name, pa.array(new, pa.string()))
+        return batch
+
+
+def build_source_metadata(sources: Sequence[str]) -> dict:
+    """Deterministic source→metadata cache for the flagship pipeline
+    (stands in for the k8s informer-fed cache; same shape)."""
+    out = {}
+    for s in sources:
+        h = sum(s.encode())
+        out[s] = {
+            "team": f"team-{h % 7}",
+            "cluster": f"cluster-{h % 3}",
+            "tier": ["prod", "staging", "dev"][h % 3],
+        }
+    return out

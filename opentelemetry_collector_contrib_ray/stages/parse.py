@@ -1,0 +1,321 @@
+"""Parse stage: stanza-operator equivalents as vectorized Arrow transforms.
+
+The reference registers these operators for every log receiver
+(internal/stanza/register.go:19-27): parsers json/regex/severity/time,
+transformers metadata/restructure/router/recombine. Here each is a
+composable callable ``pa.Table -> pa.Table``; a ``Chain`` of them is
+passed to ``Dataset.map_batches(Chain([...]), batch_format="pyarrow")``
+so a whole operator chain fuses into one zero-copy pass per block.
+
+Semantics parity notes are cited per class. Unlike the reference's
+per-entry Go loops, every kernel here is columnar (pyarrow.compute /
+numpy); no Python row iteration in any hot path.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Callable, Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions import regexes, severity as sevmod, timeparse
+from ..functions.coerce import coerce_value
+
+Stage = Callable[[pa.Table], pa.Table]
+
+
+def _set_column(t: pa.Table, name: str, arr) -> pa.Table:
+    if isinstance(arr, np.ndarray):
+        arr = pa.array(arr)
+    if name in t.column_names:
+        return t.set_column(t.column_names.index(name), name, arr)
+    return t.append_column(name, arr)
+
+
+class Chain:
+    """Compose stages left-to-right; the unit Ray Data maps over blocks."""
+
+    def __init__(self, stages: Sequence[Stage]):
+        self.stages = list(stages)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        for s in self.stages:
+            batch = s(batch)
+        return batch
+
+
+class RegexParser:
+    """stanza regex_parser: named capture groups → new columns.
+
+    Reference: receiver/filelogreceiver/testdata/config.yaml:5-11 and
+    testbed/datasenders/k8s.go:183-198. ``on_error``: "keep" leaves
+    nulls for non-matching rows (stanza send-on-error), "drop" removes
+    them (stanza drop-on-error).
+    """
+
+    def __init__(
+        self,
+        pattern: str,
+        parse_from: str = "raw",
+        on_error: str = "keep",
+        keep_groups: Sequence[str] | None = None,
+    ):
+        self.pattern = pattern
+        self.parse_from = parse_from
+        self.on_error = on_error
+        self.keep_groups = keep_groups
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        src = batch[self.parse_from]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        cols = regexes.extract_named(src, self.pattern)
+        names = self.keep_groups or list(cols)
+        for n in names:
+            batch = _set_column(batch, n, cols[n])
+        if self.on_error == "drop" and names:
+            batch = batch.filter(pc.is_valid(cols[names[0]]))
+        return batch
+
+
+class JsonParser:
+    """stanza json_parser: parse a JSON-string column into columns.
+
+    Reference: testbed/datasenders/k8s.go:200-205. ``fields`` limits
+    extraction to known keys (each becomes a column, coerced per
+    internal/stanza/converter.go:432-471). Fast path: polars'
+    vectorized ``str.json_path_match``; fallback: stdlib json per row.
+    """
+
+    def __init__(self, parse_from: str = "raw", fields: Sequence[str] | None = None):
+        self.parse_from = parse_from
+        self.fields = list(fields) if fields else None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        src = batch[self.parse_from]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        try:
+            import polars as pl
+
+            s = pl.from_arrow(src)
+            if self.fields:
+                for f in self.fields:
+                    vals = s.str.json_path_match(f"$.{f}").to_arrow()
+                    batch = _set_column(batch, f, vals.cast(pa.string()))
+                return batch
+        except Exception:
+            pass
+        # generic path: parse rows, union of keys (or requested fields)
+        rows = src.to_pylist()
+        parsed = []
+        for r in rows:
+            try:
+                v = json.loads(r) if r is not None else {}
+                parsed.append(v if isinstance(v, dict) else {})
+            except (json.JSONDecodeError, TypeError):
+                parsed.append({})
+        keys = self.fields or sorted({k for p in parsed for k in p})
+        for k in keys:
+            batch = _set_column(
+                batch, k, pa.array([coerce_value(p.get(k)) for p in parsed])
+            )
+        return batch
+
+
+class SeverityParser:
+    """stanza severity_parser + ingest conversion: a raw severity string
+    column → ``severity_text``/``severity_number`` per the exact table in
+    internal/stanza/converter.go:532-582. Missing/unknown → Undefined/0.
+    """
+
+    def __init__(self, parse_from: str = "sev"):
+        self.parse_from = parse_from
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.parse_from in batch.column_names:
+            raw = batch[self.parse_from].to_numpy(zero_copy_only=False)
+            levels = sevmod.parse_severity_text(raw)
+        else:
+            levels = np.zeros(len(batch), dtype=np.int32)
+        text, num = sevmod.convert_severity(levels)
+        batch = _set_column(batch, "severity_text", pa.array(text, pa.string()))
+        batch = _set_column(batch, "severity_number", pa.array(num, pa.int32()))
+        return batch
+
+
+class SyslogPriParser:
+    """Syslog <PRI> integer string → severity columns (RFC3164/RFC5424
+    facility*8+severity; receiver/syslogreceiver semantics)."""
+
+    def __init__(self, parse_from: str = "pri"):
+        self.parse_from = parse_from
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        pri = pc.cast(
+            pc.coalesce(batch[self.parse_from], pa.scalar("0")), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        levels = sevmod.syslog_pri_to_level(pri)
+        text, num = sevmod.convert_severity(levels)
+        batch = _set_column(batch, "severity_text", pa.array(text, pa.string()))
+        batch = _set_column(batch, "severity_number", pa.array(num, pa.int32()))
+        facility = (np.asarray(pri) >> 3).astype(np.int32)
+        return _set_column(batch, "facility", pa.array(facility))
+
+
+class TimeParser:
+    """stanza time_parser: string column → ``ts`` timestamp column.
+
+    layout_type "strptime" | "gotime" | "rfc3339" (CRI nanosecond+offset
+    form, k8s.go:187-198).
+    """
+
+    def __init__(
+        self, parse_from: str = "time", layout: str = "%Y-%m-%d", layout_type: str = "strptime", out: str = "ts"
+    ):
+        self.parse_from, self.layout, self.layout_type, self.out = parse_from, layout, layout_type, out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        src = batch[self.parse_from]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        if self.layout_type == "rfc3339":
+            ts = timeparse.parse_rfc3339_ns(src)
+        else:
+            ts = timeparse.parse_timestamp(src, self.layout, self.layout_type)
+        return _set_column(batch, self.out, ts)
+
+
+class Metadata:
+    """stanza metadata operator: add constant or templated attribute
+    columns (testbed/datasenders/k8s.go:212-219)."""
+
+    def __init__(self, attributes: dict[str, str], templated: bool = False):
+        self.attributes = attributes
+        self.templated = templated
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.templates import render_template
+
+        for k, v in self.attributes.items():
+            if self.templated and "%{" in v:
+                batch = _set_column(batch, k, render_template(v, batch))
+            else:
+                batch = _set_column(
+                    batch, k, pa.array(np.full(len(batch), v, dtype=object), pa.string())
+                )
+        return batch
+
+
+class Restructure:
+    """stanza restructure: move/remove/retain fields as column ops
+    (testbed/datasenders/k8s.go:221-227)."""
+
+    def __init__(
+        self,
+        moves: dict[str, str] | None = None,
+        removes: Sequence[str] | None = None,
+        retains: Sequence[str] | None = None,
+    ):
+        self.moves = moves or {}
+        self.removes = list(removes or [])
+        self.retains = list(retains or [])
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        for src, dst in self.moves.items():
+            if src in batch.column_names:
+                col = batch[src]
+                batch = batch.drop_columns([src])
+                batch = _set_column(batch, dst, col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col)
+        if self.removes:
+            batch = batch.drop_columns([c for c in self.removes if c in batch.column_names])
+        if self.retains:
+            batch = batch.select([c for c in self.retains if c in batch.column_names])
+        return batch
+
+
+class Router:
+    """stanza router: first-matching regex predicate selects a sub-chain
+    (testbed/datasenders/k8s.go:173-181). Each sub-chain runs on its
+    masked slice; outputs are column-unified (null-fill) and re-concatenated.
+    Adds a ``route`` column with the matched route's name.
+    """
+
+    def __init__(self, routes: Sequence[tuple[str, str, Chain]], default: Chain | None = None, match_on: str = "raw"):
+        """routes: [(name, predicate_regex, chain)]; unmatched rows run
+        ``default`` (or pass through) with route='default'."""
+        self.routes = list(routes)
+        self.default = default
+        self.match_on = match_on
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        src = batch[self.match_on]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        n = len(batch)
+        assigned = np.zeros(n, dtype=bool)
+        route = np.full(n, "default", dtype=object)
+        masks = []
+        for name, pattern, chain in self.routes:
+            m = pc.match_substring_regex(src, pattern).to_numpy(zero_copy_only=False)
+            m = np.asarray(m, dtype=bool) & ~assigned
+            assigned |= m
+            route[m] = name
+            masks.append((m, chain))
+        batch = _set_column(batch, "route", pa.array(route, pa.string()))
+        pieces = []
+        for m, chain in masks:
+            if m.any():
+                pieces.append(chain(batch.filter(pa.array(m))))
+        rest = ~assigned
+        if rest.any():
+            sub = batch.filter(pa.array(rest))
+            pieces.append(self.default(sub) if self.default else sub)
+        if not pieces:
+            return batch.slice(0, 0)
+        return _concat_unify(pieces)
+
+
+def _concat_unify(tables: list[pa.Table]) -> pa.Table:
+    """Concat tables whose branch chains created different columns:
+    union of columns, null-filled, first-seen dtype wins."""
+    all_cols: dict[str, pa.DataType] = {}
+    for t in tables:
+        for f in t.schema:
+            all_cols.setdefault(f.name, f.type)
+    outs = []
+    for t in tables:
+        for name, typ in all_cols.items():
+            if name not in t.column_names:
+                t = t.append_column(name, pa.nulls(len(t), typ))
+        outs.append(t.select(list(all_cols)))
+    return pa.concat_tables(outs, promote_options="permissive")
+
+
+class Recombine:
+    """stanza recombine (register.go:25): join multiline entries.
+
+    Batch-engine semantics: rows sharing ``group_by`` within a batch are
+    combined in ``order_by`` order, joining ``field`` with ``separator``
+    onto the group's first row. PARTITIONING ASSUMPTION: a multiline
+    group never spans blocks — callers must pre-partition by the group
+    key (groupby().map_groups) or sort the source so groups are
+    contiguous; the flagship pipeline does not need recombine.
+    """
+
+    def __init__(self, group_by: str, field: str = "raw", order_by: str | None = None, separator: str = "\n"):
+        self.group_by, self.field, self.order_by, self.separator = group_by, field, order_by, separator
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = batch.to_pandas()
+        if self.order_by:
+            df = df.sort_values([self.group_by, self.order_by], kind="stable")
+        agg = {c: "first" for c in df.columns if c != self.group_by}
+        agg[self.field] = self.separator.join
+        out = df.groupby(self.group_by, sort=False, as_index=False).agg(agg)
+        return pa.Table.from_pandas(out[df.columns.tolist()], preserve_index=False)
