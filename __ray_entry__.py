@@ -392,6 +392,126 @@ def _q_embedding_neardup(sf_dir: str):
     return embedding_neardup_pairs(ds, threshold=0.9)
 
 
+# ------------------------------------------------- line-protocol round-trips
+
+
+def _q_carbon_parse(sf_dir: str):
+    """Render Graphite plaintext lines from events, then parse them back
+    (carbonreceiver plaintext_parser.go) — validates the parser against
+    an independent SQL rendering of the same lines."""
+    from opentelemetry_collector_contrib_ray.sources.lines import parse_carbon_plaintext
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value", "ts"])
+
+    def render_and_parse(t: pa.Table) -> pa.Table:
+        val = pc.cast(pc.floor(t["value"]), pa.int64())
+        epoch = pc.cast(pc.cast(t["ts"], pa.timestamp("s"), safe=False), pa.int64())
+        raw = pc.binary_join_element_wise(
+            pc.binary_join_element_wise("metric.", t["event_type"], ""),
+            pc.cast(val, pa.string()),
+            pc.cast(epoch, pa.string()),
+            " ",
+        )
+        parsed = parse_carbon_plaintext(pa.table({"event_id": t["event_id"], "raw": raw}))
+        return pa.table(
+            {
+                "event_id": parsed["event_id"],
+                "metric_name": parsed["metric_name"],
+                "value": pc.cast(parsed["value"], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(render_and_parse, batch_format="pyarrow")
+
+
+def _q_tail_sampling(sf_dir: str):
+    """tailsampling numeric-range policy over events-as-spans
+    (trace=user): traces with any value in [150, 200] are sampled; all
+    their spans pass (processor.go:191-237 OR semantics → semi-join)."""
+    from opentelemetry_collector_contrib_ray.stages.sampling import (
+        NumericAttribute,
+        tail_sample,
+    )
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+    sampled, _ = tail_sample(ds, "user_id", [NumericAttribute("value", 150.0, 200.0)])
+    return sampled.select_columns(["event_id"])
+
+
+def _q_loki_streams(sf_dir: str):
+    from opentelemetry_collector_contrib_ray.stages.sinks import loki_streams
+
+    ds = _read(sf_dir, "documents", ["lang", "source"])
+    return loki_streams(ds, {"lang": "lang", "source": "source"})
+
+
+def _q_mt_aggregate_label_values(sf_dir: str):
+    """metricstransform aggregate_label_values: collapse click/view →
+    'engagement', then sum per collapsed label set."""
+    from opentelemetry_collector_contrib_ray.stages.metricstransform import (
+        aggregate_label_values,
+    )
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    out = aggregate_label_values(
+        ds, "event_type", {"click": "engagement", "view": "engagement"}, ["event_type"]
+    )
+    return _round_cols(out, {"value_sum": 6})
+
+
+def _q_topk_orders(sf_dir: str):
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    top = ds.sort(["o_totalprice", "o_orderkey"], descending=[True, True]).limit(100)
+    return top
+
+
+def _q_probabilistic_sample(sf_dir: str):
+    """Deterministic hash sampler (rows-only: hash differs from SQL)."""
+    from opentelemetry_collector_contrib_ray.stages.sampling import probabilistic_sample
+
+    ds = _read(sf_dir, "events", ["event_id"])
+
+    def to_str(t: pa.Table) -> pa.Table:
+        return pa.table({"event_id": pc.cast(t["event_id"], pa.string())})
+
+    return probabilistic_sample(ds.map_batches(to_str, batch_format="pyarrow"), "event_id", 0.25)
+
+
+def _q_ivf_knn(sf_dir: str):
+    """IVF-bucketed ANN (rows-only; recall-bounded approximate path)."""
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_contrib_ray.stages.ann import IvfIndex, ivf_topk
+
+    tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    mat = np.stack([np.asarray(v, np.float32) for v in tbl["embedding"].to_pylist()[:500]])
+    q = mat[0]
+    idx = IvfIndex(n_lists=8).train(mat)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return ivf_topk(ds, idx, q, k=10, nprobe=4).select_columns(["vec_id"])
+
+
+def _q_multimodal_features(sf_dir: str):
+    """Multimodal plumbing (rows-only): synthetic binary payloads →
+    actor-pool fake decode → feature stats."""
+    import ray.data
+
+    from opentelemetry_collector_contrib_ray.stages.multimodal import (
+        DeterministicFakeDecoder,
+        synth_image_table,
+    )
+
+    ds = ray.data.from_arrow(synth_image_table(512))
+    out = ds.map_batches(
+        DeterministicFakeDecoder,
+        fn_constructor_kwargs={"feature_dim": 8},
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=(1, 2),
+    )
+    return out.select_columns(["item_id", "byte_mean"])
+
+
 # -------------------------------------------------------------- relational
 
 
@@ -448,6 +568,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_knn": _q_embedding_knn,
         "embedding_neardup": _q_embedding_neardup,
         "q1_pricing": _q_q1_pricing,
+        "carbon_parse": _q_carbon_parse,
+        "tail_sampling": _q_tail_sampling,
+        "loki_streams": _q_loki_streams,
+        "mt_aggregate_label_values": _q_mt_aggregate_label_values,
+        "topk_orders": _q_topk_orders,
+        "probabilistic_sample": _q_probabilistic_sample,
+        "ivf_knn": _q_ivf_knn,
+        "multimodal_features": _q_multimodal_features,
     }
 
 
@@ -535,6 +663,33 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY list_cosine_similarity(embedding,
                 (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC
             LIMIT 10
+        """,
+        "carbon_parse": """
+            SELECT event_id, 'metric.' || event_type AS metric_name,
+                   CAST(FLOOR(value) AS BIGINT) AS value
+            FROM events
+        """,
+        "tail_sampling": """
+            SELECT event_id FROM events e
+            WHERE EXISTS (
+                SELECT 1 FROM events s
+                WHERE s.user_id = e.user_id AND s.value BETWEEN 150.0 AND 200.0
+            )
+        """,
+        "loki_streams": """
+            SELECT '{"lang": "' || lang || '", "source": "' || source || '"}' AS labels,
+                   COUNT(*) AS "count"
+            FROM documents GROUP BY 1
+        """,
+        "mt_aggregate_label_values": """
+            SELECT CASE WHEN event_type IN ('click', 'view') THEN 'engagement'
+                        ELSE event_type END AS event_type,
+                   COUNT(*) AS "count", ROUND(SUM(value), 6) AS value_sum
+            FROM events GROUP BY 1
+        """,
+        "topk_orders": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey DESC LIMIT 100
         """,
         "q1_pricing": """
             SELECT l_returnflag, l_linestatus,

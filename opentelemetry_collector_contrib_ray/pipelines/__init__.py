@@ -1,1 +1,1 @@
-from . import log_pipeline  # noqa: F401
+from . import builder, log_pipeline  # noqa: F401

@@ -148,9 +148,17 @@ DEFAULT_RESOURCE_DETECTORS = [
 ]
 
 
-def build_pipeline(ds, *, lookup_ref=None, routing: dict | None = None, enrich_concurrency=(1, 8)):
+def build_pipeline(ds, *, lookup_ref=None, routing: dict | None = None, enrich_concurrency=None):
     """Compose the full DAG on a Dataset; returns the routed Dataset
-    (with ``sink`` column), ready to write/aggregate."""
+    (with ``sink`` column), ready to write/aggregate.
+
+    All four stages are one fused elastic task per block: the lookup
+    enrich runs as a task-pool function whose broadcast state is built
+    once per worker process (make_lookup_fn) — an actor pool would cap
+    parallelism at its pool size and pay ramp-up, hurting scaling.
+    ``enrich_concurrency`` kept for API compatibility; pass a tuple to
+    force the actor-pool variant (e.g. when state must be actor-pinned).
+    """
     import ray
 
     parse = build_parse_chain()
@@ -167,25 +175,39 @@ def build_pipeline(ds, *, lookup_ref=None, routing: dict | None = None, enrich_c
     )
 
     parsed = ds.map_batches(parse, batch_format="pyarrow", batch_size=16 * 1024)
-    enriched = parsed.map_batches(
-        enrich.LookupEnrich,
-        fn_constructor_kwargs={
-            "table_ref": lookup_ref,
-            "association": ["source"],
-            "prefix": "meta.",
-        },
-        batch_format="pyarrow",
-        batch_size=16 * 1024,
-        concurrency=enrich_concurrency,
-    ).map_batches(enrich.ApplyResource(resource), batch_format="pyarrow")
+    if enrich_concurrency is not None:
+        enriched = parsed.map_batches(
+            enrich.LookupEnrich,
+            fn_constructor_kwargs={
+                "table_ref": lookup_ref,
+                "association": ["source"],
+                "prefix": "meta.",
+            },
+            batch_format="pyarrow",
+            batch_size=16 * 1024,
+            concurrency=enrich_concurrency,
+        )
+    else:
+        enriched = parsed.map_batches(
+            enrich.make_lookup_fn(lookup_ref, ["source"], "meta."),
+            batch_format="pyarrow",
+            batch_size=16 * 1024,
+        )
+    enriched = enriched.map_batches(enrich.ApplyResource(resource), batch_format="pyarrow")
     return enriched.map_batches(router, batch_format="pyarrow")
 
 
-def aggregate_sinks(routed_ds, keys=AGG_KEYS, num_salts: int = 16):
+def aggregate_sinks(routed_ds, keys=AGG_KEYS, num_salts: int = 16, driver_finalize: bool = False):
     """Per-sink grouped counts (groupbyattrsprocessor semantics),
-    salted two-phase."""
+    salted two-phase. ``driver_finalize`` merges the tiny partials on
+    the driver instead of shuffling (group count is small here)."""
     return agg.two_phase_agg(
-        routed_ds, keys, {"*": ["count"]}, num_salts=num_salts, salt_on="doc_id"
+        routed_ds,
+        keys,
+        {"*": ["count"]},
+        num_salts=num_salts,
+        salt_on="doc_id",
+        driver_finalize=driver_finalize,
     )
 
 
@@ -248,7 +270,9 @@ def run_checkpointed(
         routed.write_parquet(tmp_dir, partition_cols=["sink"])
         os.replace(tmp_dir, sink_dir)
 
-        written = ray.data.read_parquet(sink_dir)
+        written = ray.data.read_parquet(
+            sink_dir, columns=["sink", "source", "severity_text", "doc_id"]
+        )
         agg_ds = agg.two_phase_agg(
             written, AGG_KEYS, {"*": ["count"]}, num_salts=num_salts, salt_on="doc_id"
         )

@@ -1,1 +1,1 @@
-from . import synth, parquet  # noqa: F401
+from . import fluentforward, lines, parquet, synth  # noqa: F401

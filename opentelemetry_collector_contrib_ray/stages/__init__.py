@@ -1,1 +1,13 @@
-from . import aggregate, dedup, enrich, parse, route, textstats  # noqa: F401
+from . import (  # noqa: F401
+    aggregate,
+    ann,
+    dedup,
+    enrich,
+    metricstransform,
+    multimodal,
+    parse,
+    route,
+    sampling,
+    sinks,
+    textstats,
+)

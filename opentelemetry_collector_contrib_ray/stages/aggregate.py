@@ -90,6 +90,7 @@ def two_phase_agg(
     num_salts: int = 16,
     salt_on: str | None = None,
     batch_size: int = 64 * 1024,
+    driver_finalize: bool = False,
 ):
     """Grouped aggregation with per-batch combining and key salting.
 
@@ -97,7 +98,12 @@ def two_phase_agg(
     use {"*": ["count"]} for plain row counts. Output columns are
     ``<col>_<fn>`` plus ``count`` for the row count.
 
-    Returns a Ray Dataset with one row per distinct key tuple.
+    Returns a Ray Dataset with one row per distinct key tuple — or,
+    with ``driver_finalize=True``, a pyarrow.Table merged on the
+    driver: the combine phase stays fully distributed and the driver
+    only merges the per-batch partials (≤ groups × salts × blocks
+    rows). Use it when the group count is small — it replaces the
+    all-to-all groupby shuffle with one tiny collect.
     """
     from ray.data.aggregate import Max, Min, Sum
 
@@ -107,6 +113,29 @@ def two_phase_agg(
         batch_format="pyarrow",
         batch_size=batch_size,
     )
+    if driver_finalize:
+        parts = pa.concat_tables(
+            partial.iter_batches(batch_format="pyarrow", batch_size=None),
+            promote_options="permissive",
+        )
+        df = parts.to_pandas()
+        g = df.groupby(keys, dropna=False, sort=False, observed=True)
+        out = g["_count"].sum().rename("count").to_frame()
+        for col, fns in aggs.items():
+            if col == "*":
+                continue
+            for fn in fns:
+                if fn == "count":
+                    out[f"{col}_count"] = g[f"{col}__count"].sum()
+                elif fn == "sum":
+                    out[f"{col}_sum"] = g[f"{col}__sum"].sum()
+                elif fn == "mean":
+                    out[f"{col}_mean"] = g[f"{col}__sum"].sum() / out["count"]
+                elif fn == "min":
+                    out[f"{col}_min"] = g[f"{col}__min"].min()
+                elif fn == "max":
+                    out[f"{col}_max"] = g[f"{col}__max"].max()
+        return pa.Table.from_pandas(out.reset_index(), preserve_index=False)
     # phase 2: merge partials. With salting the partial key space is
     # (keys × salt); we merge straight to `keys` — Ray hash-partitions on
     # the full key tuple, so pre-salted partials already spread hot keys

@@ -89,6 +89,75 @@ class ApplyResource:
         return batch
 
 
+class _LookupState:
+    """Column-oriented view of a {key: {attr: value}} cache for
+    vectorized batch lookups: one key→row-index dict plus one numpy
+    object array per attribute (sentinel row = miss → None)."""
+
+    def __init__(self, table: dict):
+        self.table = table
+        keys = list(table)
+        self.key_to_idx = {k: i for i, k in enumerate(keys)}
+        self.attr_names = sorted({a for m in table.values() for a in m})
+        self.attr_arrays = {}
+        for a in self.attr_names:
+            col = np.empty(len(keys) + 1, dtype=object)
+            for i, k in enumerate(keys):
+                col[i] = table[k].get(a)
+            col[len(keys)] = None  # miss sentinel
+            self.attr_arrays[a] = col
+
+    def apply(self, batch: pa.Table, association, prefix: str) -> pa.Table:
+        import pandas as pd
+
+        n = len(batch)
+        miss = len(self.key_to_idx)
+        idx = np.full(n, miss, dtype=np.int64)
+        unresolved = np.ones(n, dtype=bool)
+        for col in association:
+            if col not in batch.column_names or not unresolved.any():
+                continue
+            vals = pd.Series(batch[col].to_numpy(zero_copy_only=False), dtype=object)
+            mapped = vals.map(self.key_to_idx)  # one C-level dict map per column
+            ok = mapped.notna().to_numpy() & unresolved
+            idx[ok] = mapped.to_numpy()[ok].astype(np.int64)
+            unresolved &= ~ok
+        for a in self.attr_names:
+            out_name = prefix + a
+            new = self.attr_arrays[a][idx]
+            if out_name in batch.column_names:
+                existing = batch[out_name].to_numpy(zero_copy_only=False)
+                keep = np.array([v is not None for v in existing])
+                new = np.where(keep, existing, new)  # insert-if-absent
+            batch = _set_column(batch, out_name, pa.array(new, pa.string()))
+        return batch
+
+
+_PROC_LOOKUP_CACHE: dict = {}
+
+
+def make_lookup_fn(table_ref, association, prefix: str = ""):
+    """Task-pool variant of LookupEnrich: a plain function whose state
+    is built once per worker PROCESS (module-level cache keyed by the
+    broadcast ObjectRef). Unlike an actor pool it scales elastically to
+    every CPU — preferred for the hot path; use the class when you need
+    actor-pinned state beyond a broadcast table."""
+    import ray
+
+    cache_key = table_ref.hex() if hasattr(table_ref, "hex") else id(table_ref)
+    association = list(association)
+
+    def lookup_enrich(batch: pa.Table) -> pa.Table:
+        state = _PROC_LOOKUP_CACHE.get(cache_key)
+        if state is None:
+            table = table_ref if isinstance(table_ref, dict) else ray.get(table_ref)
+            state = _LookupState(table)
+            _PROC_LOOKUP_CACHE[cache_key] = state
+        return state.apply(batch, association, prefix)
+
+    return lookup_enrich
+
+
 class LookupEnrich:
     """Actor-pool enrichment: association-rule key extraction + cached
     metadata join, insert-if-absent.
@@ -113,42 +182,13 @@ class LookupEnrich:
     def __init__(self, table_ref, association: Sequence[str], prefix: str = ""):
         import ray
 
-        self.table = ray.get(table_ref) if not isinstance(table_ref, dict) else table_ref
+        table = ray.get(table_ref) if not isinstance(table_ref, dict) else table_ref
+        self.state = _LookupState(table)
         self.association = list(association)
         self.prefix = prefix
-        # column-oriented views of the cache for vectorized mapping
-        self.attr_names = sorted({a for m in self.table.values() for a in m})
-        self._maps = {
-            a: {k: m.get(a) for k, m in self.table.items() if a in m}
-            for a in self.attr_names
-        }
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        n = len(batch)
-        key = pd.Series([None] * n, dtype=object)
-        hit = np.zeros(n, dtype=bool)
-        for col in self.association:
-            if col not in batch.column_names:
-                continue
-            vals = pd.Series(batch[col].to_numpy(zero_copy_only=False), dtype=object)
-            ok = (~hit) & vals.map(lambda v: v in self.table)
-            key[ok.to_numpy()] = vals[ok.to_numpy()]
-            hit |= ok.to_numpy()
-        for a in self.attr_names:
-            out_name = self.prefix + a
-            new = key.map(self._maps[a])
-            if out_name in batch.column_names:
-                # insert-if-absent: only fill rows where existing is null
-                existing = pd.Series(
-                    batch[out_name].to_numpy(zero_copy_only=False), dtype=object
-                )
-                merged = existing.where(existing.notna(), new)
-                batch = _set_column(batch, out_name, pa.array(merged, pa.string()))
-            else:
-                batch = _set_column(batch, out_name, pa.array(new, pa.string()))
-        return batch
+        return self.state.apply(batch, self.association, self.prefix)
 
 
 def build_source_metadata(sources: Sequence[str]) -> dict:

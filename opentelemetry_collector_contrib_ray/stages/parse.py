@@ -237,19 +237,47 @@ class Restructure:
         return batch
 
 
+def _scatter(small: pa.Array, mask: np.ndarray, n: int) -> pa.Array:
+    """Scatter ``small`` (values for mask==True rows, in order) into a
+    full-length array with nulls elsewhere. Type-generic & vectorized:
+    append one null sentinel to ``small`` and gather with an index that
+    points non-mask rows at the sentinel — no Python per-row work, no
+    copying of unrelated columns."""
+    if isinstance(small, pa.ChunkedArray):
+        small = small.combine_chunks()
+    k = len(small)
+    padded = pa.concat_arrays([small, pa.nulls(1, small.type)])
+    idx = np.full(n, k, dtype=np.int64)
+    idx[mask] = np.arange(k, dtype=np.int64)
+    return padded.take(pa.array(idx))
+
+
 class Router:
     """stanza router: first-matching regex predicate selects a sub-chain
-    (testbed/datasenders/k8s.go:173-181). Each sub-chain runs on its
-    masked slice; outputs are column-unified (null-fill) and re-concatenated.
-    Adds a ``route`` column with the matched route's name.
+    (testbed/datasenders/k8s.go:173-181). Adds a ``route`` column.
+
+    Scale design: branch chains run on a PROJECTED slice (only
+    ``input_cols``, default just the match column), and their output
+    columns are scattered back into full-length arrays. The wide
+    payload columns (e.g. ``tokens``) are never filtered/copied —
+    router cost is proportional to the string column, not the row.
+    Columns produced by several branches (e.g. ``ts``) merge via
+    coalesce. Original columns pass through untouched.
     """
 
-    def __init__(self, routes: Sequence[tuple[str, str, Chain]], default: Chain | None = None, match_on: str = "raw"):
+    def __init__(
+        self,
+        routes: Sequence[tuple[str, str, Chain]],
+        default: Chain | None = None,
+        match_on: str = "raw",
+        input_cols: Sequence[str] | None = None,
+    ):
         """routes: [(name, predicate_regex, chain)]; unmatched rows run
         ``default`` (or pass through) with route='default'."""
         self.routes = list(routes)
         self.default = default
         self.match_on = match_on
+        self.input_cols = list(input_cols) if input_cols else [match_on]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         src = batch[self.match_on]
@@ -258,25 +286,36 @@ class Router:
         n = len(batch)
         assigned = np.zeros(n, dtype=bool)
         route = np.full(n, "default", dtype=object)
-        masks = []
+        branch_masks: list[tuple[np.ndarray, Chain | None]] = []
         for name, pattern, chain in self.routes:
             m = pc.match_substring_regex(src, pattern).to_numpy(zero_copy_only=False)
             m = np.asarray(m, dtype=bool) & ~assigned
             assigned |= m
             route[m] = name
-            masks.append((m, chain))
-        batch = _set_column(batch, "route", pa.array(route, pa.string()))
-        pieces = []
-        for m, chain in masks:
-            if m.any():
-                pieces.append(chain(batch.filter(pa.array(m))))
+            branch_masks.append((m, chain))
         rest = ~assigned
         if rest.any():
-            sub = batch.filter(pa.array(rest))
-            pieces.append(self.default(sub) if self.default else sub)
-        if not pieces:
-            return batch.slice(0, 0)
-        return _concat_unify(pieces)
+            branch_masks.append((rest, self.default))
+
+        proj_cols = [c for c in self.input_cols if c in batch.column_names]
+        proj = batch.select(proj_cols)
+        added: dict[str, pa.Array] = {}
+        for m, chain in branch_masks:
+            if chain is None or not m.any():
+                continue
+            sub_out = chain(proj.filter(pa.array(m)))
+            for f in sub_out.schema:
+                if f.name in proj_cols:
+                    continue
+                scattered = _scatter(sub_out[f.name], m, n)
+                if f.name in added:
+                    added[f.name] = pc.coalesce(added[f.name], scattered)
+                else:
+                    added[f.name] = scattered
+        out = _set_column(batch, "route", pa.array(route, pa.string()))
+        for name, arr in added.items():
+            out = _set_column(out, name, arr)
+        return out
 
 
 def _concat_unify(tables: list[pa.Table]) -> pa.Table:

@@ -41,31 +41,45 @@ class RoutingTable:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         """Assign sinks; duplicate rows for multi-sink routes. Adds a
-        ``sink`` string column."""
+        ``sink`` string column.
+
+        Scale design: the primary (first) sink of every route is
+        assigned via one vectorized dictionary map — no row copying.
+        Only rows of multi-exporter routes are gathered (once per extra
+        exporter) and appended as new chunks; concat is zero-copy.
+        """
+        n = len(batch)
         if self.from_attribute in batch.column_names:
             keys = pd.Series(
                 batch[self.from_attribute].to_numpy(zero_copy_only=False), dtype=object
             )
         else:
-            keys = pd.Series([None] * len(batch), dtype=object)  # missing key → default
-        pieces = []
-        assigned = np.zeros(len(batch), dtype=bool)
+            keys = pd.Series([None] * n, dtype=object)  # missing key → default
+        first_sink = {v: sinks[0] for v, sinks in self.table.items()}
+        sink = keys.map(first_sink)
+        sink = sink.where(sink.notna(), self.default[0])
+        main = _set_column(batch, "sink", pa.array(sink.to_numpy(dtype=object), pa.string()))
+
+        pieces = [main]
         for value, sinks in self.table.items():
+            if len(sinks) <= 1:
+                continue
             m = (keys == value).to_numpy()
-            assigned |= m
             if not m.any():
                 continue
             sub = batch.filter(pa.array(m))
-            for s in sinks:
+            for s in sinks[1:]:
                 pieces.append(_set_column(sub, "sink", pa.array([s] * len(sub), pa.string())))
-        rest = ~assigned
-        if rest.any():
-            sub = batch.filter(pa.array(rest))
-            for s in self.default:
-                pieces.append(_set_column(sub, "sink", pa.array([s] * len(sub), pa.string())))
-        if not pieces:
-            out = _set_column(batch.slice(0, 0), "sink", pa.array([], pa.string()))
-            return out
+        if len(self.default) > 1:
+            m = (~keys.isin(list(self.table))).to_numpy()
+            if m.any():
+                sub = batch.filter(pa.array(m))
+                for s in self.default[1:]:
+                    pieces.append(
+                        _set_column(sub, "sink", pa.array([s] * len(sub), pa.string()))
+                    )
+        if len(pieces) == 1:
+            return main
         return pa.concat_tables(pieces, promote_options="permissive")
 
 

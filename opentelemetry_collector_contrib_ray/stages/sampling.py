@@ -1,0 +1,182 @@
+"""Trace-grouping and sampling: tailsampling / groupbytrace semantics.
+
+Reference:
+- **tailsamplingprocessor** (processor.go:116-237): buffer spans per
+  traceID for ``decision_wait``, then evaluate policies — a trace is
+  sampled if ANY policy says so (OR, :191-237). Policies implemented:
+  always_sample, numeric_attribute (range), string_attribute (value
+  set, optional regex), rate_limiting (spans/sec).
+- **groupbytraceprocessor** (processor.go:82-143): gather all spans of
+  a trace together, release after wait_duration.
+
+Batch-engine design: the decision window is the dataset (or an
+event-time bucket column); the per-trace buffer is Ray's shuffle.
+Policy evaluation runs per group (`groupby(trace_id).map_groups`),
+emitting a decision; sampled rows pass via a broadcast-semi-join
+filter — no second shuffle of the full data.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+class Policy:
+    """Base policy: evaluate(group) -> bool (sample the whole trace)."""
+
+    name = "policy"
+
+    def evaluate(self, g: pd.DataFrame) -> bool:  # pragma: no cover
+        raise NotImplementedError
+
+
+class AlwaysSample(Policy):
+    """sampling/always_sample.go"""
+
+    name = "always_sample"
+
+    def evaluate(self, g: pd.DataFrame) -> bool:
+        return True
+
+
+class NumericAttribute(Policy):
+    """sampling/numeric_tag_filter.go: sample if any span's attribute
+    value falls in [min_value, max_value]."""
+
+    name = "numeric_attribute"
+
+    def __init__(self, key: str, min_value: float, max_value: float):
+        self.key, self.lo, self.hi = key, min_value, max_value
+
+    def evaluate(self, g: pd.DataFrame) -> bool:
+        if self.key not in g.columns:
+            return False
+        v = pd.to_numeric(g[self.key], errors="coerce")
+        return bool(((v >= self.lo) & (v <= self.hi)).any())
+
+
+class StringAttribute(Policy):
+    """sampling/string_tag_filter.go: sample if any span's attribute is
+    in the configured value set (enable_regex → patterns, with the
+    reference's LRU cache replaced by per-actor compiled patterns)."""
+
+    name = "string_attribute"
+
+    def __init__(self, key: str, values: Sequence[str], enable_regex: bool = False):
+        self.key = key
+        self.enable_regex = enable_regex
+        self.values = set(values)
+        self.patterns = [re.compile(v) for v in values] if enable_regex else []
+
+    def evaluate(self, g: pd.DataFrame) -> bool:
+        if self.key not in g.columns:
+            return False
+        vals = g[self.key].dropna().astype(str)
+        if self.enable_regex:
+            return bool(any(p.search(v) for v in vals for p in self.patterns))
+        return bool(vals.isin(self.values).any())
+
+
+class RateLimiting(Policy):
+    """sampling/rate_limiting.go: admit while spans-per-second stays
+    under the budget. Batch semantics: traces are processed in
+    event-time order; a trace is sampled if the window's running span
+    count so far stays within spans_per_second * window_seconds.
+    STATEFUL across groups → evaluated in the decision stage, which
+    sees per-trace summaries sorted by time (single small pass)."""
+
+    name = "rate_limiting"
+
+    def __init__(self, spans_per_second: int):
+        self.spans_per_second = spans_per_second
+
+
+def tail_sample(
+    ds,
+    trace_col: str,
+    policies: Sequence[Policy],
+    *,
+    ts_col: str | None = None,
+    batch_format: str = "pandas",
+):
+    """Returns (sampled_ds, decisions_ds).
+
+    decisions: one row per trace (trace_id, sampled, n_spans,
+    first_ts). Rate-limiting policies are applied AFTER the per-group
+    policies, on the driver-side decision table ordered by first_ts —
+    a tiny table (one row per trace), not the span data.
+    Sampled spans are selected by broadcasting the sampled-id set into
+    a vectorized semi-join filter (sampling/*, processor.go:156-173).
+    """
+    import ray
+    import pyarrow.compute as pc
+
+    group_policies = [p for p in policies if not isinstance(p, RateLimiting)]
+    rate_policies = [p for p in policies if isinstance(p, RateLimiting)]
+
+    def decide(g: pd.DataFrame) -> pd.DataFrame:
+        sampled = any(p.evaluate(g) for p in group_policies)  # OR, processor.go:191-237
+        row = {
+            trace_col: [g[trace_col].iloc[0]],
+            "sampled": [sampled],
+            "n_spans": [len(g)],
+        }
+        if ts_col and ts_col in g.columns:
+            row["first_ts"] = [g[ts_col].min()]
+        return pd.DataFrame(row)
+
+    decisions = ds.groupby(trace_col).map_groups(decide, batch_format=batch_format)
+    ddf = decisions.to_pandas()  # one row per trace — small by design
+
+    if rate_policies and ts_col:
+        budget = min(p.spans_per_second for p in rate_policies)
+        ddf = ddf.sort_values("first_ts", kind="stable").reset_index(drop=True)
+        # spans/sec over the decision window ≈ cumulative spans vs elapsed sec
+        t0 = ddf["first_ts"].iloc[0]
+        elapsed = (ddf["first_ts"] - t0).dt.total_seconds().clip(lower=1.0)
+        cum = ddf["n_spans"].where(ddf["sampled"], 0).cumsum()
+        ddf["sampled"] = ddf["sampled"] & (cum <= budget * elapsed)
+
+    sampled_ids = set(ddf.loc[ddf["sampled"], trace_col].tolist())
+    ids_ref = ray.put(sampled_ids)
+
+    class SemiJoin:
+        def __init__(self):
+            self.ids = ray.get(ids_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vals = batch[trace_col].to_numpy(zero_copy_only=False)
+            mask = np.fromiter((v in self.ids for v in vals), bool, len(vals))
+            return batch.filter(pa.array(mask))
+
+    sampled_ds = ds.map_batches(SemiJoin, batch_format="pyarrow", concurrency=(1, 8))
+    return sampled_ds, ddf
+
+
+def group_by_trace(ds, trace_col: str, fn=None, batch_format: str = "pandas"):
+    """groupbytraceprocessor: deliver each trace's spans as one group
+    (processor.go:82-90); ``fn`` defaults to pass-through concat."""
+    if fn is None:
+        fn = lambda g: g  # noqa: E731
+    return ds.groupby(trace_col).map_groups(fn, batch_format=batch_format)
+
+
+def probabilistic_sample(ds, id_col: str, fraction: float, salt: int = 0):
+    """Deterministic hash-based probabilistic sampler (core collector's
+    probabilisticsampler semantics: hash(id) < threshold — stable
+    across reruns, unlike random sampling)."""
+    from .._util import hash_str_u64
+
+    threshold = int(fraction * (1 << 64))
+
+    def f(batch: pa.Table) -> pa.Table:
+        vals = batch[id_col].to_numpy(zero_copy_only=False)
+        h = hash_str_u64(vals, salt)
+        return batch.filter(pa.array(h < np.uint64(threshold)))
+
+    return ds.map_batches(f, batch_format="pyarrow")

@@ -1,0 +1,157 @@
+"""Sink-side transforms: exporter semantics as batch stages + datasinks.
+
+For the batch engine a "sink" is a partitioned Parquet directory; these
+stages reproduce the observable transforms the reference's exporters
+apply before shipping (SURVEY.md §2.6).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .parse import _set_column
+
+
+class LokiLabeler:
+    """lokiexporter label mapping (exporter/lokiexporter/exporter.go:123-187):
+    only allow-listed attributes become Loki labels; a record none of
+    whose attributes match is DROPPED and counted; records group into
+    streams by their exact label set.
+
+    Adds ``labels`` (canonical sorted JSON) and drops non-matching
+    rows; dropped count is exposed per batch via the ``_dropped``
+    column on a side-channel count table if ``count_dropped``.
+    """
+
+    def __init__(self, allowed_attributes: dict[str, str]):
+        """allowed_attributes: {column_name: loki_label_name}."""
+        self.allowed = allowed_attributes
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        labels = [dict() for _ in range(n)]
+        for col, label in self.allowed.items():
+            if col not in batch.column_names:
+                continue
+            vals = batch[col].to_numpy(zero_copy_only=False)
+            for i, v in enumerate(vals):
+                if v is not None:
+                    labels[i][label] = str(v)
+        mask = np.array([len(l) > 0 for l in labels])
+        enc = pa.array(
+            [json.dumps(l, sort_keys=True) if l else None for l in labels], pa.string()
+        )
+        out = _set_column(batch, "labels", enc)
+        dropped = int((~mask).sum())
+        out = out.filter(pa.array(mask))
+        # per-batch dropped count as metadata column (summed by caller)
+        return _set_column(
+            out, "_batch_dropped", pa.array(np.full(len(out), dropped, np.int64))
+        )
+
+
+def loki_streams(ds, allowed_attributes: dict[str, str], *, num_salts: int = 8):
+    """Streams = counts per exact label set (exporter.go:138-160)."""
+    from .aggregate import two_phase_agg
+
+    labeled = ds.map_batches(
+        LokiLabeler(allowed_attributes), batch_format="pyarrow"
+    )
+    return two_phase_agg(labeled, ["labels"], {"*": ["count"]}, num_salts=num_salts)
+
+
+def dedup_dedot_keys(obj: dict) -> dict:
+    """elasticsearchexporter objmodel normalization
+    (internal/objmodel/objmodel.go:187-233): sort keys, last-wins
+    dedup, and expand dotted keys into nested objects ("dedot")."""
+    items = sorted(obj.items())
+    flat: dict = {}
+    for k, v in items:
+        flat[k] = v  # sorted + dict semantics = key dedup (last wins)
+    out: dict = {}
+    for k, v in flat.items():
+        parts = k.split(".")
+        cur = out
+        for p in parts[:-1]:
+            nxt = cur.get(p)
+            if not isinstance(nxt, dict):
+                nxt = {}
+                cur[p] = nxt
+            cur = nxt
+        cur[parts[-1]] = v
+    return out
+
+
+class EsDocModel:
+    """Render rows to Elasticsearch-style JSON docs with dedot'd keys.
+    ``attr_cols`` become document fields; output column ``doc``."""
+
+    def __init__(self, attr_cols: Sequence[str]):
+        self.attr_cols = list(attr_cols)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cols = {
+            c: batch[c].to_numpy(zero_copy_only=False)
+            for c in self.attr_cols
+            if c in batch.column_names
+        }
+        docs = []
+        for i in range(len(batch)):
+            obj = {
+                c: (v[i].item() if hasattr(v[i], "item") else v[i])
+                for c, v in cols.items()
+                if v[i] is not None
+            }
+            docs.append(json.dumps(dedup_dedot_keys(obj), sort_keys=True, default=str))
+        return _set_column(batch, "doc", pa.array(docs, pa.string()))
+
+
+def splunk_hec_fields(batch: pa.Table, *, body_col: str = "msg") -> pa.Table:
+    """splunkhecexporter outbound mapping
+    (logdata_to_splunk.go:41-95,130): host/source/sourcetype/index from
+    canonical attrs, body → event, ns → epoch-seconds float time."""
+    out = batch
+    mapping = {
+        "host.name": "host",
+        "com.splunk.source": "source",
+        "com.splunk.sourcetype": "sourcetype",
+        "com.splunk.index": "index",
+    }
+    for src, dst in mapping.items():
+        if src in batch.column_names:
+            out = _set_column(out, dst, out[src])
+    if body_col in batch.column_names:
+        out = _set_column(out, "event", out[body_col])
+    if "ts" in batch.column_names:
+        ns = pc.cast(out["ts"], pa.int64())
+        out = _set_column(
+            out, "time", pc.divide(pc.cast(ns, pa.float64(), safe=False), pa.scalar(1e9))
+        )
+    return out
+
+
+def consistent_hash_partition(ds, key_col: str, num_backends: int, out_col: str = "backend"):
+    """loadbalancingexporter ring (consistent_hashing.go): assign each
+    row a backend by key hash. In Ray the ring's rebalancing role is
+    played by the shuffle; this materializes the assignment column, and
+    ``write_parquet(partition_cols=[out_col])`` realizes the fan-out.
+    Logs route by traceID of the first record (log_exporter.go:85-106)
+    — here per-row key for batch determinism."""
+    from .._util import hash_str_u64
+
+    def f(batch: pa.Table) -> pa.Table:
+        vals = batch[key_col].to_numpy(zero_copy_only=False)
+        h = hash_str_u64(vals) % np.uint64(num_backends)
+        return _set_column(
+            batch,
+            out_col,
+            pa.array(np.char.add("backend-", h.astype(np.int64).astype(str))),
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")

@@ -1,0 +1,80 @@
+"""Sink-side transform semantics (lokiexporter label allow-list +
+drop counting, elasticsearch objmodel dedup/dedot, splunk HEC outbound
+mapping, loadbalancing consistent-hash fan-out)."""
+
+import json
+
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from opentelemetry_collector_contrib_ray.stages.sinks import (
+    EsDocModel,
+    LokiLabeler,
+    consistent_hash_partition,
+    dedup_dedot_keys,
+    loki_streams,
+    splunk_hec_fields,
+)
+
+
+def test_loki_labeler_drops_unmatched():
+    t = pa.table(
+        {
+            "severity_text": ["Error", None, "Info"],
+            "other": ["a", "b", "c"],
+        }
+    )
+    out = LokiLabeler({"severity_text": "severity"})(t)
+    # row with null severity has NO matching label → dropped (exporter.go:132-136)
+    assert len(out) == 2
+    assert json.loads(out["labels"].to_pylist()[0]) == {"severity": "Error"}
+    assert out["_batch_dropped"].to_pylist() == [1, 1]
+
+
+def test_loki_streams_group_by_labelset():
+    df = pd.DataFrame(
+        {"app": ["x", "x", "y"], "env": ["p", "p", "p"], "msg": ["1", "2", "3"]}
+    )
+    out = (
+        loki_streams(ray.data.from_pandas(df), {"app": "app", "env": "env"})
+        .to_pandas()
+        .sort_values("labels")
+        .reset_index(drop=True)
+    )
+    assert out["count"].tolist() == [2, 1]
+
+
+def test_dedup_dedot():
+    # objmodel.go:187-233: sorted keys, dotted keys expand to nesting
+    obj = {"a.b": 1, "a.c": 2, "z": 3}
+    assert dedup_dedot_keys(obj) == {"a": {"b": 1, "c": 2}, "z": 3}
+
+
+def test_es_doc_model():
+    t = pa.table({"a.b": [1], "z": ["v"]})
+    out = EsDocModel(["a.b", "z"])(t)
+    assert json.loads(out["doc"].to_pylist()[0]) == {"a": {"b": 1}, "z": "v"}
+
+
+def test_splunk_outbound():
+    t = pa.table(
+        {
+            "host.name": ["h"],
+            "com.splunk.index": ["main"],
+            "msg": ["hello"],
+            "ts": pa.array([1_600_000_000_000_000_000], pa.timestamp("ns")),
+        }
+    )
+    out = splunk_hec_fields(t).to_pylist()[0]
+    assert out["host"] == "h" and out["index"] == "main"
+    assert out["event"] == "hello"
+    assert out["time"] == 1.6e9  # ns → fractional seconds (:130)
+
+
+def test_consistent_hash_partition_stable():
+    df = pd.DataFrame({"trace_id": [f"t{i}" for i in range(500)]})
+    a = consistent_hash_partition(ray.data.from_pandas(df), "trace_id", 4).to_pandas()
+    b = consistent_hash_partition(ray.data.from_pandas(df), "trace_id", 4).to_pandas()
+    assert a.sort_values("trace_id")["backend"].tolist() == b.sort_values("trace_id")["backend"].tolist()
+    assert a["backend"].nunique() == 4
