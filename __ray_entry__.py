@@ -512,6 +512,32 @@ def _q_multimodal_features(sf_dir: str):
     return out.select_columns(["item_id", "byte_mean"])
 
 
+def _q_session_windows(sf_dir: str):
+    """Session windows per user (30-min gap): streaming-shaped semantics
+    over the ordered events log (stages/window.py sessionize)."""
+    from opentelemetry_collector_contrib_ray.stages.window import sessionize
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    return sessionize(ds, "user_id", "ts", gap_seconds=1800.0)
+
+
+def _q_sliding_window(sf_dir: str):
+    """Sliding 60-min windows stepping 30 min, counts per event_type."""
+    from opentelemetry_collector_contrib_ray.stages.window import sliding
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+    return sliding(ds, ["event_type"], "ts", size_minutes=60, step_minutes=30)
+
+
+def _q_gauge_last_write(sf_dir: str):
+    """statsd gauge last-write-wins per user (statsd_parser.go:170-189)."""
+    from opentelemetry_collector_contrib_ray.stages.window import last_write_wins
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+    out = last_write_wins(ds, ["user_id"], "ts", "value", order_cols=["ts", "event_id"])
+    return out.select_columns(["user_id", "value_last"])
+
+
 # -------------------------------------------------------------- relational
 
 
@@ -576,6 +602,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "probabilistic_sample": _q_probabilistic_sample,
         "ivf_knn": _q_ivf_knn,
         "multimodal_features": _q_multimodal_features,
+        "session_windows": _q_session_windows,
+        "sliding_window": _q_sliding_window,
+        "gauge_last_write": _q_gauge_last_write,
     }
 
 
@@ -690,6 +719,42 @@ def oracle_sql() -> dict[str, str]:
         "topk_orders": """
             SELECT o_orderkey, o_totalprice FROM orders
             ORDER BY o_totalprice DESC, o_orderkey DESC LIMIT 100
+        """,
+        "session_windows": """
+            WITH gaps AS (
+                SELECT user_id, ts,
+                       CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                                 > INTERVAL 1800 SECOND
+                                 OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+            ), sess AS (
+                SELECT user_id, ts,
+                       SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+                FROM gaps
+            )
+            SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                   COUNT(*) AS n_events, MIN(ts) AS session_start, MAX(ts) AS session_end
+            FROM sess GROUP BY 1, 2
+        """,
+        "sliding_window": """
+            SELECT event_type, window_start, COUNT(*) AS "count" FROM (
+                SELECT event_type,
+                       to_timestamp(floor(epoch(ts) / 1800) * 1800)::TIMESTAMP AS window_start
+                FROM events
+                UNION ALL
+                SELECT event_type,
+                       to_timestamp(floor(epoch(ts) / 1800) * 1800 - 1800)::TIMESTAMP AS window_start
+                FROM events
+            ) GROUP BY 1, 2
+        """,
+        "gauge_last_write": """
+            SELECT user_id, value AS value_last FROM (
+                SELECT user_id, value,
+                       ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events
+            ) WHERE rn = 1
         """,
         "q1_pricing": """
             SELECT l_returnflag, l_linestatus,

@@ -148,7 +148,7 @@ DEFAULT_RESOURCE_DETECTORS = [
 ]
 
 
-def build_pipeline(ds, *, lookup_ref=None, routing: dict | None = None, enrich_concurrency=None):
+def build_pipeline(ds, *, lookup_ref=None, routing: dict | None = None, enrich_concurrency=None, batch_size: int = 64 * 1024):
     """Compose the full DAG on a Dataset; returns the routed Dataset
     (with ``sink`` column), ready to write/aggregate.
 
@@ -174,7 +174,7 @@ def build_pipeline(ds, *, lookup_ref=None, routing: dict | None = None, enrich_c
         routing["from_attribute"], routing["table"], routing["default"]
     )
 
-    parsed = ds.map_batches(parse, batch_format="pyarrow", batch_size=16 * 1024)
+    parsed = ds.map_batches(parse, batch_format="pyarrow", batch_size=batch_size)
     if enrich_concurrency is not None:
         enriched = parsed.map_batches(
             enrich.LookupEnrich,
@@ -184,14 +184,14 @@ def build_pipeline(ds, *, lookup_ref=None, routing: dict | None = None, enrich_c
                 "prefix": "meta.",
             },
             batch_format="pyarrow",
-            batch_size=16 * 1024,
+            batch_size=batch_size,
             concurrency=enrich_concurrency,
         )
     else:
         enriched = parsed.map_batches(
             enrich.make_lookup_fn(lookup_ref, ["source"], "meta."),
             batch_format="pyarrow",
-            batch_size=16 * 1024,
+            batch_size=batch_size,
         )
     enriched = enriched.map_batches(enrich.ApplyResource(resource), batch_format="pyarrow")
     return enriched.map_batches(router, batch_format="pyarrow")
