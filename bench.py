@@ -197,7 +197,7 @@ def run_headline_steady(ncpu: int) -> dict:
     cleanup()
     one_pass()  # second warm pass — the pool keeps growing on pass 1
     times = []
-    for _ in range(3):
+    for _ in range(4):
         cleanup()  # sink-dir removal is inter-pass housekeeping, untimed
         t0 = time.perf_counter()
         one_pass()
@@ -233,10 +233,19 @@ def run_scaling() -> dict:
         return json.loads(out.strip().splitlines()[-1])
 
     lo, hi = 4, 16  # N and 4N; both under the 32 physical cores so the
-    # measurement reflects engine scaling, not host SMT saturation
-    r_lo, r_hi = child(lo), child(hi)
-    tput_lo = r_lo["seq_per_sec"]
-    tput_hi = r_hi["seq_per_sec"]
+    # measurement reflects engine scaling, not host SMT saturation.
+    # Two interleaved rounds per level, best time per level: the host VM
+    # shows minute-scale noise (identical runs vary ~1.5x), and best-of
+    # recovers each level's steady-state capability.
+    runs_lo, runs_hi = [], []
+    for _ in range(2):
+        runs_lo.append(child(lo))
+        runs_hi.append(child(hi))
+    sec_lo = min(r["value"] for r in runs_lo)
+    sec_hi = min(r["value"] for r in runs_hi)
+    n_rows = runs_lo[0]["rows"]
+    tput_lo = round(n_rows / sec_lo, 1)
+    tput_hi = round(n_rows / sec_hi, 1)
     eff = (tput_hi / tput_lo) / (hi / lo)
     return {
         "metric": "scaling_efficiency",
@@ -244,14 +253,14 @@ def run_scaling() -> dict:
         "unit": "ratio",
         "cpus_low": lo,
         "cpus_high": hi,
-        "sec_low": r_lo["value"],
-        "sec_high": r_hi["value"],
-        "times_low": r_lo["times"],
-        "times_high": r_hi["times"],
+        "sec_low": sec_lo,
+        "sec_high": sec_hi,
+        "times_low": [t for r in runs_lo for t in r["times"]],
+        "times_high": [t for r in runs_hi for t in r["times"]],
         "seq_per_sec_low": tput_lo,
         "seq_per_sec_high": tput_hi,
         "sf": sf,
-        "rows": r_lo["rows"],
+        "rows": n_rows,
     }
 
 
