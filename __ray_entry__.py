@@ -322,7 +322,7 @@ def _q_langid(sf_dir: str):
     from opentelemetry_collector_contrib_ray.stages.textstats import LangId
 
     ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
-    pred = ds.map_batches(LangId, batch_format="pyarrow", concurrency=(1, 4))
+    pred = ds.map_batches(LangId(), batch_format="pyarrow")
     return two_phase_agg(pred, ["lang", "lang_pred"], {"*": ["count"]})
 
 
@@ -330,17 +330,17 @@ def _q_minhash_dedup(sf_dir: str):
     from opentelemetry_collector_contrib_ray.stages.dedup import minhash_lsh_groups
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    groups = minhash_lsh_groups(ds, id_col="doc_id")
-    return groups.filter(expr="n >= 2")
+    groups = minhash_lsh_groups(ds, id_col="doc_id")  # pa.Table, already n>=2
+    return groups
 
 
 def _q_simhash(sf_dir: str):
     from opentelemetry_collector_contrib_ray.stages.dedup import SimHasher
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return ds.map_batches(
-        SimHasher, batch_format="pyarrow", concurrency=(1, 4)
-    ).select_columns(["doc_id", "simhash"])
+    return ds.map_batches(SimHasher(), batch_format="pyarrow").select_columns(
+        ["doc_id", "simhash"]
+    )
 
 
 def _q_embedding_knn(sf_dir: str):
@@ -380,7 +380,7 @@ def _q_embedding_knn(sf_dir: str):
             )
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    partials = ds.map_batches(TopK, batch_format="pyarrow", concurrency=(1, 4))
+    partials = ds.map_batches(TopK(), batch_format="pyarrow")
     top = partials.sort("cos", descending=True).limit(10)
     return top.select_columns(["vec_id"])
 

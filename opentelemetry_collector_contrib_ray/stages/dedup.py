@@ -93,11 +93,38 @@ class MinHasher:
             vals = (self.a[None, :] * sh[:, None] + self.b[None, :]) % np.uint64(_MERSENNE)
         return vals.min(axis=0)
 
+    # max shingles per (shingles × num_perm) matrix: bounds the temp
+    # allocation to ~ _CHUNK × num_perm × 8B (≈128 MB at 256k × 64)
+    _CHUNK = 256 * 1024
+
     def __call__(self, batch: pa.Table) -> pa.Table:
+        # batched: (chunk_shingles × num_perm) passes with per-doc min
+        # via minimum.reduceat — no per-doc Python, bounded temp memory
         texts = batch[self.text_col].to_pylist()
-        sigs = np.stack([self.signature(t or "") for t in texts])
+        shingle_sets = [_shingle_hashes(t or "", self.k) for t in texts]
+        counts = np.array([len(s) for s in shingle_sets], dtype=np.int64)
+        n = len(texts)
+        sigs = np.empty((n, self.num_perm), dtype=np.uint64)
+        lo = 0
+        while lo < n:
+            hi = lo
+            total = 0
+            while hi < n and (hi == lo or total + counts[hi] <= self._CHUNK):
+                total += counts[hi]
+                hi += 1
+            flat_sh = np.concatenate(shingle_sets[lo:hi])
+            with np.errstate(over="ignore"):
+                vals = (
+                    self.a[None, :] * flat_sh[:, None] + self.b[None, :]
+                ) % np.uint64(_MERSENNE)
+            starts = np.zeros(hi - lo, dtype=np.int64)
+            np.cumsum(counts[lo:hi][:-1], out=starts[1:])
+            sigs[lo:hi] = np.minimum.reduceat(vals, starts, axis=0)
+            lo = hi
         flat = pa.array(sigs.reshape(-1).astype(np.int64))
-        offs = pa.array(np.arange(0, (len(texts) + 1) * self.num_perm, self.num_perm, dtype=np.int32))
+        offs = pa.array(
+            np.arange(0, (n + 1) * self.num_perm, self.num_perm, dtype=np.int32)
+        )
         return batch.append_column("minhash", pa.ListArray.from_arrays(offs, flat))
 
 
@@ -123,11 +150,12 @@ def minhash_lsh_groups(
     """
     rows_per_band = num_perm // bands
 
+    # instance-as-function → elastic task pool (the permutation params
+    # are cheap to build; an actor pool would cap width and pay ramp-up)
     mh = ds.map_batches(
-        MinHasher,
-        fn_constructor_kwargs={"text_col": text_col, "k": k, "num_perm": num_perm},
+        MinHasher(text_col=text_col, k=k, num_perm=num_perm),
         batch_format="pyarrow",
-        concurrency=concurrency,
+        batch_size=512,  # minhash is compute-heavy: small batches → wide task pool
     )
 
     def explode(batch: pa.Table) -> pa.Table:
@@ -152,24 +180,55 @@ def minhash_lsh_groups(
             }
         )
 
-    exploded = mh.map_batches(explode, batch_format="pyarrow")
+    # (band, hash, id) triples are tiny next to the documents; pin them
+    # so the counts pass and the member-gather pass don't re-run the
+    # minhash computation. (At extreme scale, write them to parquet and
+    # re-read instead of materializing.)
+    exploded = mh.map_batches(explode, batch_format="pyarrow").materialize()
 
-    def bucket(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return g.head(0).assign(ids=pd.Series(dtype=object), n=pd.Series(dtype=np.int64))[
-                ["band_id", "band_hash", "ids", "n"]
-            ]
-        members = sorted(g[id_col].tolist())
-        return pd.DataFrame(
+    # Bucket resolution without per-group Python calls: (1) vectorized
+    # bucket-size counts (two-phase, no row shuffle), (2) broadcast the
+    # multi-member bucket keys — near-dup buckets are a tiny fraction —
+    # (3) semi-join filter, (4) one pandas agg over the filtered set.
+    from .aggregate import two_phase_agg
+
+    counts = two_phase_agg(
+        exploded, ["band_id", "band_hash"], {"*": ["count"]}, num_salts=1,
+        driver_finalize=True,
+    ).to_pandas()
+    multi = counts[counts["count"] >= 2]
+    hot = set(zip(multi["band_id"].tolist(), multi["band_hash"].tolist()))
+    if not hot:
+        return pa.table(
             {
-                "band_id": [g["band_id"].iloc[0]],
-                "band_hash": [g["band_hash"].iloc[0]],
-                "ids": [members],
-                "n": [len(members)],
+                "band_id": pa.array([], pa.int32()),
+                "band_hash": pa.array([], pa.int64()),
+                "ids": pa.array([], pa.list_(pa.string())),
+                "n": pa.array([], pa.int64()),
             }
         )
+    import ray
 
-    return exploded.groupby(["band_id", "band_hash"]).map_groups(bucket, batch_format="pandas")
+    hot_ref = ray.put(hot)
+
+    def keep_hot(batch: pa.Table) -> pa.Table:
+        keys = ray.get(hot_ref)
+        bid = batch["band_id"].to_numpy(zero_copy_only=False)
+        bh = batch["band_hash"].to_numpy(zero_copy_only=False)
+        mask = np.fromiter(
+            ((int(b), int(h)) in keys for b, h in zip(bid, bh)), bool, len(batch)
+        )
+        return batch.filter(pa.array(mask))
+
+    survivors = (
+        exploded.map_batches(keep_hot, batch_format="pyarrow").to_pandas()
+    )  # small: only multi-member buckets survive
+    agg = (
+        survivors.groupby(["band_id", "band_hash"])[id_col]
+        .agg(ids=lambda s: sorted(s.tolist()), n="size")
+        .reset_index()
+    )
+    return pa.Table.from_pandas(agg, preserve_index=False)
 
 
 # -------------------------------------------------------------------- SimHash
@@ -238,7 +297,7 @@ def embedding_neardup_pairs(ds, *, id_col="vec_id", emb_col="embedding", thresho
                 }
             )
 
-    bucketed = ds.map_batches(Bucketer, batch_format="pyarrow", concurrency=(1, 4))
+    bucketed = ds.map_batches(Bucketer(), batch_format="pyarrow")
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
