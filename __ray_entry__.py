@@ -381,8 +381,15 @@ def _q_embedding_knn(sf_dir: str):
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     partials = ds.map_batches(TopK(), batch_format="pyarrow")
-    top = partials.sort("cos", descending=True).limit(10)
-    return top.select_columns(["vec_id"])
+    # partials are k rows per batch — merge on the driver, no sort shuffle
+    import pandas as pd
+
+    merged = pa.concat_tables(
+        partials.iter_batches(batch_format="pyarrow", batch_size=None)
+    ).to_pandas()
+    return pa.Table.from_pandas(
+        merged.nlargest(10, "cos")[["vec_id"]], preserve_index=False
+    )
 
 
 def _q_embedding_neardup(sf_dir: str):

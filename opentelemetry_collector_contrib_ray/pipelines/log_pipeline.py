@@ -211,6 +211,128 @@ def aggregate_sinks(routed_ds, keys=AGG_KEYS, num_salts: int = 16, driver_finali
     )
 
 
+def _process_shard(
+    src: str,
+    shard_id: str,
+    run_dir: str,
+    manifest,
+    lookup_ref,
+    routing: dict | None,
+    verify_tokens: bool,
+    num_salts: int,
+) -> dict:
+    """One shard: routed rows → atomic sink dir, aggregate → agg dir,
+    manifest record with lineage. Returns the shard metrics dict."""
+    import shutil
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    ds = ray.data.read_parquet(src)
+    in_digest = None
+    if verify_tokens:
+        in_rows, in_xor, in_ntok = corpus_checksum(ray.data.read_parquet(src))
+        in_digest = {"rows": in_rows, "xor": in_xor, "ntok": in_ntok}
+
+    routed = build_pipeline(ds, lookup_ref=lookup_ref, routing=routing)
+    sink_dir = os.path.join(run_dir, "sinks", shard_id)
+    os.makedirs(os.path.dirname(sink_dir), exist_ok=True)
+    tmp_dir = sink_dir + ".tmp"
+    for d in (tmp_dir, sink_dir):
+        if os.path.exists(d):
+            shutil.rmtree(d)
+    routed.write_parquet(tmp_dir, partition_cols=["sink"])
+    os.replace(tmp_dir, sink_dir)
+
+    written = ray.data.read_parquet(
+        sink_dir, columns=["sink", "source", "severity_text", "doc_id"]
+    )
+    agg_tbl = agg.two_phase_agg(
+        written,
+        AGG_KEYS,
+        {"*": ["count"]},
+        num_salts=num_salts,
+        salt_on="doc_id",
+        driver_finalize=True,
+    )
+    agg_dir = manifest.shard_output_dir("agg", shard_id)
+    pq.write_table(agg_tbl, os.path.join(agg_dir, "agg.parquet.tmp"))
+    os.replace(
+        os.path.join(agg_dir, "agg.parquet.tmp"),
+        os.path.join(agg_dir, "agg.parquet"),
+    )
+
+    sink_counts: dict = {}
+    for s, c in zip(agg_tbl["sink"].to_pylist(), agg_tbl["count"].to_pylist()):
+        sink_counts[s] = sink_counts.get(s, 0) + c
+    out_digest = None
+    if verify_tokens:
+        # multi-sink routes duplicate rows once per extra exporter
+        # (routing.go:153-162); exclude the non-first sinks so the
+        # checksum compares each input row exactly once. Caveat: a
+        # sink that is primary in one route and secondary in another
+        # would need per-route dedup instead.
+        rt = routing or DEFAULT_ROUTING
+        dup_sinks = set()
+        for sinks in list(rt["table"].values()) + [rt["default"]]:
+            dup_sinks.update(sinks[1:])
+        out_ds = ray.data.read_parquet(sink_dir)
+        for s in dup_sinks:
+            out_ds = out_ds.filter(expr=f"sink != '{s}'")
+        o_rows, o_xor, o_ntok = corpus_checksum(out_ds)
+        out_digest = {"rows": o_rows, "xor": o_xor, "ntok": o_ntok}
+        if in_digest and (
+            out_digest["xor"] != in_digest["xor"]
+            or out_digest["rows"] != in_digest["rows"]
+        ):
+            raise RuntimeError(
+                f"token-array invariant violated on shard {shard_id}: "
+                f"{in_digest} -> {out_digest}"
+            )
+    shard_metrics = {
+        "rows_in": in_digest["rows"] if in_digest else sum(sink_counts.values()),
+        "rows_routed": sum(sink_counts.values()),
+        **{f"sink.{k}": v for k, v in sink_counts.items()},
+    }
+    manifest.mark_complete(
+        shard_id,
+        {
+            "input_file": src,
+            "sink_dir": sink_dir,
+            "agg_dir": agg_dir,
+            "sink_counts": sink_counts,
+            "tokens_in": in_digest,
+            "tokens_out": out_digest,
+            "metrics": shard_metrics,
+        },
+    )
+    return shard_metrics
+
+
+def _stub_fsspec_http() -> None:
+    """Ray's read_parquet probes ``fsspec.implementations.http`` on every
+    call; in this aiohttp-less env the import always fails, and when two
+    driver threads race the retry, the failure surfaces as ImportError
+    (not the ModuleNotFoundError Ray catches). Cache a benign stub with
+    a dummy HTTPFileSystem so the probe import succeeds once and the
+    isinstance check is simply False for local filesystems."""
+    import sys
+    import types
+
+    try:
+        import fsspec.implementations.http  # noqa: F401
+        return
+    except ImportError:
+        pass
+    stub = types.ModuleType("fsspec.implementations.http")
+
+    class HTTPFileSystem:  # dummy — no aiohttp in this environment
+        pass
+
+    stub.HTTPFileSystem = HTTPFileSystem
+    sys.modules["fsspec.implementations.http"] = stub
+
+
 def run_checkpointed(
     input_dir: str,
     run_dir: str,
@@ -218,6 +340,7 @@ def run_checkpointed(
     routing: dict | None = None,
     verify_tokens: bool = True,
     num_salts: int = 16,
+    max_concurrent_shards: int = 1,
 ):
     """Resumable run: one checkpoint shard per input parquet file.
 
@@ -226,117 +349,54 @@ def run_checkpointed(
     ``agg/<shard>/*.parquet``, then a manifest record with lineage
     (input file, rows in/out, per-sink counts, token checksums).
     Completed shards are skipped on rerun. Returns the run summary.
+
+    ``max_concurrent_shards`` > 1 drives several shard pipelines from
+    driver threads at once (each is its own streaming execution;
+    failure isolation and resume granularity stay per-shard). Use it
+    when shards are small relative to the cluster; big shards already
+    saturate it alone.
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     import ray
-    import ray.data
 
     from ..state.checkpoint import CheckpointManifest
     from ..state.metrics import MetricsRecorder
 
     manifest = CheckpointManifest(run_dir)
     metrics = MetricsRecorder()
-    files = sorted(
-        f for f in os.listdir(input_dir) if f.endswith(".parquet")
-    )
+    files = sorted(f for f in os.listdir(input_dir) if f.endswith(".parquet"))
     lookup_ref = ray.put(
         enrich.build_source_metadata(
             ["app-a", "app-b", "app-c", "syslog", "k8s", "unknown"]
         )
     )
     summary = {"shards_total": len(files), "shards_skipped": 0, "shards_run": 0}
+    todo = []
     for f in files:
         shard_id = os.path.splitext(f)[0]
         if manifest.is_complete(shard_id):
             summary["shards_skipped"] += 1
             metrics.merge(manifest.read(shard_id).get("metrics", {}))
-            continue
-        src = os.path.join(input_dir, f)
-        ds = ray.data.read_parquet(src)
-        in_rows = None
-        in_digest = None
-        if verify_tokens:
-            in_rows, in_xor, in_ntok = corpus_checksum(ray.data.read_parquet(src))
-            in_digest = {"rows": in_rows, "xor": in_xor, "ntok": in_ntok}
+        else:
+            todo.append((os.path.join(input_dir, f), shard_id))
 
-        routed = build_pipeline(ds, lookup_ref=lookup_ref, routing=routing)
-        sink_dir = os.path.join(run_dir, "sinks", shard_id)
-        os.makedirs(os.path.dirname(sink_dir), exist_ok=True)
-        tmp_dir = sink_dir + ".tmp"
-        import shutil
-
-        for d in (tmp_dir, sink_dir):
-            if os.path.exists(d):
-                shutil.rmtree(d)
-        routed.write_parquet(tmp_dir, partition_cols=["sink"])
-        os.replace(tmp_dir, sink_dir)
-
-        written = ray.data.read_parquet(
-            sink_dir, columns=["sink", "source", "severity_text", "doc_id"]
-        )
-        agg_ds = agg.two_phase_agg(
-            written, AGG_KEYS, {"*": ["count"]}, num_salts=num_salts, salt_on="doc_id"
-        )
-        agg_dir = manifest.shard_output_dir("agg", shard_id)
-        agg_tbl = pa.concat_tables(
-            [b for b in agg_ds.iter_batches(batch_format="pyarrow")],
-            promote_options="permissive",
-        )
-        import pyarrow.parquet as pq
-
-        pq.write_table(agg_tbl, os.path.join(agg_dir, "agg.parquet.tmp"))
-        os.replace(
-            os.path.join(agg_dir, "agg.parquet.tmp"),
-            os.path.join(agg_dir, "agg.parquet"),
+    def work(item):
+        src, shard_id = item
+        return _process_shard(
+            src, shard_id, run_dir, manifest, lookup_ref, routing, verify_tokens, num_salts
         )
 
-        sink_counts = {}
-        for s, c in zip(
-            agg_tbl["sink"].to_pylist(), agg_tbl["count"].to_pylist()
-        ):
-            sink_counts[s] = sink_counts.get(s, 0) + c
-        out_digest = None
-        if verify_tokens:
-            # multi-sink routes duplicate rows once per extra exporter
-            # (routing.go:153-162); exclude the non-first sinks so the
-            # checksum compares each input row exactly once. Caveat: a
-            # sink that is primary in one route and secondary in another
-            # would need per-route dedup instead.
-            rt = routing or DEFAULT_ROUTING
-            dup_sinks = set()
-            for sinks in list(rt["table"].values()) + [rt["default"]]:
-                dup_sinks.update(sinks[1:])
-            out_ds = ray.data.read_parquet(sink_dir)
-            for s in dup_sinks:
-                out_ds = out_ds.filter(expr=f"sink != '{s}'")
-            o_rows, o_xor, o_ntok = corpus_checksum(out_ds)
-            out_digest = {"rows": o_rows, "xor": o_xor, "ntok": o_ntok}
-            if in_digest and (
-                out_digest["xor"] != in_digest["xor"]
-                or out_digest["rows"] != in_digest["rows"]
-            ):
-                raise RuntimeError(
-                    f"token-array invariant violated on shard {shard_id}: "
-                    f"{in_digest} -> {out_digest}"
-                )
-        shard_metrics = {
-            "rows_in": in_digest["rows"] if in_digest else sum(sink_counts.values()),
-            "rows_routed": sum(sink_counts.values()),
-            **{f"sink.{k}": v for k, v in sink_counts.items()},
-        }
-        metrics.merge(shard_metrics)
-        manifest.mark_complete(
-            shard_id,
-            {
-                "input_file": src,
-                "sink_dir": sink_dir,
-                "agg_dir": agg_dir,
-                "sink_counts": sink_counts,
-                "tokens_in": in_digest,
-                "tokens_out": out_digest,
-                "metrics": shard_metrics,
-            },
-        )
-        summary["shards_run"] += 1
+    if max_concurrent_shards > 1 and len(todo) > 1:
+        _stub_fsspec_http()
+        with ThreadPoolExecutor(max_workers=max_concurrent_shards) as pool:
+            for shard_metrics in pool.map(work, todo):
+                metrics.merge(shard_metrics)
+                summary["shards_run"] += 1
+    else:
+        for item in todo:
+            metrics.merge(work(item))
+            summary["shards_run"] += 1
     metrics.dump(os.path.join(run_dir, "metrics.json"))
     summary["metrics"] = metrics.snapshot()
     return summary

@@ -334,6 +334,20 @@ def _concat_unify(tables: list[pa.Table]) -> pa.Table:
     return pa.concat_tables(outs, promote_options="permissive")
 
 
+def recombine_grouped(ds, group_by: str, field: str = "raw", order_by: str | None = None, separator: str = "\n"):
+    """Partition-safe recombine: shuffle co-locates each group, then the
+    within-batch Recombine joins it. Use when multiline groups may span
+    input blocks; plain ``Recombine`` when the source guarantees
+    contiguity (e.g. per-file ordered reads)."""
+
+    def apply(g):
+        return Recombine(group_by, field, order_by, separator)(
+            pa.Table.from_pandas(g, preserve_index=False)
+        ).to_pandas()
+
+    return ds.groupby(group_by).map_groups(apply, batch_format="pandas")
+
+
 class Recombine:
     """stanza recombine (register.go:25): join multiline entries.
 
@@ -341,7 +355,7 @@ class Recombine:
     combined in ``order_by`` order, joining ``field`` with ``separator``
     onto the group's first row. PARTITIONING ASSUMPTION: a multiline
     group never spans blocks — callers must pre-partition by the group
-    key (groupby().map_groups) or sort the source so groups are
+    key (use ``recombine_grouped``) or sort the source so groups are
     contiguous; the flagship pipeline does not need recombine.
     """
 

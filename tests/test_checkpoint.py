@@ -33,6 +33,11 @@ def test_run_resume_and_partial(tmp_path):
     assert s3["shards_run"] == 1 and s3["shards_skipped"] == 2
     assert s3["metrics"] == s1["metrics"]
 
+    # concurrent shard execution produces identical results
+    run2 = str(tmp_path / "run_cc")
+    s4 = run_checkpointed(corpus, run2, max_concurrent_shards=3)
+    assert s4["shards_run"] == 3 and s4["metrics"] == s1["metrics"]
+
     # lineage record sanity
     rec = m.read(done[0])
     assert rec["tokens_in"]["xor"] == rec["tokens_out"]["xor"]
