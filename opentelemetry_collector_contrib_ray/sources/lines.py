@@ -221,3 +221,127 @@ def parse_rfc5424(batch: pa.Table, raw_col: str = "raw") -> pa.Table:
     for name, arr in cols.items():
         out = out.append_column(name, arr)
     return out
+
+
+# --------------------------------------------------------- wavefront / influx
+
+_WAVEFRONT_RE = (
+    r'^(?P<name>(?:"[^"]+")|[^ ]+) (?P<value>[^ ]+)'
+    r"(?: (?P<timestamp>\d{9,}))? source=(?P<source>[^ ]+)(?: (?P<tags>.*))?$"
+)
+
+
+def parse_wavefront(batch: pa.Table, raw_col: str = "raw") -> pa.Table:
+    """Wavefront data format: ``<name> <value> [<ts>] source=<src> [k=v ...]``
+    (receiver/wavefrontreceiver/wavefront_parser.go:58; optional
+    timestamp per :94-103). Adds metric_name, value, timestamp, source, tags."""
+    src = batch[raw_col]
+    if isinstance(src, pa.ChunkedArray):
+        src = src.combine_chunks()
+    cols = extract_named(src, _WAVEFRONT_RE)
+    cols = {
+        k: pc.if_else(
+            pc.equal(pc.coalesce(v, pa.scalar("")), ""), pa.scalar(None, pa.string()), v
+        )
+        for k, v in cols.items()
+    }
+    out = batch.append_column(
+        "metric_name", pc.replace_substring_regex(cols["name"], '^"|"$', "")
+    )
+    out = out.append_column("value", pc.cast(cols["value"], pa.float64()))
+    ts = pc.cast(pc.cast(cols["timestamp"], pa.int64()), pa.timestamp("s"))
+    out = out.append_column("timestamp", ts)
+    out = out.append_column("source", cols["source"])
+    return out.append_column("tags", cols["tags"])
+
+
+_INFLUX_RE = (
+    r"^(?P<measurement>[^, ]+)(?:,(?P<tags>[^ ]+))? (?P<fields>[^ ]+)"
+    r"(?: (?P<timestamp>\d+))?$"
+)
+
+
+def parse_influx_line(batch: pa.Table, raw_col: str = "raw") -> pa.Table:
+    """InfluxDB line protocol: ``measurement[,tag=v...] field=v[,...] [ts]``
+    (receiver/influxdbreceiver README). Measurement/tags/timestamp are
+    vectorized regex extraction; the field set explodes into one row per
+    field (field_key, field_value)."""
+    src = batch[raw_col]
+    if isinstance(src, pa.ChunkedArray):
+        src = src.combine_chunks()
+    cols = extract_named(src, _INFLUX_RE)
+    meas = cols["measurement"].to_pylist()
+    tags = cols["tags"].to_pylist()
+    fields = cols["fields"].to_pylist()
+    tss = cols["timestamp"].to_pylist()
+    out = {"measurement": [], "tags": [], "field_key": [], "field_value": [], "ts_ns": []}
+    for m, tg, fl, ts in zip(meas, tags, fields, tss):
+        if not m or not fl:
+            continue
+        for pair in fl.split(","):
+            if "=" not in pair:
+                continue
+            k, v = pair.split("=", 1)
+            if v.endswith("i"):
+                try:
+                    fv = float(int(v[:-1]))
+                except ValueError:
+                    fv = None
+            elif v.startswith('"'):
+                fv = None  # string fields carried as tags in metric model
+            else:
+                try:
+                    fv = float(v)
+                except ValueError:
+                    fv = None
+            out["measurement"].append(m)
+            out["tags"].append(tg or None)
+            out["field_key"].append(k)
+            out["field_value"].append(fv)
+            out["ts_ns"].append(int(ts) if ts else None)
+    return pa.table(
+        {
+            "measurement": pa.array(out["measurement"], pa.string()),
+            "tags": pa.array(out["tags"], pa.string()),
+            "field_key": pa.array(out["field_key"], pa.string()),
+            "field_value": pa.array(out["field_value"], pa.float64()),
+            "ts_ns": pa.array(out["ts_ns"], pa.int64()),
+        }
+    )
+
+
+_COLLECTD_KEYS = ("host", "plugin", "plugin_instance", "type", "type_instance")
+
+
+def parse_collectd_json(batch: pa.Table, raw_col: str = "raw") -> pa.Table:
+    """collectd JSON write payload → one row per (metric, dsname)
+    (receiver/collectdreceiver/collectd.go): each record carries
+    host/plugin/type identity, dsnames/dstypes/values arrays, and
+    epoch time; metric name = plugin[.plugin_instance].type[.type_instance].dsname."""
+    rows = {k: [] for k in ("metric_name", "host", "dstype", "value", "ts_ns")}
+    for raw in batch[raw_col].to_pylist():
+        try:
+            records = json.loads(raw) if raw else []
+        except json.JSONDecodeError:
+            continue
+        for rec in records if isinstance(records, list) else []:
+            parts = [rec.get("plugin"), rec.get("plugin_instance"), rec.get("type"), rec.get("type_instance")]
+            base = ".".join(p for p in parts if p)
+            t = rec.get("time")
+            for dsname, dstype, value in zip(
+                rec.get("dsnames", []), rec.get("dstypes", []), rec.get("values", [])
+            ):
+                rows["metric_name"].append(f"{base}.{dsname}" if dsname != "value" else base)
+                rows["host"].append(rec.get("host"))
+                rows["dstype"].append(dstype)
+                rows["value"].append(float(value) if value is not None else None)
+                rows["ts_ns"].append(int(t * 1e9) if t else None)
+    return pa.table(
+        {
+            "metric_name": pa.array(rows["metric_name"], pa.string()),
+            "host": pa.array(rows["host"], pa.string()),
+            "dstype": pa.array(rows["dstype"], pa.string()),
+            "value": pa.array(rows["value"], pa.float64()),
+            "ts_ns": pa.array(rows["ts_ns"], pa.int64()),
+        }
+    )

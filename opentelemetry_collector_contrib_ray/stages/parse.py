@@ -372,3 +372,79 @@ class Recombine:
         agg[self.field] = self.separator.join
         out = df.groupby(self.group_by, sort=False, as_index=False).agg(agg)
         return pa.Table.from_pandas(out[df.columns.tolist()], preserve_index=False)
+
+
+# k8s container-log file-path metadata (testbed/datasenders/k8s.go:207-219):
+# .../<namespace>_<pod_name>_<36-hex-uid>/<container_name>/<run_id>.log
+K8S_PATH_REGEX = (
+    r"^.*\/(?P<namespace>[^_]+)_(?P<pod_name>[^_]+)_"
+    r"(?P<uid>[a-f0-9\-]{36})\/(?P<container_name>[^\._]+)\/(?P<run_id>\d+)\.log$"
+)
+
+_K8S_PATH_ATTRS = {
+    "namespace": "k8s.namespace.name",
+    "pod_name": "k8s.pod.name",
+    "uid": "k8s.pod.uid",
+    "container_name": "k8s.container.name",
+    "run_id": "run_id",
+}
+
+
+class K8sPathMetadata:
+    """Extract k8s attributes from the container log file path and add
+    them under their canonical names (k8s.go:212-219 metadata EXPRs)."""
+
+    def __init__(self, path_col: str = "file_path"):
+        self.path_col = path_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions import regexes
+
+        src = batch[self.path_col]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        cols = regexes.extract_named(src, K8S_PATH_REGEX)
+        for group, attr in _K8S_PATH_ATTRS.items():
+            batch = _set_column(batch, attr, cols[group])
+        return batch
+
+
+class TraceParser:
+    """stanza trace_parser (register.go:23): hex trace context strings →
+    fixed-width binary columns (pdata TraceID 16 bytes / SpanID 8 bytes,
+    internal/stanza/converter.go:412-421). Invalid hex / wrong length →
+    null. Adds ``trace_id`` (binary(16)), ``span_id`` (binary(8)),
+    ``trace_flags`` (int32, low 8 bits per W3C, converter.go:425-430)."""
+
+    def __init__(self, trace_from: str = "trace_id_hex", span_from: str = "span_id_hex", flags_from: str | None = "trace_flags_hex"):
+        self.trace_from, self.span_from, self.flags_from = trace_from, span_from, flags_from
+
+    @staticmethod
+    def _hex_to_fixed(values, width: int):
+        out = []
+        for v in values:
+            try:
+                b = bytes.fromhex(v) if v else None
+                out.append(b if b is not None and len(b) == width else None)
+            except ValueError:
+                out.append(None)
+        return pa.array(out, pa.binary(width))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.trace_from in batch.column_names:
+            batch = _set_column(
+                batch, "trace_id", self._hex_to_fixed(batch[self.trace_from].to_pylist(), 16)
+            )
+        if self.span_from in batch.column_names:
+            batch = _set_column(
+                batch, "span_id", self._hex_to_fixed(batch[self.span_from].to_pylist(), 8)
+            )
+        if self.flags_from and self.flags_from in batch.column_names:
+            flags = []
+            for v in batch[self.flags_from].to_pylist():
+                try:
+                    flags.append(int(v, 16) & 0xFF if v else None)
+                except ValueError:
+                    flags.append(None)
+            batch = _set_column(batch, "trace_flags", pa.array(flags, pa.int32()))
+        return batch
