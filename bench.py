@@ -34,6 +34,11 @@ BENCH_QUERIES = [
     "minhash_dedup",
     "embedding_knn",
     "q1_pricing",
+    "carbon_parse",
+    "tail_sampling",
+    "loki_streams",
+    "session_windows",
+    "delta_conversion",
 ]
 
 

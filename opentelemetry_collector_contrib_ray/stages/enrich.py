@@ -89,6 +89,44 @@ class ApplyResource:
         return batch
 
 
+DEPLOYMENT_REGEX = r"^(.*)-[0-9a-zA-Z]*-[0-9a-zA-Z]*$"
+
+
+def apply_extraction_rules(cache: dict, rules: Sequence[dict]) -> dict:
+    """k8sprocessor field-extraction rules, applied at cache-fill time
+    (kube/client.go:204-271): each rule reads a source attribute and
+    derives a new one, optionally through a single-capture-group regex
+    (extractField, :259-271 — no match → empty string, exactly one
+    group required). The ``deployment`` rule is the canonical example:
+    pod name ``name-rsrand-podrand`` → deployment ``name``
+    (client.go:226-232).
+
+    rules: [{"from": attr, "name": new_attr, "regex": optional}]
+    Returns a NEW cache with derived attributes added per key.
+    """
+    import re
+
+    compiled = [
+        (r["from"], r["name"], re.compile(r["regex"]) if r.get("regex") else None)
+        for r in rules
+    ]
+    out = {}
+    for key, attrs in cache.items():
+        new_attrs = dict(attrs)
+        for src, name, rx in compiled:
+            v = attrs.get(src)
+            if v is None:
+                continue
+            if rx is None:
+                new_attrs[name] = v
+            else:
+                m = rx.match(str(v))
+                groups = m.groups() if m else ()
+                new_attrs[name] = groups[0] if len(groups) == 1 else ""
+        out[key] = new_attrs
+    return out
+
+
 class _LookupState:
     """Column-oriented view of a {key: {attr: value}} cache for
     vectorized batch lookups: one key→row-index dict plus one numpy

@@ -45,6 +45,30 @@ def test_detect_resource_first_wins_and_apply():
     assert out2["a"].to_pylist() == ["1"]
 
 
+def test_extraction_rules():
+    from opentelemetry_collector_contrib_ray.stages.enrich import (
+        DEPLOYMENT_REGEX,
+        apply_extraction_rules,
+    )
+
+    cache = {
+        "p1": {"pod": "api-7f9d4-x2x1z", "label.team": "core"},
+        "p2": {"pod": "singleword"},
+    }
+    rules = [
+        {"from": "pod", "name": "deployment", "regex": DEPLOYMENT_REGEX},
+        {"from": "label.team", "name": "team"},
+    ]
+    out = apply_extraction_rules(cache, rules)
+    # kube/client.go:226-232: name-rsrand-podrand → deployment name
+    assert out["p1"]["deployment"] == "api"
+    assert out["p1"]["team"] == "core"
+    # no regex match → empty string (extractField :259-271)
+    assert out["p2"]["deployment"] == ""
+    assert "team" not in out["p2"]  # missing source attr → skipped
+    assert cache["p1"].get("deployment") is None  # original untouched
+
+
 def test_env_detector(monkeypatch):
     monkeypatch.setenv("OTEL_RESOURCE", "k1=v1, k2 = v2")
     r = detect_resource()
