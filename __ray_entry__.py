@@ -519,6 +519,130 @@ def _q_multimodal_features(sf_dir: str):
     return out.select_columns(["item_id", "byte_mean"])
 
 
+def _q_wavefront_parse(sf_dir: str):
+    """Wavefront render→parse round-trip vs independent SQL rendering."""
+    from opentelemetry_collector_contrib_ray.sources.lines import parse_wavefront
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value", "ts", "user_id"])
+
+    def rp(t: pa.Table) -> pa.Table:
+        val = pc.cast(pc.floor(t["value"]), pa.int64())
+        epoch = pc.cast(pc.cast(t["ts"], pa.timestamp("s"), safe=False), pa.int64())
+        raw = pc.binary_join_element_wise(
+            pc.binary_join_element_wise("m.", t["event_type"], ""),
+            pc.cast(val, pa.string()),
+            pc.cast(epoch, pa.string()),
+            pc.binary_join_element_wise(
+                "source=u", pc.cast(t["user_id"], pa.string()), ""
+            ),
+            " ",
+        )
+        parsed = parse_wavefront(pa.table({"event_id": t["event_id"], "raw": raw}))
+        return pa.table(
+            {
+                "event_id": parsed["event_id"],
+                "metric_name": parsed["metric_name"],
+                "value": pc.cast(parsed["value"], pa.int64()),
+                "source": parsed["source"],
+            }
+        )
+
+    return ds.map_batches(rp, batch_format="pyarrow")
+
+
+def _q_statsd_parse_agg(sf_dir: str):
+    """statsd render→parse→rollup: counters at sample rate 0.5 upscale
+    2x (statsd_parser.go:296-314); aggregate per metric name."""
+    from opentelemetry_collector_contrib_ray.sources.lines import parse_statsd
+    from opentelemetry_collector_contrib_ray.stages.aggregate import two_phase_agg
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def rp(t: pa.Table) -> pa.Table:
+        val = pc.cast(pc.cast(pc.floor(t["value"]), pa.int64()), pa.string())
+        raw = pc.binary_join_element_wise(t["event_type"], ":", val, "|c|@0.5", "")
+        return parse_statsd(pa.table({"raw": raw})).select(["name", "value"])
+
+    parsed = ds.map_batches(rp, batch_format="pyarrow")
+    out = two_phase_agg(parsed, ["name"], {"value": ["count", "sum"]})
+    return _round_cols(out, {"value_sum": 6})
+
+
+def _q_influx_parse(sf_dir: str):
+    """InfluxDB line render→parse→aggregate per tag set."""
+    from opentelemetry_collector_contrib_ray.sources.lines import parse_influx_line
+    from opentelemetry_collector_contrib_ray.stages.aggregate import two_phase_agg
+
+    ds = _read(sf_dir, "events", ["user_id", "value"])
+
+    def rp(t: pa.Table) -> pa.Table:
+        val = pc.cast(pc.cast(pc.floor(t["value"]), pa.int64()), pa.string())
+        raw = pc.binary_join_element_wise(
+            "cpu,host=h",
+            pc.cast(t["user_id"], pa.string()),
+            " usage=",
+            val,
+            "i 1600000000000000000",
+            "",
+        )
+        return parse_influx_line(pa.table({"raw": raw}))
+
+    parsed = ds.map_batches(rp, batch_format="pyarrow")
+    out = two_phase_agg(parsed, ["tags"], {"field_value": ["count", "sum"]})
+    return _round_cols(out, {"field_value_sum": 6})
+
+
+def _q_splunk_hec_parse(sf_dir: str):
+    """Splunk HEC event JSON render→parse field mapping
+    (splunk_to_logdata.go:33-84)."""
+    import json as _json
+
+    from opentelemetry_collector_contrib_ray.sources.lines import SplunkHecParser
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "user_id"])
+
+    def rp(t: pa.Table) -> pa.Table:
+        raws = [
+            _json.dumps(
+                {"event": et, "host": f"h{uid}", "index": "main"}, sort_keys=True
+            )
+            for et, uid in zip(
+                t["event_type"].to_pylist(), t["user_id"].to_pylist()
+            )
+        ]
+        parsed = SplunkHecParser()(
+            pa.table({"event_id": t["event_id"], "raw": pa.array(raws)})
+        )
+        return pa.table(
+            {
+                "event_id": parsed["event_id"],
+                "body": parsed["body"],
+                "host": parsed["host.name"],
+                "idx": parsed["com.splunk.index"],
+            }
+        )
+
+    return ds.map_batches(rp, batch_format="pyarrow")
+
+
+def _q_bpe_token_count(sf_dir: str):
+    """BPE-ish pre-tokenizer piece counts (ASCII word model so the
+    Python re and DuckDB RE2 engines agree on non-ASCII text)."""
+    import re as _re
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    pat = _re.compile(r"\w+|[^\w\s]", _re.ASCII)
+
+    def count(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        s = pd.Series(t["text"].to_numpy(zero_copy_only=False), dtype=object).fillna("")
+        n = s.str.findall(pat).str.len().astype(np.int64)
+        return pa.table({"doc_id": t["doc_id"], "n_bpe": pa.array(n.to_numpy())})
+
+    return ds.map_batches(count, batch_format="pyarrow")
+
+
 def _q_session_windows(sf_dir: str):
     """Session windows per user (30-min gap): streaming-shaped semantics
     over the ordered events log (stages/window.py sessionize)."""
@@ -612,6 +736,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_windows": _q_session_windows,
         "sliding_window": _q_sliding_window,
         "gauge_last_write": _q_gauge_last_write,
+        "wavefront_parse": _q_wavefront_parse,
+        "statsd_parse_agg": _q_statsd_parse_agg,
+        "influx_parse": _q_influx_parse,
+        "splunk_hec_parse": _q_splunk_hec_parse,
+        "bpe_token_count": _q_bpe_token_count,
     }
 
 
@@ -762,6 +891,32 @@ def oracle_sql() -> dict[str, str]:
                        ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
                 FROM events
             ) WHERE rn = 1
+        """,
+        "wavefront_parse": """
+            SELECT event_id, 'm.' || event_type AS metric_name,
+                   CAST(FLOOR(value) AS BIGINT) AS value,
+                   'u' || CAST(user_id AS VARCHAR) AS source
+            FROM events
+        """,
+        "statsd_parse_agg": """
+            SELECT event_type AS name, COUNT(*) AS "count", COUNT(value) AS value_count,
+                   ROUND(SUM(FLOOR(value) / 0.5), 6) AS value_sum
+            FROM events GROUP BY 1
+        """,
+        "influx_parse": """
+            SELECT 'host=h' || CAST(user_id AS VARCHAR) AS tags,
+                   COUNT(*) AS "count", COUNT(value) AS field_value_count,
+                   ROUND(SUM(FLOOR(value)), 6) AS field_value_sum
+            FROM events GROUP BY 1
+        """,
+        "splunk_hec_parse": """
+            SELECT event_id, event_type AS body,
+                   'h' || CAST(user_id AS VARCHAR) AS host, 'main' AS idx
+            FROM events
+        """,
+        "bpe_token_count": """
+            SELECT doc_id, CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS BIGINT) AS n_bpe
+            FROM documents
         """,
         "q1_pricing": """
             SELECT l_returnflag, l_linestatus,
