@@ -120,7 +120,8 @@ def run_bench() -> dict:
 
     import __ray_entry__ as entrymod
 
-    headline = run_headline(corpus, n_rows)
+    cold = run_headline(corpus, n_rows)  # includes worker spawn + imports
+    headline = run_headline(corpus, n_rows)  # steady-state
 
     qtimes: dict[str, float] = {}
     qs = entrymod.queries()
@@ -146,6 +147,7 @@ def run_bench() -> dict:
         "num_cpus": NUM_CPUS,
         "rows": headline["rows"],
         "seq_per_sec": round(headline["seq_per_sec"], 1),
+        "cold_sec": round(cold["seconds"], 3),
         "agg_groups": headline["agg_groups"],
     }
     ray.shutdown()
