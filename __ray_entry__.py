@@ -236,17 +236,18 @@ def _q_delta_conversion(sf_dir: str):
     delta = value - previous (first point keeps its value)."""
     import pandas as pd
 
-    from opentelemetry_collector_contrib_ray.stages.aggregate import sorted_group_apply
+    from opentelemetry_collector_contrib_ray.stages.aggregate import bucketed_group_apply
 
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
 
-    def delta(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="stable")
-        d = g["value"].diff()
-        d.iloc[0:1] = g["value"].iloc[0:1]
-        return pd.DataFrame({"event_id": g["event_id"], "delta": d})
+    def delta_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        lag = df.groupby("user_id", sort=False)["value"].shift()
+        return pd.DataFrame(
+            {"event_id": df["event_id"], "delta": df["value"] - lag.fillna(0.0)}
+        )
 
-    return sorted_group_apply(ds, "user_id", "ts", lambda g: delta(g))
+    return bucketed_group_apply(ds, "user_id", delta_bucket)
 
 
 def _q_time_window_agg(sf_dir: str):

@@ -264,9 +264,45 @@ def sorted_group_apply(ds, key: str, order_by: str, fn, batch_format: str = "pan
     (datadogexporter metrics_translator.go:106-134) and recombine.
     The shuffle co-locates each key; ``fn`` sees the group sorted by
     ``order_by``.
+
+    SCALE NOTE: map_groups makes one Python call per key. For
+    high-cardinality keys use ``bucketed_group_apply`` — same shuffle
+    semantics, but the per-key work happens in a vectorized pandas
+    groupby inside each of B buckets.
     """
 
     def wrapped(g: pd.DataFrame) -> pd.DataFrame:
         return fn(g.sort_values(order_by, kind="stable"))
 
     return ds.groupby(key).map_groups(wrapped, batch_format=batch_format)
+
+
+def bucketed_group_apply(ds, key: str, fn, *, num_buckets: int = 64):
+    """Keyed apply with per-BUCKET Python instead of per-KEY Python.
+
+    Adds ``_bucket = hash(key) % num_buckets``, shuffles on the bucket
+    (co-locating every row of each key), and calls ``fn(bucket_df)``
+    once per bucket; ``fn`` is expected to run a vectorized pandas
+    ``groupby(key)`` itself. Turns millions of per-key calls into
+    ``num_buckets`` calls — the scale path for sessionize / delta /
+    last-write per user at 10^9-key cardinality. Size num_buckets ≳
+    cluster cores; skewed single keys are bounded by the largest key's
+    row count (a single key always lands in one bucket).
+    """
+    from .._util import hash_str_u64, splitmix64
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        vals = batch[key].to_numpy(zero_copy_only=False)
+        if np.issubdtype(vals.dtype, np.number):
+            h = splitmix64(vals.astype(np.uint64))  # vectorized for int keys
+        else:
+            h = hash_str_u64(vals)
+        b = (h % np.uint64(num_buckets)).astype(np.int64)
+        return batch.append_column("_bucket", pa.array(b))
+
+    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow")
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return fn(g.drop(columns=["_bucket"]))
+
+    return bucketed.groupby("_bucket").map_groups(per_bucket, batch_format="pandas")

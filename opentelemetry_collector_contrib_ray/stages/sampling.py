@@ -116,21 +116,40 @@ def tail_sample(
     import ray
     import pyarrow.compute as pc
 
+    from .aggregate import bucketed_group_apply
+
     group_policies = [p for p in policies if not isinstance(p, RateLimiting)]
     rate_policies = [p for p in policies if isinstance(p, RateLimiting)]
 
-    def decide(g: pd.DataFrame) -> pd.DataFrame:
-        sampled = any(p.evaluate(g) for p in group_policies)  # OR, processor.go:191-237
-        row = {
-            trace_col: [g[trace_col].iloc[0]],
-            "sampled": [sampled],
-            "n_spans": [len(g)],
-        }
-        if ts_col and ts_col in g.columns:
-            row["first_ts"] = [g[ts_col].min()]
-        return pd.DataFrame(row)
+    def decide_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # vectorized per bucket: each policy marks the trace ids it
+        # samples; OR across policies (processor.go:191-237) — no
+        # per-trace Python calls
+        sampled_ids: set = set()
+        for p in group_policies:
+            if isinstance(p, AlwaysSample):
+                sampled_ids.update(df[trace_col].unique())
+            elif isinstance(p, NumericAttribute) and p.key in df.columns:
+                v = pd.to_numeric(df[p.key], errors="coerce")
+                hit = df.loc[(v >= p.lo) & (v <= p.hi), trace_col]
+                sampled_ids.update(hit.unique())
+            elif isinstance(p, StringAttribute) and p.key in df.columns:
+                s = df[p.key].dropna().astype(str)
+                if p.enable_regex:
+                    m = pd.Series(False, index=s.index)
+                    for rx in p.patterns:
+                        m |= s.str.contains(rx)
+                else:
+                    m = s.isin(p.values)
+                sampled_ids.update(df.loc[s.index[m], trace_col].unique())
+        agg_spec = {"n_spans": (trace_col, "size")}
+        if ts_col and ts_col in df.columns:
+            agg_spec["first_ts"] = (ts_col, "min")
+        out = df.groupby(trace_col, sort=False).agg(**agg_spec).reset_index()
+        out["sampled"] = out[trace_col].isin(sampled_ids)
+        return out
 
-    decisions = ds.groupby(trace_col).map_groups(decide, batch_format=batch_format)
+    decisions = bucketed_group_apply(ds, trace_col, decide_bucket)
     ddf = decisions.to_pandas()  # one row per trace — small by design
 
     if rate_policies and ts_col:

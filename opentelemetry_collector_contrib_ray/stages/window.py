@@ -76,16 +76,22 @@ def sessionize(ds, key: str, ts_col: str, gap_seconds: float, order_cols=None):
     One shuffle (groupby key); per-group pandas is vectorized
     (diff + cumsum), never a Python loop over events.
     """
+    from .aggregate import bucketed_group_apply
+
     order = order_cols or [ts_col]
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(order, kind="stable")
-        ts = g[ts_col]
-        gap = ts.diff().dt.total_seconds().fillna(np.inf)
-        session_id = (gap > gap_seconds).cumsum().astype(np.int64) - 1
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # vectorized over ALL keys in the bucket: one sort, shift-based
+        # gap detection, one groupby — no per-key Python
+        df = df.sort_values([key] + order, kind="stable")
+        ts = df[ts_col]
+        new_key = df[key] != df[key].shift()
+        gap = ts.diff().dt.total_seconds()
+        new_session = new_key | (gap > gap_seconds)
+        sid = new_session.cumsum()
         out = (
-            g.assign(session_id=session_id)
-            .groupby("session_id", sort=True)
+            df.assign(_sid=sid)
+            .groupby([key, "_sid"], sort=True)
             .agg(
                 n_events=(ts_col, "size"),
                 session_start=(ts_col, "min"),
@@ -93,26 +99,27 @@ def sessionize(ds, key: str, ts_col: str, gap_seconds: float, order_cols=None):
             )
             .reset_index()
         )
-        out.insert(0, key, g[key].iloc[0])
-        return out
+        out["session_id"] = out.groupby(key).cumcount().astype(np.int64)
+        return out[[key, "session_id", "n_events", "session_start", "session_end"]]
 
-    return ds.groupby(key).map_groups(per_key, batch_format="pandas")
+    return bucketed_group_apply(ds, key, per_bucket)
 
 
 def last_write_wins(ds, keys, ts_col: str, value_col: str, order_cols=None):
     """Gauge last-write-wins per key (statsd gauge semantics,
     statsd_parser.go:170-189): the value of the latest event wins.
     Two-phase: per-batch last by order, then per-key last of partials."""
+    from .aggregate import bucketed_group_apply
+
+    keys = list(keys)
     order = order_cols or [ts_col]
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(order, kind="stable")
-        return pd.DataFrame(
-            {
-                **{k: [g[k].iloc[0]] for k in keys},
-                "last_ts": [g[ts_col].iloc[-1]],
-                f"{value_col}_last": [g[value_col].iloc[-1]],
-            }
-        )
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(order, kind="stable")
+        g = df.groupby(keys, sort=False)
+        out = g.agg(
+            last_ts=(ts_col, "last"), **{f"{value_col}_last": (value_col, "last")}
+        ).reset_index()
+        return out
 
-    return ds.groupby(list(keys)).map_groups(per_key, batch_format="pandas")
+    return bucketed_group_apply(ds, keys[0], per_bucket)
