@@ -670,6 +670,49 @@ def _q_gauge_last_write(sf_dir: str):
     return out.select_columns(["user_id", "value_last"])
 
 
+def _q_join_orders_customers(sf_dir: str):
+    """Large-large partitioned hash join (orders ⋈ customer on custkey)
+    + broadcast join to nation, then grouped rollup — the engine's
+    relational capability beyond the reference's broadcast-only lookups
+    (SURVEY §2.7)."""
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_contrib_ray.stages.aggregate import two_phase_agg
+    from opentelemetry_collector_contrib_ray.stages.join import (
+        broadcast_join,
+        bucketed_hash_join,
+    )
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        lambda t: t.rename_columns(["custkey", "o_totalprice"]), batch_format="pyarrow"
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        lambda t: t.rename_columns(["custkey", "c_nationkey"]), batch_format="pyarrow"
+    )
+    joined = bucketed_hash_join(orders, cust, "custkey", num_buckets=32)
+    nat = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
+    ).rename_columns(["c_nationkey", "nation"])
+    enriched = broadcast_join(joined, nat, "c_nationkey", how="left")
+    out = two_phase_agg(enriched, ["nation"], {"o_totalprice": ["sum"]})
+    return _round_cols(out, {"o_totalprice_sum": 4})
+
+
+def _q_join_native_lineitem_part(sf_dir: str):
+    """Ray-native hash-shuffle join (Dataset.join): lineitem ⋈ part,
+    quantity rollup per brand."""
+    from opentelemetry_collector_contrib_ray.stages.aggregate import two_phase_agg
+    from opentelemetry_collector_contrib_ray.stages.join import native_join
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand"])
+    joined = native_join(
+        li, part, on="l_partkey", num_partitions=16, right_on=("p_partkey",)
+    )
+    out = two_phase_agg(joined, ["p_brand"], {"l_quantity": ["sum"]})
+    return _round_cols(out, {"l_quantity_sum": 4})
+
+
 # -------------------------------------------------------------- relational
 
 
@@ -742,6 +785,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "influx_parse": _q_influx_parse,
         "splunk_hec_parse": _q_splunk_hec_parse,
         "bpe_token_count": _q_bpe_token_count,
+        "join_orders_customers": _q_join_orders_customers,
+        "join_native_lineitem_part": _q_join_native_lineitem_part,
     }
 
 
@@ -918,6 +963,20 @@ def oracle_sql() -> dict[str, str]:
         "bpe_token_count": """
             SELECT doc_id, CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS BIGINT) AS n_bpe
             FROM documents
+        """,
+        "join_orders_customers": """
+            SELECT n_name AS nation, COUNT(*) AS "count",
+                   ROUND(SUM(o_totalprice), 4) AS o_totalprice_sum
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            LEFT JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY 1
+        """,
+        "join_native_lineitem_part": """
+            SELECT p_brand, COUNT(*) AS "count",
+                   ROUND(SUM(l_quantity), 4) AS l_quantity_sum
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY 1
         """,
         "q1_pricing": """
             SELECT l_returnflag, l_linestatus,
