@@ -716,6 +716,50 @@ def _q_join_native_lineitem_part(sf_dir: str):
 # -------------------------------------------------------------- relational
 
 
+def _q_q3_shipping(sf_dir: str):
+    """TPC-H Q3-shaped: two large joins (customer⋈orders⋈lineitem) +
+    grouped revenue + top-10 — end-to-end relational stress using the
+    partitioned hash join twice."""
+    from opentelemetry_collector_contrib_ray.stages.aggregate import two_phase_agg
+    from opentelemetry_collector_contrib_ray.stages.join import bucketed_hash_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        lambda t: t.filter(pc.equal(t["c_mktsegment"], "BUILDING")).select(
+            ["c_custkey"]
+        ).rename_columns(["custkey"]),
+        batch_format="pyarrow",
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+        lambda t: t.rename_columns(["orderkey", "custkey"]), batch_format="pyarrow"
+    )
+    co = bucketed_hash_join(orders, cust, "custkey", num_buckets=32).map_batches(
+        lambda t: t.select(["orderkey"]), batch_format="pyarrow"
+    )
+    li = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "orderkey": t["l_orderkey"],
+                "revenue": pc.multiply(
+                    t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    col = bucketed_hash_join(li, co, "orderkey", num_buckets=32)
+    agg_tbl = two_phase_agg(
+        col, ["orderkey"], {"revenue": ["sum"]}, driver_finalize=True
+    )
+    import pandas as pd
+
+    df = agg_tbl.to_pandas()
+    df["revenue_sum"] = np.round(df["revenue_sum"], 4)
+    top = df.nlargest(10, ["revenue_sum", "orderkey"])[["orderkey", "revenue_sum"]]
+    return pa.Table.from_pandas(top.reset_index(drop=True), preserve_index=False)
+
+
 def _q_q1_pricing(sf_dir: str):
     from opentelemetry_collector_contrib_ray.stages.aggregate import two_phase_agg
 
@@ -787,6 +831,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_count": _q_bpe_token_count,
         "join_orders_customers": _q_join_orders_customers,
         "join_native_lineitem_part": _q_join_native_lineitem_part,
+        "q3_shipping": _q_q3_shipping,
     }
 
 
@@ -977,6 +1022,17 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(l_quantity), 4) AS l_quantity_sum
             FROM lineitem JOIN part ON l_partkey = p_partkey
             GROUP BY 1
+        """,
+        "q3_shipping": """
+            SELECT l_orderkey AS orderkey,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue_sum
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY 1
+            ORDER BY revenue_sum DESC, orderkey DESC
+            LIMIT 10
         """,
         "q1_pricing": """
             SELECT l_returnflag, l_linestatus,
