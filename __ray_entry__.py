@@ -644,6 +644,46 @@ def _q_bpe_token_count(sf_dir: str):
     return ds.map_batches(count, batch_format="pyarrow")
 
 
+def _q_sumo_source_format(sf_dir: str):
+    """sumologicexporter source templates (%{attr} rendering,
+    source_format.go:43-91): counts per rendered source category."""
+    from opentelemetry_collector_contrib_ray.functions.templates import render_template
+    from opentelemetry_collector_contrib_ray.stages.aggregate import two_phase_agg
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def render(t: pa.Table) -> pa.Table:
+        t2 = pa.table(
+            {
+                "host": pc.binary_join_element_wise(
+                    "h", pc.cast(t["user_id"], pa.string()), ""
+                ),
+                "app": t["event_type"],
+            }
+        )
+        return pa.table({"source_category": render_template("%{host}/%{app}", t2)})
+
+    return two_phase_agg(
+        ds.map_batches(render, batch_format="pyarrow"), ["source_category"], {"*": ["count"]}
+    )
+
+
+def _q_es_docs(sf_dir: str):
+    """Elasticsearch doc model render (dedot'd JSON docs; rows-only —
+    JSON serialization isn't SQL-canonical)."""
+    from opentelemetry_collector_contrib_ray.stages.sinks import EsDocModel
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "user_id"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.append_column("attr.type", t["event_type"])
+        t = t.append_column("attr.user", pc.cast(t["user_id"], pa.string()))
+        out = EsDocModel(["attr.type", "attr.user"])(t)
+        return out.select(["event_id", "doc"])
+
+    return ds.map_batches(prep, batch_format="pyarrow")
+
+
 def _q_session_windows(sf_dir: str):
     """Session windows per user (30-min gap): streaming-shaped semantics
     over the ordered events log (stages/window.py sessionize)."""
@@ -832,6 +872,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_orders_customers": _q_join_orders_customers,
         "join_native_lineitem_part": _q_join_native_lineitem_part,
         "q3_shipping": _q_q3_shipping,
+        "sumo_source_format": _q_sumo_source_format,
+        "es_docs": _q_es_docs,
     }
 
 
@@ -1022,6 +1064,11 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(l_quantity), 4) AS l_quantity_sum
             FROM lineitem JOIN part ON l_partkey = p_partkey
             GROUP BY 1
+        """,
+        "sumo_source_format": """
+            SELECT 'h' || CAST(user_id AS VARCHAR) || '/' || event_type AS source_category,
+                   COUNT(*) AS "count"
+            FROM events GROUP BY 1
         """,
         "q3_shipping": """
             SELECT l_orderkey AS orderkey,

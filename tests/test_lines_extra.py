@@ -105,3 +105,25 @@ def test_trace_parser():
     assert out[1]["span_id"] is None  # wrong length
     assert out[1]["trace_flags"] == 255
     assert out[2]["trace_id"] is None
+
+
+def test_decode_bytes_encodings():
+    import pytest
+
+    from opentelemetry_collector_contrib_ray.functions.encodings import decode_bytes
+
+    t = pa.table(
+        {
+            "payload": pa.array(
+                ["héllo".encode("utf-8"), "wörld".encode("utf-16le"), None],
+                pa.binary(),
+            )
+        }
+    )
+    out = decode_bytes(t, encoding="utf-8")
+    assert out["raw"].to_pylist()[0] == "héllo"
+    assert out["raw"].to_pylist()[2] is None
+    out16 = decode_bytes(t.slice(1, 1), encoding="utf-16le")
+    assert out16["raw"].to_pylist() == ["wörld"]
+    with pytest.raises(ValueError):
+        decode_bytes(t, encoding="klingon")
