@@ -644,6 +644,30 @@ def _q_bpe_token_count(sf_dir: str):
     return ds.map_batches(count, batch_format="pyarrow")
 
 
+def _q_distinct_users(sf_dir: str):
+    """Exact distinct users per event type (two-stage pair dedupe)."""
+    from opentelemetry_collector_contrib_ray.stages.sketch import distinct_count
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    out = distinct_count(ds, ["event_type"], "user_id")
+
+    def fin(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.column_names.index("distinct"), "distinct", pc.cast(t["distinct"], pa.int64())
+        )
+
+    return fin(out)
+
+
+def _q_hll_distinct_users(sf_dir: str):
+    """Approximate distinct users per event type (HLL p=12, rows-only;
+    accuracy asserted in tests)."""
+    from opentelemetry_collector_contrib_ray.stages.sketch import hll_distinct
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    return hll_distinct(ds, ["event_type"], "user_id")
+
+
 def _q_sumo_source_format(sf_dir: str):
     """sumologicexporter source templates (%{attr} rendering,
     source_format.go:43-91): counts per rendered source category."""
@@ -874,6 +898,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q3_shipping": _q_q3_shipping,
         "sumo_source_format": _q_sumo_source_format,
         "es_docs": _q_es_docs,
+        "distinct_users": _q_distinct_users,
+        "hll_distinct_users": _q_hll_distinct_users,
     }
 
 
@@ -1064,6 +1090,10 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(l_quantity), 4) AS l_quantity_sum
             FROM lineitem JOIN part ON l_partkey = p_partkey
             GROUP BY 1
+        """,
+        "distinct_users": """
+            SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS "distinct"
+            FROM events GROUP BY 1 ORDER BY 1
         """,
         "sumo_source_format": """
             SELECT 'h' || CAST(user_id AS VARCHAR) || '/' || event_type AS source_category,

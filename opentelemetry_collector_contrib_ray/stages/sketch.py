@@ -1,0 +1,239 @@
+"""Mergeable sketches + exact distinct counts.
+
+The reference has no approximate aggregates (SURVEY.md §2.4: "no
+sketches"); these are engine additions for 100 TB-scale cardinality
+and quantile questions. Sketches follow the canonical Ray shape: one
+serialized sketch per (key, batch) emitted from ``map_batches``, then a
+small merge — the shuffle moves sketches, never rows.
+
+- ``HllSketch``: HyperLogLog (Flajolet et al. 2007) with the standard
+  bias-corrected estimator; register hash = splitmix64 (deterministic,
+  no RNG state).
+- ``QuantileSketch``: KLL-flavored deterministic compactor — keeps a
+  bounded sorted sample per level; rank error ≲ 1.5/k per level.
+  Deterministic for a fixed partitioning; document that merge order
+  across blocks may vary results within the error bound.
+- ``distinct_count``: exact two-stage distinct — per-batch unique
+  pairs, global pair dedupe, per-key count.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .._util import hash_str_u64, splitmix64
+
+
+class HllSketch:
+    """HyperLogLog with 2^p registers (p in [4, 18])."""
+
+    def __init__(self, p: int = 12, registers: np.ndarray | None = None):
+        self.p = p
+        self.m = 1 << p
+        self.registers = (
+            registers if registers is not None else np.zeros(self.m, dtype=np.uint8)
+        )
+
+    def add_hashes(self, h: np.ndarray) -> "HllSketch":
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        rest = h << np.uint64(self.p)
+        # rank = leading zeros of remaining bits + 1 (capped)
+        lz = np.zeros(len(h), dtype=np.uint8)
+        mask = np.uint64(1) << np.uint64(63)
+        cur = rest.copy()
+        rank = np.ones(len(h), dtype=np.uint8)
+        remaining = np.ones(len(h), dtype=bool)
+        for _ in range(64 - self.p):
+            zero_top = (cur & mask) == 0
+            step = remaining & zero_top
+            rank[step] += 1
+            remaining &= zero_top
+            if not remaining.any():
+                break
+            cur = cur << np.uint64(1)
+        np.maximum.at(self.registers, idx, rank)
+        return self
+
+    def add_values(self, values) -> "HllSketch":
+        arr = np.asarray(values)
+        if np.issubdtype(arr.dtype, np.number):
+            h = splitmix64(arr.astype(np.uint64))
+        else:
+            h = hash_str_u64(arr)
+        return self.add_hashes(h)
+
+    def merge(self, other: "HllSketch") -> "HllSketch":
+        assert self.p == other.p
+        np.maximum(self.registers, other.registers, out=self.registers)
+        return self
+
+    def estimate(self) -> float:
+        m = float(self.m)
+        alpha = 0.7213 / (1 + 1.079 / m)
+        inv = np.power(2.0, -self.registers.astype(np.float64))
+        e = alpha * m * m / inv.sum()
+        zeros = int((self.registers == 0).sum())
+        if e <= 2.5 * m and zeros:
+            return m * np.log(m / zeros)  # linear counting small-range
+        return e
+
+    def serialize(self) -> bytes:
+        return bytes([self.p]) + self.registers.tobytes()
+
+    @classmethod
+    def deserialize(cls, b: bytes) -> "HllSketch":
+        p = b[0]
+        return cls(p, np.frombuffer(b[1:], dtype=np.uint8).copy())
+
+
+def hll_distinct(ds, key_cols, value_col: str, *, p: int = 12):
+    """Approximate distinct(value) per key tuple: one HLL per
+    (key, batch), driver merge (sketches are ~4 KB each)."""
+    key_cols = list(key_cols)
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {c: batch[c].to_numpy(zero_copy_only=False) for c in key_cols + [value_col]}
+        )
+        rows = {c: [] for c in key_cols}
+        rows["sketch"] = []
+        for keys, g in df.groupby(key_cols, dropna=False, sort=False):
+            keys = keys if isinstance(keys, tuple) else (keys,)
+            sk = HllSketch(p).add_values(g[value_col].to_numpy())
+            for c, k in zip(key_cols, keys):
+                rows[c].append(k)
+            rows["sketch"].append(sk.serialize())
+        return pa.table(
+            {**{c: pa.array(rows[c]) for c in key_cols}, "sketch": pa.array(rows["sketch"], pa.binary())}
+        )
+
+    parts = pa.concat_tables(
+        ds.map_batches(per_batch, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    ).to_pandas()
+    merged: dict = {}
+    for _, row in parts.iterrows():
+        k = tuple(row[c] for c in key_cols)
+        sk = HllSketch.deserialize(row["sketch"])
+        if k in merged:
+            merged[k].merge(sk)
+        else:
+            merged[k] = sk
+    out = {c: [] for c in key_cols}
+    out["distinct_est"] = []
+    for k, sk in sorted(merged.items()):
+        for c, v in zip(key_cols, k):
+            out[c].append(v)
+        out["distinct_est"].append(sk.estimate())
+    return pa.table(out)
+
+
+def distinct_count(ds, key_cols, value_col: str, *, driver_finalize: bool = True):
+    """EXACT distinct(value) per key tuple.
+
+    Stage 1 (map_batches): per-batch unique (key, value) pairs — the
+    only rows entering the shuffle. Stage 2: global pair dedupe +
+    per-key count (groupby on the pair, then driver/groupby count).
+    """
+    from ray.data.aggregate import Count
+
+    key_cols = list(key_cols)
+
+    def uniq(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {c: batch[c].to_numpy(zero_copy_only=False) for c in key_cols + [value_col]}
+        )
+        return pa.Table.from_pandas(df.drop_duplicates(), preserve_index=False)
+
+    pairs = ds.map_batches(uniq, batch_format="pyarrow")
+    if driver_finalize:
+        all_pairs = pa.concat_tables(
+            pairs.iter_batches(batch_format="pyarrow", batch_size=None)
+        ).to_pandas()
+        out = (
+            all_pairs.drop_duplicates()
+            .groupby(key_cols, dropna=False, sort=True)
+            .size()
+            .rename("distinct")
+            .reset_index()
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+    deduped = pairs.groupby(key_cols + [value_col]).aggregate(Count(alias_name="_n"))
+    return deduped.groupby(key_cols).aggregate(Count(alias_name="distinct"))
+
+
+class QuantileSketch:
+    """Deterministic bounded-size quantile compactor (KLL-flavored).
+
+    Levels hold sorted buffers of ≤ k items; a full buffer compacts to
+    the next level by keeping every 2nd item with a deterministic
+    offset (level parity) — weights double per level. Rank error grows
+    ~1/k per compaction level.
+    """
+
+    def __init__(self, k: int = 256):
+        self.k = k
+        self.levels: list[np.ndarray] = [np.empty(0, dtype=np.float64)]
+
+    def add(self, values: np.ndarray) -> "QuantileSketch":
+        buf = np.concatenate([self.levels[0], np.asarray(values, dtype=np.float64)])
+        self.levels[0] = buf
+        self._compact()
+        return self
+
+    def _compact(self) -> None:
+        lvl = 0
+        while lvl < len(self.levels):
+            if len(self.levels[lvl]) > self.k:
+                srt = np.sort(self.levels[lvl])
+                keep = srt[(lvl % 2) :: 2]
+                self.levels[lvl] = np.empty(0, dtype=np.float64)
+                if lvl + 1 == len(self.levels):
+                    self.levels.append(np.empty(0, dtype=np.float64))
+                self.levels[lvl + 1] = np.concatenate([self.levels[lvl + 1], keep])
+            lvl += 1
+
+    def merge(self, other: "QuantileSketch") -> "QuantileSketch":
+        for lvl, buf in enumerate(other.levels):
+            while lvl >= len(self.levels):
+                self.levels.append(np.empty(0, dtype=np.float64))
+            self.levels[lvl] = np.concatenate([self.levels[lvl], buf])
+        self._compact()
+        return self
+
+    def quantile(self, q: float) -> float:
+        vals, weights = [], []
+        for lvl, buf in enumerate(self.levels):
+            vals.append(buf)
+            weights.append(np.full(len(buf), 1 << lvl, dtype=np.int64))
+        v = np.concatenate(vals)
+        w = np.concatenate(weights)
+        order = np.argsort(v, kind="stable")
+        v, w = v[order], w[order]
+        cum = np.cumsum(w)
+        target = q * cum[-1]
+        return float(v[np.searchsorted(cum, target, side="left").clip(0, len(v) - 1)])
+
+
+def quantiles(ds, value_col: str, qs=(0.5, 0.9, 0.99), *, k: int = 256):
+    """Approximate global quantiles: one sketch per batch, driver merge."""
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        import pickle
+
+        sk = QuantileSketch(k).add(
+            batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        )
+        return pa.table({"sketch": pa.array([pickle.dumps(sk)], pa.binary())})
+
+    import pickle
+
+    parts = ds.map_batches(per_batch, batch_format="pyarrow").take_all()
+    merged = None
+    for prt in parts:
+        sk = pickle.loads(prt["sketch"])
+        merged = sk if merged is None else merged.merge(sk)
+    return {q: merged.quantile(q) for q in qs}

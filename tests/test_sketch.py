@@ -1,0 +1,75 @@
+"""Sketches: HLL accuracy/mergeability, quantile error bounds, exact
+distinct counts vs pandas."""
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+from opentelemetry_collector_contrib_ray.stages.sketch import (
+    HllSketch,
+    QuantileSketch,
+    distinct_count,
+    hll_distinct,
+    quantiles,
+)
+
+
+def test_hll_accuracy_and_merge():
+    rng = np.random.default_rng(3)
+    a = rng.integers(0, 10**12, size=50_000)
+    b = rng.integers(0, 10**12, size=50_000)
+    sa = HllSketch(p=12).add_values(a)
+    sb = HllSketch(p=12).add_values(b)
+    true_union = len(set(a.tolist()) | set(b.tolist()))
+    est = sa.merge(sb).estimate()
+    assert abs(est - true_union) / true_union < 0.05  # ~1.04/sqrt(4096) ≈ 1.6%
+    # serialization round-trip
+    s2 = HllSketch.deserialize(sa.serialize())
+    assert s2.estimate() == sa.estimate()
+
+
+def test_hll_small_range_linear_counting():
+    s = HllSketch(p=12).add_values(np.arange(100))
+    assert abs(s.estimate() - 100) < 5
+
+
+def test_distinct_count_exact():
+    df = pd.DataFrame(
+        {
+            "k": ["a"] * 600 + ["b"] * 400,
+            "v": list(np.arange(600) % 37) + list(np.arange(400) % 11),
+        }
+    )
+    out = distinct_count(ray.data.from_pandas(df), ["k"], "v").to_pandas()
+    got = dict(zip(out["k"], out["distinct"]))
+    assert got == {"a": 37, "b": 11}
+
+
+def test_hll_distinct_per_key():
+    df = pd.DataFrame(
+        {"k": ["x"] * 5000 + ["y"] * 5000, "v": list(range(5000)) + [1, 2, 3] * 1666 + [1, 2]}
+    )
+    out = hll_distinct(ray.data.from_pandas(df), ["k"], "v").to_pandas()
+    est = dict(zip(out["k"], out["distinct_est"]))
+    assert abs(est["x"] - 5000) / 5000 < 0.05
+    assert abs(est["y"] - 3) < 1
+
+
+def test_quantile_sketch_bounds():
+    rng = np.random.default_rng(5)
+    data = rng.normal(100, 15, size=200_000)
+    sk = QuantileSketch(k=256)
+    for chunk in np.array_split(data, 40):
+        sk.add(chunk)
+    for q in (0.1, 0.5, 0.9):
+        exact = np.quantile(data, q)
+        approx = sk.quantile(q)
+        # rank error tolerance: compare achieved rank, not value
+        achieved = (data <= approx).mean()
+        assert abs(achieved - q) < 0.05
+
+
+def test_quantiles_distributed():
+    df = pd.DataFrame({"v": np.arange(100_000, dtype=np.float64)})
+    out = quantiles(ray.data.from_pandas(df), "v", qs=(0.5,))
+    assert abs(out[0.5] - 50_000) / 100_000 < 0.05
