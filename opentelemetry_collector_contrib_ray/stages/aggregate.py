@@ -176,7 +176,44 @@ def two_phase_agg(
     return out
 
 
-def groupby_attrs_counts(ds, keys: Sequence[str], *, num_salts: int = 16):
+def group_by_attrs_compact(
+    ds,
+    keys: Sequence[str],
+    *,
+    resource_cols: Sequence[str] = (),
+    num_salts: int = 16,
+):
+    """Full groupbyattrsprocessor semantics in columnar form
+    (processor.go:70-133, attribute_groups.go:104-169):
+
+    - output GROUPS = distinct (base resource attrs ⊎ grouped key
+      values) with per-group record counts — group identity is exact
+      attr-map equality, which for fixed columns is the value tuple;
+    - grouped keys are REMOVED from record-level attributes (they live
+      on the group/resource now) — the returned ``records`` Dataset
+      drops the key columns and carries the remaining record attrs.
+
+    Returns (groups_ds, records_ds). Records with all keys null belong
+    to the base (non-grouped) resource group (processor.go:83-97).
+    """
+    cols = list(resource_cols) + list(keys)
+    groups = groupby_attrs_counts(ds, cols, num_salts=num_salts, grouped_keys=list(keys))
+    keep = [c for c in ds.schema().names if c not in keys]
+    if keep:
+        records = ds.select_columns(keep)
+    else:
+        # every column was a grouped key: records remain (empty attr
+        # maps in the reference) — keep row identity via a marker
+        def _marker(t: pa.Table) -> pa.Table:
+            return pa.table({"_record": pa.nulls(len(t), pa.null())})
+
+        records = ds.map_batches(_marker, batch_format="pyarrow")
+    return groups, records
+
+
+def groupby_attrs_counts(
+    ds, keys: Sequence[str], *, num_salts: int = 16, grouped_keys: Sequence[str] | None = None
+):
     """groupbyattrsprocessor observable output: per-group record counts.
 
     Rows where ALL key columns are null form the base (non-grouped)
@@ -188,11 +225,12 @@ def groupby_attrs_counts(ds, keys: Sequence[str], *, num_salts: int = 16):
     import pyarrow.compute as pc
 
     keys = list(keys)
+    flag_keys = list(grouped_keys) if grouped_keys is not None else keys
     counted = two_phase_agg(ds, keys, {"*": ["count"]}, num_salts=num_salts)
 
     def _flag(t: pa.Table) -> pa.Table:
         grouped = None
-        for k in keys:
+        for k in flag_keys:
             v = pc.is_valid(t[k])
             grouped = v if grouped is None else pc.or_(grouped, v)
         return t.append_column("grouped", grouped)

@@ -334,6 +334,61 @@ def _concat_unify(tables: list[pa.Table]) -> pa.Table:
     return pa.concat_tables(outs, promote_options="permissive")
 
 
+class RecombineLines:
+    """stanza recombine with boundary predicates: multiline entries are
+    delimited by an ``is_first_entry`` (or ``is_last_entry``) regex on
+    the combine field — the stack-trace use case. Vectorized: one
+    regex pass marks boundaries, cumsum assigns group ids, one pandas
+    groupby joins. PARTITIONING ASSUMPTION (same as stanza's file
+    ordering): rows are in source order within the batch and a logical
+    entry never spans batches — read each file as one block, or apply
+    within ``groupby(file).map_groups``.
+    """
+
+    def __init__(
+        self,
+        field: str = "raw",
+        is_first_entry: str | None = None,
+        is_last_entry: str | None = None,
+        separator: str = "\n",
+    ):
+        if (is_first_entry is None) == (is_last_entry is None):
+            raise ValueError("exactly one of is_first_entry / is_last_entry required")
+        self.field = field
+        self.is_first = is_first_entry
+        self.is_last = is_last_entry
+        self.separator = separator
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        n = len(batch)
+        if n == 0:
+            return batch
+        col = batch[self.field]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if self.is_first:
+            marks = pc.match_substring_regex(col, self.is_first).to_numpy(
+                zero_copy_only=False
+            )
+            gid = np.cumsum(np.asarray(marks, dtype=np.int64))
+            gid[gid == 0] = 1  # leading continuation lines join group 1
+        else:
+            marks = pc.match_substring_regex(col, self.is_last).to_numpy(
+                zero_copy_only=False
+            )
+            # a group ENDS at a match: next row starts a new group
+            ends = np.asarray(marks, dtype=np.int64)
+            gid = np.concatenate([[0], np.cumsum(ends)[:-1]]) + 1
+        df = batch.to_pandas()
+        df["_gid"] = gid
+        agg = {c: "first" for c in df.columns if c not in (self.field, "_gid")}
+        agg[self.field] = self.separator.join
+        out = df.groupby("_gid", sort=True).agg(agg).reset_index(drop=True)
+        return pa.Table.from_pandas(out[[c for c in df.columns if c != "_gid"]], preserve_index=False)
+
+
 def recombine_grouped(ds, group_by: str, field: str = "raw", order_by: str | None = None, separator: str = "\n"):
     """Partition-safe recombine: shuffle co-locates each group, then the
     within-batch Recombine joins it. Use when multiline groups may span
