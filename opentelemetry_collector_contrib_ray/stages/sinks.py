@@ -155,3 +155,54 @@ def consistent_hash_partition(ds, key_col: str, num_backends: int, out_col: str 
         )
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def render_carbon_lines(
+    batch: pa.Table, name_col: str = "metric_name", value_col: str = "value", ts_col: str = "timestamp"
+) -> pa.Table:
+    """carbonexporter: metric rows → Graphite plaintext lines
+    ``name value epoch`` (exporter/carbonexporter — inverse of the
+    carbonreceiver parser). Vectorized string join."""
+    epoch = pc.cast(pc.cast(batch[ts_col], pa.timestamp("s"), safe=False), pa.int64())
+    line = pc.binary_join_element_wise(
+        pc.cast(batch[name_col], pa.string()),
+        pc.cast(batch[value_col], pa.string()),
+        pc.cast(epoch, pa.string()),
+        " ",
+    )
+    return batch.append_column("line", line)
+
+
+def render_influx_lines(
+    batch: pa.Table,
+    measurement_col: str = "measurement",
+    tags_col: str | None = "tags",
+    field_key_col: str = "field_key",
+    field_value_col: str = "field_value",
+    ts_ns_col: str | None = "ts_ns",
+) -> pa.Table:
+    """influxdbexporter: metric rows → InfluxDB line protocol
+    ``measurement[,tags] key=value [ts]`` (inverse of the receiver)."""
+    meas = pc.cast(batch[measurement_col], pa.string())
+    if tags_col and tags_col in batch.column_names:
+        tags = pc.coalesce(batch[tags_col], pa.scalar(""))
+        head = pc.if_else(
+            pc.equal(tags, ""),
+            meas,
+            pc.binary_join_element_wise(meas, tags, ","),
+        )
+    else:
+        head = meas
+    fields = pc.binary_join_element_wise(
+        pc.cast(batch[field_key_col], pa.string()),
+        pc.cast(batch[field_value_col], pa.string()),
+        "=",
+    )
+    line = pc.binary_join_element_wise(head, fields, " ")
+    if ts_ns_col and ts_ns_col in batch.column_names:
+        ts = batch[ts_ns_col]
+        with_ts = pc.binary_join_element_wise(
+            line, pc.cast(pc.coalesce(ts, pa.scalar(0)), pa.string()), " "
+        )
+        line = pc.if_else(pc.is_valid(ts), with_ts, line)  # ts optional per spec
+    return batch.append_column("line", line)

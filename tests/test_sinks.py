@@ -78,3 +78,44 @@ def test_consistent_hash_partition_stable():
     b = consistent_hash_partition(ray.data.from_pandas(df), "trace_id", 4).to_pandas()
     assert a.sort_values("trace_id")["backend"].tolist() == b.sort_values("trace_id")["backend"].tolist()
     assert a["backend"].nunique() == 4
+
+
+def test_render_carbon_roundtrip():
+    import pyarrow as pa
+
+    from opentelemetry_collector_contrib_ray.sources.lines import parse_carbon_plaintext
+    from opentelemetry_collector_contrib_ray.stages.sinks import render_carbon_lines
+
+    t = pa.table(
+        {
+            "metric_name": ["sys.load"],
+            "value": [7.0],
+            "timestamp": pa.array([1_600_000_000_000_000], pa.timestamp("us")),
+        }
+    )
+    rendered = render_carbon_lines(t)
+    back = parse_carbon_plaintext(rendered.select(["line"]).rename_columns(["raw"]))
+    assert back["metric_name"].to_pylist() == ["sys.load"]
+    assert back["value"].to_pylist() == [7.0]
+
+
+def test_render_influx_roundtrip():
+    import pyarrow as pa
+
+    from opentelemetry_collector_contrib_ray.sources.lines import parse_influx_line
+    from opentelemetry_collector_contrib_ray.stages.sinks import render_influx_lines
+
+    t = pa.table(
+        {
+            "measurement": ["cpu", "mem"],
+            "tags": ["host=h1", None],
+            "field_key": ["usage", "free"],
+            "field_value": [0.5, 1024.0],
+            "ts_ns": pa.array([1_600_000_000_000_000_000, None], pa.int64()),
+        }
+    )
+    rendered = render_influx_lines(t)
+    back = parse_influx_line(rendered.select(["line"]).rename_columns(["raw"]))
+    assert back["measurement"].to_pylist() == ["cpu", "mem"]
+    assert back["field_value"].to_pylist() == [0.5, 1024.0]
+    assert back["tags"].to_pylist() == ["host=h1", None]
