@@ -31,6 +31,8 @@ def _round_cols(ds, cols: dict[str, int]):
                 t = t.set_column(t.column_names.index(c), c, pa.array(v))
         return t
 
+    if isinstance(ds, pa.Table):  # driver_finalize path returns a Table
+        return f(ds)
     return ds.map_batches(f, batch_format="pyarrow")
 
 
@@ -265,6 +267,7 @@ def _q_time_window_agg(sf_dir: str):
         ds.map_batches(win, batch_format="pyarrow"),
         ["event_type", "window_start"],
         {"value": ["sum"]},
+        driver_finalize=True,  # few thousand groups — skip the shuffle
     )
     return _round_cols(out, {"value_sum": 6})
 
