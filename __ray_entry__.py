@@ -338,6 +338,18 @@ def _q_minhash_dedup(sf_dir: str):
     return groups
 
 
+def _q_near_dedup_survivors(sf_dir: str):
+    """End-to-end near-dedup: LSH candidates → exact Jaccard verify →
+    connected components → surviving doc ids (rows-only; the synthetic
+    documents are distinct so all survive — the machinery is asserted
+    in tests with injected duplicates)."""
+    from opentelemetry_collector_contrib_ray.stages.dedup import near_dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    survivors, _ = near_dedup(ds, jaccard_threshold=0.8)
+    return survivors
+
+
 def _q_simhash(sf_dir: str):
     from opentelemetry_collector_contrib_ray.stages.dedup import SimHasher
 
@@ -876,6 +888,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality": _q_quality,
         "langid": _q_langid,
         "minhash_dedup": _q_minhash_dedup,
+        "near_dedup_survivors": _q_near_dedup_survivors,
         "simhash": _q_simhash,
         "embedding_knn": _q_embedding_knn,
         "embedding_neardup": _q_embedding_neardup,

@@ -316,3 +316,122 @@ def embedding_neardup_pairs(ds, *, id_col="vec_id", emb_col="embedding", thresho
         )
 
     return bucketed.groupby("bucket").map_groups(pairs, batch_format="pandas")
+
+
+# ------------------------------------------------- end-to-end near-dedup
+
+
+def candidate_pairs_from_buckets(buckets: pa.Table, id_col: str = "doc_id") -> list[tuple]:
+    """LSH buckets (ids list per bucket) → unique unordered candidate
+    pairs. Pair count is bounded by sum over buckets of C(n,2); LSH
+    keeps buckets small by construction."""
+    pairs = set()
+    for ids in buckets["ids"].to_pylist():
+        ids = sorted(ids)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                pairs.add((ids[i], ids[j]))
+    return sorted(pairs)
+
+
+def verify_pairs(ds, pairs: list[tuple], *, text_col="text", id_col="doc_id", n: int = 3, threshold: float = 0.8):
+    """Verify candidate pairs with exact n-gram Jaccard.
+
+    The texts needed are only those appearing in candidate pairs — a
+    broadcast semi-join fetch (tiny vs corpus), then pairwise exact
+    similarity. Returns [(a, b, jaccard)] for pairs ≥ threshold.
+    """
+    import ray
+
+    needed = {x for p in pairs for x in p}
+    ref = ray.put(needed)
+
+    def fetch(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        keep = ray.get(ref)
+        mask = np.fromiter((v in keep for v in ids), bool, len(ids))
+        return batch.select([id_col, text_col]).filter(pa.array(mask))
+
+    texts_tbl = pa.concat_tables(
+        ds.map_batches(fetch, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    )
+    texts = dict(zip(texts_tbl[id_col].to_pylist(), texts_tbl[text_col].to_pylist()))
+    out = []
+    for a, b in pairs:
+        ta, tb = texts.get(a), texts.get(b)
+        if ta is None or tb is None:
+            continue
+        j = ngram_jaccard(ta, tb, n)
+        if j >= threshold:
+            out.append((a, b, j))
+    return out
+
+
+def connected_components(edges: list[tuple]) -> dict:
+    """Union-find over verified duplicate edges → {id: cluster_root}.
+
+    Driver-side: the edge set is the VERIFIED near-duplicate graph,
+    orders of magnitude smaller than the corpus; for corpora where even
+    that is too large, run iterative min-label propagation with
+    groupby rounds instead (documented trade-off)."""
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b, *_ in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # smaller root wins → deterministic cluster ids
+            lo, hi = sorted((ra, rb))
+            parent[hi] = lo
+    return {x: find(x) for x in parent}
+
+
+def near_dedup(
+    ds,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    num_perm: int = 64,
+    bands: int = 16,
+    jaccard_threshold: float = 0.8,
+):
+    """End-to-end near-duplicate removal:
+
+    MinHash+LSH candidate buckets → exact n-gram-Jaccard verification →
+    connected components → survivors = min id per duplicate cluster +
+    all unclustered docs. Returns (survivor_ids_table, clusters dict).
+    """
+    buckets = minhash_lsh_groups(
+        ds, text_col=text_col, id_col=id_col, k=k, num_perm=num_perm, bands=bands
+    )
+    pairs = candidate_pairs_from_buckets(buckets, id_col)
+    verified = verify_pairs(
+        ds, pairs, text_col=text_col, id_col=id_col, threshold=jaccard_threshold
+    )
+    clusters = connected_components(verified)
+    drop = {x for x, root in clusters.items() if root != x}
+    import ray
+
+    drop_ref = ray.put(drop)
+
+    def survivors(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        dropped = ray.get(drop_ref)
+        mask = np.fromiter((v not in dropped for v in ids), bool, len(ids))
+        return batch.select([id_col]).filter(pa.array(mask))
+
+    surv = pa.concat_tables(
+        ds.map_batches(survivors, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    )
+    return surv, clusters

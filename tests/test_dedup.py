@@ -74,3 +74,35 @@ def test_ngram_jaccard():
     assert ngram_jaccard(d["text"][0], d["text"][1]) == 1.0
     assert 0 < ngram_jaccard(d["text"][0], d["text"][2]) < 1.0
     assert ngram_jaccard(d["text"][0], d["text"][3]) < 0.1
+
+
+def test_near_dedup_end_to_end():
+    """MinHash buckets → Jaccard verify → components → survivors."""
+    base = (
+        "the quick brown fox jumps over the lazy dog again and again today "
+        "while the sun shines bright over the green hills of the valley"
+    )
+    docs = pd.DataFrame(
+        {
+            "doc_id": [f"d{i}" for i in range(6)],
+            "text": [
+                base,
+                base.replace("today", "tomorrow"),      # near dup of d0
+                base.replace("valley", "canyon"),        # near dup of d0/d1
+                "completely different text about distributed data processing engines at scale",
+                "another unrelated document describing benchmark methodology in detail",
+                base.replace("quick", "swift").replace("today", "tonight"),  # near dup
+            ],
+        }
+    )
+    from opentelemetry_collector_contrib_ray.stages.dedup import near_dedup
+
+    ds = ray.data.from_pandas(docs)
+    survivors, clusters = near_dedup(ds, jaccard_threshold=0.5, bands=32)
+    surv = set(survivors["doc_id"].to_pylist())
+    # d0/d1/d2/d5 form one duplicate cluster → only min id d0 survives
+    assert "d0" in surv
+    assert {"d1", "d2", "d5"} & surv == set()
+    assert {"d3", "d4"} <= surv  # unrelated docs untouched
+    roots = {clusters[k] for k in ("d1", "d2", "d5")}
+    assert roots == {"d0"}
