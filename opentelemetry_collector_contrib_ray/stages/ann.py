@@ -104,20 +104,16 @@ class IvfIndex:
         return self
 
     def assigner(self, emb_col: str = "embedding"):
-        import ray
+        """Returns a task-pool function; the centroid matrix is small
+        (n_lists × dim) so it ships in the function closure."""
+        c = self.centroids
 
-        cref = ray.put(self.centroids)
+        def assign(batch: pa.Table) -> pa.Table:
+            mat = _normalize(_mat(batch, emb_col))
+            lid = np.argmax(mat @ c.T, axis=1).astype(np.int32)
+            return batch.append_column("list_id", pa.array(lid))
 
-        class Assign:
-            def __init__(self):
-                self.c = ray.get(cref)
-
-            def __call__(self, batch: pa.Table) -> pa.Table:
-                mat = _normalize(_mat(batch, emb_col))
-                lid = np.argmax(mat @ self.c.T, axis=1).astype(np.int32)
-                return batch.append_column("list_id", pa.array(lid))
-
-        return Assign
+        return assign
 
 
 def ivf_topk(ds, index: IvfIndex, query: np.ndarray, k: int = 10, nprobe: int = 4, *, id_col="vec_id", emb_col="embedding"):
@@ -127,9 +123,7 @@ def ivf_topk(ds, index: IvfIndex, query: np.ndarray, k: int = 10, nprobe: int = 
     partitions)."""
     q = _normalize(np.asarray(query, dtype=np.float32).reshape(1, -1))[0]
     probes = np.argsort(-(index.centroids @ q))[:nprobe].tolist()
-    assigned = ds.map_batches(
-        index.assigner(emb_col), batch_format="pyarrow", concurrency=(1, 4)
-    )
+    assigned = ds.map_batches(index.assigner(emb_col), batch_format="pyarrow")
     probe_set = set(int(p) for p in probes)
 
     def filt(batch: pa.Table) -> pa.Table:
@@ -137,4 +131,60 @@ def ivf_topk(ds, index: IvfIndex, query: np.ndarray, k: int = 10, nprobe: int = 
         return batch.filter(pa.array(np.isin(lid, list(probe_set))))
 
     candidates = assigned.map_batches(filt, batch_format="pyarrow")
+    return brute_force_topk(candidates, q.reshape(1, -1), k, id_col=id_col, emb_col=emb_col)
+
+
+def ivf_build_store(ds, index: IvfIndex, path: str, *, emb_col: str = "embedding"):
+    """Persist an IVF-partitioned copy of the corpus: assign each row
+    its coarse list, write hive-partitioned by ``list_id``. Searches
+    then read ONLY the probed partitions from storage — at 100 TB the
+    I/O saving is nprobe/n_lists. Centroids are saved alongside."""
+    import json
+    import os
+
+    assigned = ds.map_batches(index.assigner(emb_col), batch_format="pyarrow")
+    assigned.write_parquet(path, partition_cols=["list_id"])
+    meta = {
+        "n_lists": index.n_lists,
+        "centroids": index.centroids.tolist(),
+    }
+    with open(os.path.join(path, "ivf_index.json"), "w") as f:
+        json.dump(meta, f)
+    return path
+
+
+def ivf_load_index(path: str) -> IvfIndex:
+    import json
+    import os
+
+    with open(os.path.join(path, "ivf_index.json")) as f:
+        meta = json.load(f)
+    idx = IvfIndex(n_lists=meta["n_lists"])
+    idx.centroids = np.asarray(meta["centroids"], dtype=np.float32)
+    return idx
+
+
+def ivf_search_stored(path: str, query: np.ndarray, k: int = 10, nprobe: int = 4, *, id_col="vec_id", emb_col="embedding"):
+    """Search a stored IVF layout: pick the nprobe nearest lists from
+    the saved centroids, ``read_parquet`` ONLY those partitions (the
+    prune happens at the read — unprobed lists never leave storage),
+    exact cosine within them."""
+    import os
+
+    import ray.data
+
+    index = ivf_load_index(path)
+    q = _normalize(np.asarray(query, dtype=np.float32).reshape(1, -1))[0]
+    probes = np.argsort(-(index.centroids @ q))[:nprobe].tolist()
+    import glob as _glob
+
+    dirs = [os.path.join(path, f"list_id={int(p)}") for p in probes]
+    files = [f for d in dirs for f in sorted(_glob.glob(os.path.join(d, "*.parquet")))]
+    if not files:
+        import pyarrow as _pa
+
+        return ray.data.from_arrow(
+            _pa.table({id_col: _pa.array([], _pa.int64()), "cos": _pa.array([], _pa.float64())})
+        )
+    candidates = ray.data.read_parquet(files, columns=[id_col, emb_col])
     return brute_force_topk(candidates, q.reshape(1, -1), k, id_col=id_col, emb_col=emb_col)
