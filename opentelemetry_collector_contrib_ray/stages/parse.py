@@ -503,3 +503,35 @@ class TraceParser:
                     flags.append(None)
             batch = _set_column(batch, "trace_flags", pa.array(flags, pa.int32()))
         return batch
+
+
+def recombine_lines_grouped(
+    ds,
+    file_col: str,
+    order_col: str,
+    field: str = "raw",
+    is_first_entry: str | None = None,
+    is_last_entry: str | None = None,
+    separator: str = "\n",
+):
+    """Partition-safe predicate recombine: co-locate each source file's
+    lines (one shuffle on ``file_col``), restore source order by
+    ``order_col``, then apply boundary-predicate joining — entries may
+    span input blocks because the whole file is reassembled per group.
+    The per-file work is the vectorized ``RecombineLines``; use for
+    multi-block files where plain RecombineLines' contiguity
+    assumption fails."""
+    rl = RecombineLines(
+        field=field,
+        is_first_entry=is_first_entry,
+        is_last_entry=is_last_entry,
+        separator=separator,
+    )
+
+    def per_file(g):
+        import pandas as pd
+
+        g = g.sort_values(order_col, kind="stable")
+        return rl(pa.Table.from_pandas(g, preserve_index=False)).to_pandas()
+
+    return ds.groupby(file_col).map_groups(per_file, batch_format="pandas")

@@ -107,3 +107,33 @@ def test_recombine_lines_predicates():
     assert out2["raw"].to_pylist() == ["a\nb;", "c\nd;"]
     with pytest.raises(ValueError):
         RecombineLines()
+
+
+def test_recombine_lines_grouped_spanning_blocks():
+    """Entries spanning input blocks reassemble correctly when lines
+    are co-located per file and re-ordered (recombine_lines_grouped)."""
+    import pandas as pd
+    import ray.data
+
+    from opentelemetry_collector_contrib_ray.stages.parse import recombine_lines_grouped
+
+    rows = []
+    for f in ("a.log", "b.log"):
+        lines = [
+            "2021-03-01 ERROR boom",
+            "  at One()",
+            "  at Two()",
+            "2021-03-01 INFO fine",
+        ]
+        for i, l in enumerate(lines):
+            rows.append({"file": f, "seq": i, "raw": l})
+    df = pd.DataFrame(rows).sample(frac=1.0, random_state=7)  # scrambled
+    ds = ray.data.from_pandas(df).repartition(4)  # entries span blocks
+    out = recombine_lines_grouped(
+        ds, "file", "seq", is_first_entry=r"^\d{4}-\d{2}-\d{2}"
+    ).to_pandas()
+    assert len(out) == 4  # 2 entries × 2 files
+    for f in ("a.log", "b.log"):
+        sub = out[out["file"] == f].sort_values("seq")
+        assert sub["raw"].iloc[0].count("\n") == 2
+        assert sub["raw"].iloc[1] == "2021-03-01 INFO fine"
