@@ -39,6 +39,9 @@ BENCH_QUERIES = [
     "loki_streams",
     "session_windows",
     "delta_conversion",
+    "join_orders_customers",
+    "q3_shipping",
+    "near_dedup_survivors",
 ]
 
 

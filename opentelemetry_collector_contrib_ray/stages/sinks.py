@@ -43,7 +43,7 @@ class LokiLabeler:
             for i, v in enumerate(vals):
                 if v is not None:
                     labels[i][label] = str(v)
-        mask = np.array([len(l) > 0 for l in labels])
+        mask = np.array([len(l) > 0 for l in labels], dtype=bool)
         enc = pa.array(
             [json.dumps(l, sort_keys=True) if l else None for l in labels], pa.string()
         )

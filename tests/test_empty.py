@@ -1,0 +1,59 @@
+"""Empty-input robustness: every stage must pass through zero rows
+without crashing (blocks can legitimately be empty after filters)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from opentelemetry_collector_contrib_ray.pipelines.log_pipeline import (
+    build_parse_chain,
+    build_pipeline,
+)
+from opentelemetry_collector_contrib_ray.stages.aggregate import two_phase_agg
+from opentelemetry_collector_contrib_ray.stages.route import RoutingTable
+from opentelemetry_collector_contrib_ray.stages.sinks import LokiLabeler
+
+
+def _empty_corpus_table():
+    return pa.table(
+        {
+            "doc_id": pa.array([], pa.string()),
+            "tokens": pa.array([], pa.list_(pa.int32())),
+            "n_tok": pa.array([], pa.int32()),
+            "source": pa.array([], pa.string()),
+            "raw": pa.array([], pa.string()),
+        }
+    )
+
+
+def test_parse_chain_empty_batch():
+    out = build_parse_chain()(_empty_corpus_table())
+    assert len(out) == 0
+    assert "route" in out.column_names
+
+
+def test_routing_empty_batch():
+    rt = RoutingTable("severity_text", {"Error": ["s1"]}, ["s0"])
+    t = pa.table({"severity_text": pa.array([], pa.string())})
+    out = rt(t)
+    assert len(out) == 0 and "sink" in out.column_names
+
+
+def test_two_phase_agg_empty_ds():
+    df = pd.DataFrame({"k": pd.Series([], dtype=str), "v": pd.Series([], dtype=float)})
+    ds = ray.data.from_pandas(df)
+    out = two_phase_agg(ds, ["k"], {"v": ["sum"]}).to_pandas()
+    assert len(out) == 0
+
+
+def test_loki_empty_batch():
+    t = pa.table({"a": pa.array([], pa.string())})
+    out = LokiLabeler({"a": "a"})(t)
+    assert len(out) == 0
+
+
+def test_full_pipeline_empty_dataset():
+    ds = ray.data.from_arrow(_empty_corpus_table())
+    routed = build_pipeline(ds)
+    assert routed.count() == 0
