@@ -161,19 +161,16 @@ def tail_sample(
         cum = ddf["n_spans"].where(ddf["sampled"], 0).cumsum()
         ddf["sampled"] = ddf["sampled"] & (cum <= budget * elapsed)
 
-    sampled_ids = set(ddf.loc[ddf["sampled"], trace_col].tolist())
+    sampled_ids = pd.unique(ddf.loc[ddf["sampled"], trace_col])
     ids_ref = ray.put(sampled_ids)
 
-    class SemiJoin:
-        def __init__(self):
-            self.ids = ray.get(ids_ref)
+    def semi_join(batch: pa.Table) -> pa.Table:
+        ids = ray.get(ids_ref)  # zero-copy shared-memory read per task
+        vals = pd.Series(batch[trace_col].to_numpy(zero_copy_only=False))
+        mask = vals.isin(ids).to_numpy()  # vectorized membership
+        return batch.filter(pa.array(mask))
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            vals = batch[trace_col].to_numpy(zero_copy_only=False)
-            mask = np.fromiter((v in self.ids for v in vals), bool, len(vals))
-            return batch.filter(pa.array(mask))
-
-    sampled_ds = ds.map_batches(SemiJoin, batch_format="pyarrow", concurrency=(1, 8))
+    sampled_ds = ds.map_batches(semi_join, batch_format="pyarrow")
     return sampled_ds, ddf
 
 
