@@ -42,17 +42,16 @@ def uniform01(ids: np.ndarray, salt: int = 0) -> np.ndarray:
 def hash_str_u64(values, salt: int = 0) -> np.ndarray:
     """Deterministic uint64 hash of an array/iterable of strings.
 
-    FNV-1a over UTF-8 bytes, then splitmix64. Vectorized via numpy void
-    view when possible; falls back to a Python loop for small arrays
-    (used only for key-salting of low-cardinality group keys).
+    Vectorized: pandas' siphash (fixed key → stable across processes
+    and sessions for a given pandas version) then splitmix64. Used for
+    bucket/backend assignment and deterministic sampling — must never
+    loop per row.
     """
-    out = np.empty(len(values), dtype=_U64)
-    for i, v in enumerate(values):
-        h = _U64(0xCBF29CE484222325)
+    import pandas as pd
+
+    arr = np.asarray(values, dtype=object)
+    h = np.asarray(pd.util.hash_array(arr), dtype=_U64)
+    if salt:
         with np.errstate(over="ignore"):
-            for b in str(v).encode("utf-8"):
-                h = (h ^ _U64(b)) * _U64(0x100000001B3)
-            h += _U64(salt)
-    # re-mix
-        out[i] = h
-    return splitmix64(out)
+            h = h + _U64(salt) * _U64(0xD1B54A32D192ED03)
+    return splitmix64(h)
