@@ -98,3 +98,24 @@ def test_enrichment_columns_present(routed):
     assert row["meta.team"].startswith("team-")
     assert row["deployment.environment"] == "prod"
     assert row["cloud.region"] == "us-east-1"
+
+
+def test_wide_rows_small_blocks_token_equality():
+    """Heavy-tail 4096-token rows survive under a tiny block-size limit
+    (blocks split aggressively; tokens must still pass through
+    byte-identical — the FIXTURES F1 wide-row stress)."""
+    import ray.data
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    old = ctx.target_max_block_size
+    try:
+        ctx.target_max_block_size = 256 * 1024  # 256 KB blocks
+        ds = synth_dataset(2000, override_num_blocks=2)
+        in_digest = corpus_checksum(ds)
+        routed = lp.build_pipeline(synth_dataset(2000, override_num_blocks=2))
+        once = routed.filter(expr="sink != 'sink_pager'")
+        out_digest = corpus_checksum(once)
+        assert in_digest == out_digest
+    finally:
+        ctx.target_max_block_size = old
