@@ -58,7 +58,21 @@ def _defaults():
 
 
 def build(config: dict) -> Any:
-    """Build (and lazily define) the Dataset pipeline from config."""
+    """Build (and lazily define) the Dataset pipeline from config.
+
+    Full DAG spec (all sections optional except ``source``)::
+
+        source:  {kind: parquet|synth, ...}
+        stages:  [ {op: <registry name>, ...params} ]        # fused chain
+        enrich:  {table: {key: {attr: val}}, association: [cols], prefix: ""}
+        routing: {from_attribute: col, table: {v: [sinks]}, default: [sink]}
+        aggregate: {keys: [...], aggs: {col: [fns]}, num_salts: N,
+                    driver_finalize: bool}
+        sink:    {path: ..., partition_cols: [...]}
+
+    Mirrors the reference's YAML service pipelines + receivercreator's
+    templated instantiation (SURVEY §2.11).
+    """
     import ray.data
 
     from ..sources.synth import synth_dataset
@@ -85,6 +99,39 @@ def build(config: dict) -> Any:
             Chain(stages),
             batch_format="pyarrow",
             batch_size=config.get("batch_size", 16 * 1024),
+        )
+
+    enr = config.get("enrich")
+    if enr:
+        import ray
+
+        from ..stages.enrich import make_lookup_fn
+
+        ref = ray.put(enr["table"])
+        ds = ds.map_batches(
+            make_lookup_fn(ref, enr["association"], enr.get("prefix", "")),
+            batch_format="pyarrow",
+        )
+
+    rt = config.get("routing")
+    if rt:
+        from ..stages.route import RoutingTable
+
+        ds = ds.map_batches(
+            RoutingTable(rt["from_attribute"], rt["table"], rt["default"]),
+            batch_format="pyarrow",
+        )
+
+    agg_cfg = config.get("aggregate")
+    if agg_cfg:
+        from ..stages.aggregate import two_phase_agg
+
+        ds = two_phase_agg(
+            ds,
+            agg_cfg["keys"],
+            agg_cfg.get("aggs", {"*": ["count"]}),
+            num_salts=agg_cfg.get("num_salts", 16),
+            driver_finalize=agg_cfg.get("driver_finalize", False),
         )
 
     sink = config.get("sink")

@@ -72,3 +72,32 @@ def test_pillow_decoder_stubbed():
 def test_frame_sample():
     t = synth_image_table(20)
     assert len(frame_sample(t, every_n=5)) == 4
+
+
+def test_builder_full_dag():
+    """Declarative end-to-end: synth → parse → enrich → route → aggregate."""
+    cfg = {
+        "source": {"kind": "synth", "rows": 800, "blocks": 2},
+        "stages": [
+            {"op": "regex_parser", "pattern": r"^(?P<time>\S+) (?P<sev>[A-Z]*)", "parse_from": "raw"},
+            {"op": "severity_parser", "parse_from": "sev"},
+        ],
+        "enrich": {
+            "table": {"app-a": {"team": "core"}, "syslog": {"team": "infra"}},
+            "association": ["source"],
+            "prefix": "meta.",
+        },
+        "routing": {
+            "from_attribute": "severity_text",
+            "table": {"Error": ["err"], "Info": ["std"]},
+            "default": ["other"],
+        },
+        "aggregate": {"keys": ["sink"], "driver_finalize": True},
+    }
+    out = build(cfg)
+    import pyarrow as pa
+
+    assert isinstance(out, pa.Table)
+    counts = dict(zip(out["sink"].to_pylist(), out["count"].to_pylist()))
+    assert sum(counts.values()) == 800
+    assert set(counts) <= {"err", "std", "other"}
