@@ -280,10 +280,23 @@ class Router:
         self.input_cols = list(input_cols) if input_cols else [match_on]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        if self.match_on not in batch.column_names:
+            # missing match column → every row takes the default route
+            # (mirrors routingprocessor's missing-attribute fallback)
+            out = _set_column(
+                batch, "route", pa.array(np.full(n, "default", dtype=object), pa.string())
+            )
+            if self.default is not None and n:
+                proj = out.select([c for c in self.input_cols if c in out.column_names] or out.column_names[:1])
+                sub_out = self.default(proj)
+                for f in sub_out.schema:
+                    if f.name not in out.column_names:
+                        out = _set_column(out, f.name, sub_out[f.name])
+            return out
         src = batch[self.match_on]
         if isinstance(src, pa.ChunkedArray):
             src = src.combine_chunks()
-        n = len(batch)
         assigned = np.zeros(n, dtype=bool)
         route = np.full(n, "default", dtype=object)
         branch_masks: list[tuple[np.ndarray, Chain | None]] = []

@@ -124,3 +124,10 @@ def test_router_empty_and_no_match():
     chain = Router(routes=[("j", r"^\{", Chain([]))], default=None)
     out = chain(_tbl(["plain"]))
     assert out["route"].to_pylist() == ["default"]
+
+
+def test_router_missing_match_column():
+    """Missing match column → all rows default-routed, no crash."""
+    chain = Router(routes=[("j", r"^\{", Chain([]))], default=None)
+    out = chain(pa.table({"other": [1, 2]}))
+    assert out["route"].to_pylist() == ["default", "default"]
