@@ -839,6 +839,42 @@ def _q_q3_shipping(sf_dir: str):
     return pa.Table.from_pandas(top.reset_index(drop=True), preserve_index=False)
 
 
+def _q_q6_filtered_revenue(sf_dir: str):
+    """TPC-H Q6-shaped: predicate pushed to the Parquet READ (pyarrow
+    dataset expression → row-group pruning at storage) + single-scan
+    aggregate — 'prune at the read' demonstrated end-to-end."""
+    import ray.data
+
+    from opentelemetry_collector_contrib_ray.stages.aggregate import two_phase_agg
+
+    flt = (
+        (pc.field("l_discount") >= 0.05)
+        & (pc.field("l_discount") <= 0.07)
+        & (pc.field("l_quantity") < 24.0)
+    )
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_extendedprice", "l_discount", "l_quantity"],
+        filter=flt,
+    )
+
+    def rev(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "one": pa.array(np.ones(len(t), dtype=np.int64)),
+                "revenue": pc.multiply(t["l_extendedprice"], t["l_discount"]),
+            }
+        )
+
+    out = two_phase_agg(
+        ds.map_batches(rev, batch_format="pyarrow"),
+        ["one"],
+        {"revenue": ["sum"]},
+        driver_finalize=True,
+    )
+    return _round_cols(out, {"revenue_sum": 4})
+
+
 def _q_q1_pricing(sf_dir: str):
     from opentelemetry_collector_contrib_ray.stages.aggregate import two_phase_agg
 
@@ -912,6 +948,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_orders_customers": _q_join_orders_customers,
         "join_native_lineitem_part": _q_join_native_lineitem_part,
         "q3_shipping": _q_q3_shipping,
+        "q6_filtered_revenue": _q_q6_filtered_revenue,
         "sumo_source_format": _q_sumo_source_format,
         "es_docs": _q_es_docs,
         "distinct_users": _q_distinct_users,
@@ -1106,6 +1143,12 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(l_quantity), 4) AS l_quantity_sum
             FROM lineitem JOIN part ON l_partkey = p_partkey
             GROUP BY 1
+        """,
+        "q6_filtered_revenue": """
+            SELECT CAST(1 AS BIGINT) AS one, COUNT(*) AS "count",
+                   ROUND(SUM(l_extendedprice * l_discount), 4) AS revenue_sum
+            FROM lineitem
+            WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24.0
         """,
         "distinct_users": """
             SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS "distinct"
