@@ -81,7 +81,9 @@ def run_headline(corpus_path: str, n_rows: int) -> dict:
 
     from opentelemetry_collector_contrib_ray.pipelines import log_pipeline as lp
 
-    out_dir = "/tmp/otelray_bench_out"
+    # tmpfs sink: one VM's disk doesn't scale like a cluster's per-node
+    # disks; /dev/shm is the in-sandbox proxy (same choice as --scaling)
+    out_dir = "/dev/shm/otelray_bench_out"
     shutil.rmtree(out_dir, ignore_errors=True)
     t0 = time.perf_counter()
     ds = ray.data.read_parquet(corpus_path)
@@ -95,6 +97,7 @@ def run_headline(corpus_path: str, n_rows: int) -> dict:
     )
     n_groups = len(agg)
     elapsed = time.perf_counter() - t0
+    shutil.rmtree(out_dir, ignore_errors=True)  # don't leave GBs in tmpfs
     return {
         "seconds": elapsed,
         "rows": n_rows,

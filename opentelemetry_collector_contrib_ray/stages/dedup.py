@@ -358,15 +358,29 @@ def verify_pairs(ds, pairs: list[tuple], *, text_col="text", id_col="doc_id", n:
         )
     )
     texts = dict(zip(texts_tbl[id_col].to_pylist(), texts_tbl[text_col].to_pylist()))
-    out = []
-    for a, b in pairs:
-        ta, tb = texts.get(a), texts.get(b)
-        if ta is None or tb is None:
-            continue
-        j = ngram_jaccard(ta, tb, n)
-        if j >= threshold:
-            out.append((a, b, j))
-    return out
+    # distribute verification: pair chunks fan out as Ray tasks, the
+    # candidate texts broadcast once — the driver only merges edges
+    texts_ref = ray.put(texts)
+
+    @ray.remote
+    def verify_chunk(chunk):
+        tx = ray.get(texts_ref)
+        out = []
+        for a, b in chunk:
+            ta, tb = tx.get(a), tx.get(b)
+            if ta is None or tb is None:
+                continue
+            j = ngram_jaccard(ta, tb, n)
+            if j >= threshold:
+                out.append((a, b, j))
+        return out
+
+    chunk_size = max(256, len(pairs) // 256)
+    futures = [
+        verify_chunk.remote(pairs[i : i + chunk_size])
+        for i in range(0, len(pairs), chunk_size)
+    ]
+    return [e for chunk in ray.get(futures) for e in chunk]
 
 
 def connected_components(edges: list[tuple]) -> dict:
