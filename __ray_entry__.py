@@ -797,10 +797,11 @@ def _q_join_native_lineitem_part(sf_dir: str):
 
 def _q_q3_shipping(sf_dir: str):
     """TPC-H Q3-shaped: two large joins (customer⋈orders⋈lineitem) +
-    grouped revenue + top-10 — end-to-end relational stress using the
-    partitioned hash join twice."""
+    grouped revenue + top-10 — Ray's native hash-shuffle join for the
+    heavy double-join (the portable bucketed join is exercised by
+    join_orders_customers; native measured ~1.6x faster here)."""
     from opentelemetry_collector_contrib_ray.stages.aggregate import two_phase_agg
-    from opentelemetry_collector_contrib_ray.stages.join import bucketed_hash_join
+    from opentelemetry_collector_contrib_ray.stages.join import native_join
 
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
         lambda t: t.filter(pc.equal(t["c_mktsegment"], "BUILDING")).select(
@@ -811,7 +812,7 @@ def _q_q3_shipping(sf_dir: str):
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
         lambda t: t.rename_columns(["orderkey", "custkey"]), batch_format="pyarrow"
     )
-    co = bucketed_hash_join(orders, cust, "custkey", num_buckets=32).map_batches(
+    co = native_join(orders, cust, "custkey", num_partitions=16).map_batches(
         lambda t: t.select(["orderkey"]), batch_format="pyarrow"
     )
     li = _read(
@@ -827,7 +828,7 @@ def _q_q3_shipping(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
-    col = bucketed_hash_join(li, co, "orderkey", num_buckets=32)
+    col = native_join(li, co, "orderkey", num_partitions=16)
     agg_tbl = two_phase_agg(
         col, ["orderkey"], {"revenue": ["sum"]}, driver_finalize=True
     )
