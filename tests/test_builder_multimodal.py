@@ -101,3 +101,33 @@ def test_builder_full_dag():
     counts = dict(zip(out["sink"].to_pylist(), out["count"].to_pylist()))
     assert sum(counts.values()) == 800
     assert set(counts) <= {"err", "std", "other"}
+
+
+def test_cli_main(tmp_path):
+    """python -m opentelemetry_collector_contrib_ray <config> runs a
+    pipeline end-to-end in a fresh process (the app.Run() analogue)."""
+    import json
+    import subprocess
+    import sys
+
+    cfg = {
+        "source": {"kind": "synth", "rows": 300, "blocks": 1},
+        "routing": {
+            "from_attribute": "source",
+            "table": {"app-a": ["a"]},
+            "default": ["rest"],
+        },
+        "aggregate": {"keys": ["sink"], "driver_finalize": True},
+    }
+    p = tmp_path / "cfg.json"
+    p.write_text(json.dumps(cfg))
+    out = subprocess.run(
+        [sys.executable, "-m", "opentelemetry_collector_contrib_ray", str(p), "--num-cpus", "2"],
+        capture_output=True,
+        text=True,
+        check=True,
+        cwd="/root/repo",
+        timeout=180,
+    ).stdout
+    res = json.loads(out.strip().splitlines()[-1])
+    assert sum(s["count"] for s in res["sample"]) == 300
