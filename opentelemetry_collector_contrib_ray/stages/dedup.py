@@ -186,10 +186,17 @@ def minhash_lsh_groups(
     # re-read instead of materializing.)
     exploded = mh.map_batches(explode, batch_format="pyarrow").materialize()
 
-    # Bucket resolution without per-group Python calls: (1) vectorized
-    # bucket-size counts (two-phase, no row shuffle), (2) broadcast the
-    # multi-member bucket keys — near-dup buckets are a tiny fraction —
-    # (3) semi-join filter, (4) one pandas agg over the filtered set.
+    return _resolve_buckets(exploded, id_col)
+
+
+
+
+def _resolve_buckets(exploded, id_col: str) -> pa.Table:
+    """(band_id, band_hash, id) triples → multi-member buckets with
+    sorted member lists, without per-group Python calls: (1) vectorized
+    bucket-size counts (two-phase, no row shuffle), (2) broadcast the
+    multi-member bucket keys — near-dup buckets are a tiny fraction —
+    (3) semi-join filter, (4) one pandas agg over the filtered set."""
     from .aggregate import two_phase_agg
 
     counts = two_phase_agg(
@@ -230,6 +237,38 @@ def minhash_lsh_groups(
     )
     return pa.Table.from_pandas(agg, preserve_index=False)
 
+
+def simhash_buckets(ds, text_col: str = "text", id_col: str = "doc_id", *, bands: int = 4):
+    """SimHash near-dup candidates: split each 64-bit simhash into
+    ``bands`` equal bit-bands; docs within Hamming distance < bands
+    share at least one identical band (pigeonhole) and land in a common
+    bucket. Same triple-shuffle/bucket-resolution shape as MinHash-LSH.
+    """
+    width = 64 // bands
+    band_mask = np.uint64((1 << width) - 1)
+
+    sh = ds.map_batches(SimHasher(text_col=text_col), batch_format="pyarrow", batch_size=2048)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        h = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        n = len(batch)
+        out_band, out_hash, out_id = [], [], []
+        for b in range(bands):
+            vals = (h >> np.uint64(b * width)) & band_mask
+            out_band.append(np.full(n, b, dtype=np.int32))
+            out_hash.append(vals.astype(np.int64))
+            out_id.append(ids)
+        return pa.table(
+            {
+                "band_id": pa.array(np.concatenate(out_band)),
+                "band_hash": pa.array(np.concatenate(out_hash)),
+                id_col: pa.array(np.concatenate(out_id)),
+            }
+        )
+
+    exploded = sh.map_batches(explode, batch_format="pyarrow").materialize()
+    return _resolve_buckets(exploded, id_col)
 
 # -------------------------------------------------------------------- SimHash
 

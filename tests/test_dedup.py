@@ -106,3 +106,14 @@ def test_near_dedup_end_to_end():
     assert {"d3", "d4"} <= surv  # unrelated docs untouched
     roots = {clusters[k] for k in ("d1", "d2", "d5")}
     assert roots == {"d0"}
+
+
+def test_simhash_buckets_near_dups():
+    from opentelemetry_collector_contrib_ray.stages.dedup import simhash_buckets
+
+    ds = ray.data.from_pandas(_docs())
+    out = simhash_buckets(ds, bands=4)
+    joint = [set(ids) for ids in out["ids"].to_pylist()]
+    # exact dup pair d0/d1 shares every band; unrelated d3 never joins them
+    assert any({"d0", "d1"} <= s for s in joint)
+    assert not any("d3" in s and len(s) > 1 for s in joint)
