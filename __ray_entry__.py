@@ -321,6 +321,32 @@ def _q_quality(sf_dir: str):
     return _round_cols(out, {"mean_word_len": 6})
 
 
+def _q_rolling_fingerprint(sf_dir: str):
+    """Winnowing-style rolling-hash fingerprints (rows-only; robust to
+    small edits unlike md5 — see fingerprint for the exact variant)."""
+    from opentelemetry_collector_contrib_ray.stages.textstats import rolling_fingerprint
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: rolling_fingerprint(b).select(["doc_id", "rhash"]),
+        batch_format="pyarrow",
+    )
+
+
+def _q_value_quantiles(sf_dir: str):
+    """Mergeable quantile sketch over events.value (rows-only; rank
+    error bounded, asserted in tests)."""
+    import pandas as pd
+
+    from opentelemetry_collector_contrib_ray.stages.sketch import quantiles
+
+    ds = _read(sf_dir, "events", ["value"])
+    qs = quantiles(ds, "value", qs=(0.5, 0.9, 0.99))
+    return pd.DataFrame(
+        {"q": list(qs.keys()), "value_approx": [round(v, 2) for v in qs.values()]}
+    )
+
+
 def _q_langid(sf_dir: str):
     from opentelemetry_collector_contrib_ray.stages.aggregate import two_phase_agg
     from opentelemetry_collector_contrib_ray.stages.textstats import LangId
@@ -954,6 +980,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "es_docs": _q_es_docs,
         "distinct_users": _q_distinct_users,
         "hll_distinct_users": _q_hll_distinct_users,
+        "rolling_fingerprint": _q_rolling_fingerprint,
+        "value_quantiles": _q_value_quantiles,
     }
 
 
