@@ -16,8 +16,15 @@ import pyarrow.compute as pc
 GOTIME_TO_STRPTIME = {
     "2006-01-02": "%Y-%m-%d",
     "2006-01-02 15:04:05": "%Y-%m-%d %H:%M:%S",
+    "2006/01/02 15:04:05": "%Y/%m/%d %H:%M:%S",
+    "2006-01-02T15:04:05": "%Y-%m-%dT%H:%M:%S",
     "2006-01-02T15:04:05Z07:00": "%Y-%m-%dT%H:%M:%S%z",
+    "01/02/2006 15:04:05": "%m/%d/%Y %H:%M:%S",
+    "02/Jan/2006:15:04:05": "%d/%b/%Y:%H:%M:%S",  # Apache CLF
     "Jan _2 15:04:05": "%b %d %H:%M:%S",
+    "Jan 2 15:04:05": "%b %d %H:%M:%S",
+    "Mon Jan 2 15:04:05 2006": "%a %b %d %H:%M:%S %Y",  # asctime
+    "15:04:05": "%H:%M:%S",
 }
 
 

@@ -345,3 +345,22 @@ def parse_collectd_json(batch: pa.Table, raw_col: str = "raw") -> pa.Table:
             "ts_ns": pa.array(rows["ts_ns"], pa.int64()),
         }
     )
+
+
+def split_packet_lines(batch: pa.Table, col: str = "raw", out: str = "raw") -> pa.Table:
+    """Explode newline-separated protocol packets into one row per line
+    (statsd/carbon UDP packets may carry many metrics per datagram).
+    Vectorized: arrow split_pattern → flatten with parent-row repeat of
+    every other column."""
+    src = batch[col]
+    if isinstance(src, pa.ChunkedArray):
+        src = src.combine_chunks()
+    parts = pc.split_pattern(src, pattern="\n")
+    lengths = pc.list_value_length(parts).to_numpy(zero_copy_only=False)
+    lengths = np.nan_to_num(lengths, nan=0).astype(np.int64)
+    flat = parts.flatten()
+    idx = np.repeat(np.arange(len(batch), dtype=np.int64), lengths)
+    kept = batch.drop_columns([col]).take(pa.array(idx))
+    kept = kept.append_column(out, flat)
+    # drop empty lines (trailing newline)
+    return kept.filter(pc.not_equal(kept[out], ""))

@@ -98,3 +98,19 @@ def test_rfc5424():
     out = parse_rfc5424(pa.table({"raw": [line]})).to_pylist()[0]
     assert out["pri"] == "165" and out["hostname"] == "host"
     assert out["appname"] == "app" and out["message"] == "hello 5424"
+
+
+def test_split_packet_lines():
+    from opentelemetry_collector_contrib_ray.sources.lines import split_packet_lines
+
+    t = pa.table(
+        {
+            "src": ["udp-1", "udp-2"],
+            "raw": ["a:1|c\nb:2|g\n", "c:3|ms"],
+        }
+    )
+    out = split_packet_lines(t)
+    assert out["raw"].to_pylist() == ["a:1|c", "b:2|g", "c:3|ms"]
+    assert out["src"].to_pylist() == ["udp-1", "udp-1", "udp-2"]
+    parsed = parse_statsd(out)
+    assert parsed["name"].to_pylist() == ["a", "b", "c"]
