@@ -107,6 +107,15 @@ class JsonParser:
                     vals = s.str.json_path_match(f"$.{f}").to_arrow()
                     batch = _set_column(batch, f, vals.cast(pa.string()))
                 return batch
+            # generic fast path: vectorized full decode → struct → columns
+            # (falls back below when any row is invalid JSON)
+            decoded = s.str.json_decode()
+            if isinstance(decoded.dtype, pl.Struct):
+                for f in decoded.struct.fields:
+                    batch = _set_column(
+                        batch, f, decoded.struct.field(f).to_arrow()
+                    )
+                return batch
         except Exception:
             pass
         # generic path: parse rows, union of keys (or requested fields)
@@ -130,15 +139,35 @@ class SeverityParser:
     """stanza severity_parser + ingest conversion: a raw severity string
     column → ``severity_text``/``severity_number`` per the exact table in
     internal/stanza/converter.go:532-582. Missing/unknown → Undefined/0.
+
+    ``mapping`` adds custom aliases on top of the defaults (stanza's
+    ``mapping:`` config): {"panic": "emergency", "5xx": 60, ...} —
+    values are either a standard alias name or a numeric stanza level
+    (custom levels bucket via the `>` switch, converter.go:559-579).
     """
 
-    def __init__(self, parse_from: str = "sev"):
+    def __init__(self, parse_from: str = "sev", mapping: dict | None = None):
         self.parse_from = parse_from
+        self.custom = {}
+        for alias, target in (mapping or {}).items():
+            if isinstance(target, (int, float)):
+                self.custom[str(alias).lower()] = int(target)
+            else:
+                self.custom[str(alias).lower()] = sevmod.TEXT_TO_LEVEL.get(
+                    str(target).lower(), sevmod.DEFAULT
+                )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self.parse_from in batch.column_names:
             raw = batch[self.parse_from].to_numpy(zero_copy_only=False)
             levels = sevmod.parse_severity_text(raw)
+            if self.custom:
+                low = np.array(
+                    [str(v).strip().lower() if v is not None else "" for v in raw],
+                    dtype=object,
+                )
+                for alias, lvl in self.custom.items():
+                    levels[low == alias] = lvl
         else:
             levels = np.zeros(len(batch), dtype=np.int32)
         text, num = sevmod.convert_severity(levels)

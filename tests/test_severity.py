@@ -51,3 +51,18 @@ def test_syslog_pri():
     # pri 34 = facility 4, severity 2 (Critical); pri 13 = sev 5 (Notice)
     levels = sev.syslog_pri_to_level(np.array([34, 13]))
     assert levels.tolist() == [sev.CRITICAL, sev.NOTICE]
+
+
+def test_severity_parser_custom_mapping():
+    """stanza `mapping:` config: custom aliases map to standard levels
+    or raw numeric stanza levels (custom levels bucket via `>`)."""
+    import pyarrow as pa
+
+    from opentelemetry_collector_contrib_ray.stages.parse import SeverityParser
+
+    t = pa.table({"sev": ["panic", "5xx", "ERROR", "meh"]})
+    p = SeverityParser(mapping={"panic": "emergency", "5xx": 65, "meh": "info"})
+    out = p(t)
+    assert out["severity_text"].to_pylist() == ["Error", "Error", "Error", "Info"]
+    # emergency→FATAL(21); 65 buckets `> Error` → ERROR2(18); error→17; info→9
+    assert out["severity_number"].to_pylist() == [21, 18, 17, 9]
