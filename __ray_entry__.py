@@ -232,6 +232,53 @@ def _q_enrich_users(sf_dir: str):
     )
 
 
+def _q_metrics_generation(sf_dir: str):
+    """metricsgenerationprocessor 'calculate': derived metric =
+    value × json-extracted field (json_parser + column arithmetic,
+    config.go:72-83)."""
+    from opentelemetry_collector_contrib_ray.stages.metricstransform import (
+        calculate_metric,
+    )
+    from opentelemetry_collector_contrib_ray.stages.parse import JsonParser
+
+    ds = _read(sf_dir, "events", ["event_id", "value", "props"])
+    parser = JsonParser(parse_from="props", fields=["k"])
+
+    def gen(t: pa.Table) -> pa.Table:
+        t = parser(t)
+        t = t.set_column(
+            t.column_names.index("k"), "k", pc.cast(t["k"], pa.float64())
+        )
+        t = calculate_metric(t, "derived", "value", "multiply", "k")
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "derived": np.round(
+                    t["derived"].to_numpy(zero_copy_only=False), 6
+                ),
+            }
+        )
+
+    return ds.map_batches(gen, batch_format="pyarrow")
+
+
+def _q_consistent_hash_route(sf_dir: str):
+    """loadbalancingexporter ring: deterministic backend assignment
+    counts (rows-only; hash is engine-internal)."""
+    from opentelemetry_collector_contrib_ray.stages.aggregate import two_phase_agg
+    from opentelemetry_collector_contrib_ray.stages.sinks import consistent_hash_partition
+
+    ds = _read(sf_dir, "events", ["event_id"])
+
+    def to_str(t: pa.Table) -> pa.Table:
+        return pa.table({"event_id": pc.cast(t["event_id"], pa.string())})
+
+    assigned = consistent_hash_partition(
+        ds.map_batches(to_str, batch_format="pyarrow"), "event_id", 8
+    )
+    return two_phase_agg(assigned, ["backend"], {"*": ["count"]})
+
+
 def _q_delta_conversion(sf_dir: str):
     """Cumulative→delta per series key (datadogexporter
     metrics_translator.go:106-134): per user ordered by (ts, event_id),
@@ -982,6 +1029,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct_users": _q_hll_distinct_users,
         "rolling_fingerprint": _q_rolling_fingerprint,
         "value_quantiles": _q_value_quantiles,
+        "metrics_generation": _q_metrics_generation,
+        "consistent_hash_route": _q_consistent_hash_route,
     }
 
 
@@ -1038,6 +1087,11 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN customer ON user_id = c_custkey
             LEFT JOIN nation ON c_nationkey = n_nationkey
             GROUP BY 1
+        """,
+        "metrics_generation": """
+            SELECT event_id,
+                   ROUND(value * CAST(json_extract(props, '$.k') AS DOUBLE), 6) AS derived
+            FROM events
         """,
         "delta_conversion": """
             SELECT event_id,
