@@ -59,7 +59,11 @@ def corpus_rows(sf: float) -> int:
 def scaling_rows(sf: float) -> int:
     """Scaling measurement uses a 2× larger corpus than the plain bench:
     the ≥0.8 criterion needs enough parallel work to amortize the
-    per-pass serial fraction (executor startup, file listing)."""
+    per-pass serial fraction (executor startup, file listing).
+    Override with OTELRAY_SCALING_ROWS for bigger evidence runs."""
+    env = os.environ.get("OTELRAY_SCALING_ROWS")
+    if env:
+        return int(env)
     return max(400_000, int(sf * 40_000_000))
 
 
