@@ -180,7 +180,9 @@ def _q_statsd_agg(sf_dir: str):
     from opentelemetry_collector_contrib_ray.stages.aggregate import statsd_agg
 
     ds = _read(sf_dir, "events", ["event_type", "value"])
-    out = statsd_agg(ds, ["event_type"], "value")
+    # value_scale=100: events.value is cent-precision; exact int sums make
+    # the merged double independent of Ray's partial-merge order.
+    out = statsd_agg(ds, ["event_type"], "value", value_scale=100)
     return _round_cols(out, {"value_sum": 6, "value_mean": 6})
 
 
@@ -188,7 +190,9 @@ def _q_spanmetrics_hist(sf_dir: str):
     from opentelemetry_collector_contrib_ray.stages.aggregate import histogram_agg
 
     ds = _read(sf_dir, "events", ["event_type", "value"])
-    out = histogram_agg(ds, ["event_type"], "value", bounds=[50.0, 100.0, 150.0])
+    out = histogram_agg(
+        ds, ["event_type"], "value", bounds=[50.0, 100.0, 150.0], value_scale=100
+    )
     return _round_cols(out, {"value_sum": 6})
 
 
@@ -315,6 +319,7 @@ def _q_time_window_agg(sf_dir: str):
         ["event_type", "window_start"],
         {"value": ["sum"]},
         driver_finalize=True,  # few thousand groups — skip the shuffle
+        exact_sums={"value": 100},
     )
     return _round_cols(out, {"value_sum": 6})
 
@@ -550,7 +555,11 @@ def _q_mt_aggregate_label_values(sf_dir: str):
 
     ds = _read(sf_dir, "events", ["event_type", "value"])
     out = aggregate_label_values(
-        ds, "event_type", {"click": "engagement", "view": "engagement"}, ["event_type"]
+        ds,
+        "event_type",
+        {"click": "engagement", "view": "engagement"},
+        ["event_type"],
+        exact_scale=100,
     )
     return _round_cols(out, {"value_sum": 6})
 
@@ -1063,13 +1072,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events
         """,
         "statsd_agg": """
+            -- DECIMAL sum = exact integer arithmetic, matching the engine's
+            -- int64-scaled deterministic sum (aggregate.py exact_sums)
             SELECT event_type, COUNT(*) AS "count", COUNT(value) AS value_count,
-                   ROUND(SUM(value), 6) AS value_sum, MIN(value) AS value_min,
-                   MAX(value) AS value_max, ROUND(SUM(value)/COUNT(*), 6) AS value_mean
+                   ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 6) AS value_sum,
+                   MIN(value) AS value_min, MAX(value) AS value_max,
+                   ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*), 6) AS value_mean
             FROM events GROUP BY 1
         """,
         "spanmetrics_hist": """
-            SELECT event_type, COUNT(*) AS call_count, ROUND(SUM(value), 6) AS value_sum,
+            SELECT event_type, COUNT(*) AS call_count,
+                   ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 6) AS value_sum,
                    SUM(CASE WHEN value <= 50 THEN 1 ELSE 0 END) AS bucket_0,
                    SUM(CASE WHEN value > 50 AND value <= 100 THEN 1 ELSE 0 END) AS bucket_1,
                    SUM(CASE WHEN value > 100 AND value <= 150 THEN 1 ELSE 0 END) AS bucket_2,
@@ -1100,7 +1113,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "time_window_agg": """
             SELECT event_type, date_trunc('hour', ts) AS window_start,
-                   COUNT(*) AS "count", ROUND(SUM(value), 6) AS value_sum
+                   COUNT(*) AS "count",
+                   ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 6) AS value_sum
             FROM events GROUP BY 1, 2
         """,
         "exact_dedup": """
@@ -1144,7 +1158,8 @@ def oracle_sql() -> dict[str, str]:
         "mt_aggregate_label_values": """
             SELECT CASE WHEN event_type IN ('click', 'view') THEN 'engagement'
                         ELSE event_type END AS event_type,
-                   COUNT(*) AS "count", ROUND(SUM(value), 6) AS value_sum
+                   COUNT(*) AS "count",
+                   ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 6) AS value_sum
             FROM events GROUP BY 1
         """,
         "topk_orders": """

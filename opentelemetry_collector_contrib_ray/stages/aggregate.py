@@ -18,11 +18,22 @@ Re-expresses the reference's aggregation semantics on Ray Data:
 
 Scale design: a bare ``groupby().aggregate()`` shuffles every row.
 Every aggregation here is TWO-PHASE: phase 1 combines inside
-``map_batches`` (one partial row per (key, salt) per batch — the only
-rows that enter the shuffle), phase 2 is a small ``groupby`` over the
-partials. Skewed keys (70% app-a in the synthetic corpus) are salted:
-partials carry ``_salt = row_hash % num_salts`` so phase 2a spreads a
-hot key over ``num_salts`` reducers before the tiny phase 2b merge.
+``map_batches`` (one partial row per key per batch — the only rows
+that enter the shuffle), phase 2 is a small ``groupby`` over the
+partials. Skew note: per-batch combining already bounds the phase-2
+input for ANY key (hot or not) to ≤ #blocks partial rows, so no salt
+column is needed — an earlier design carried ``_salt`` but it only
+multiplied partial rows without spreading phase-2 load (each key's
+partials still converge on one reducer); it was removed.
+
+Determinism: float partial sums merged by Ray's ``Sum`` arrive in
+nondeterministic order, so the final double can differ between runs
+(and from DuckDB) by ~1 ulp — enough to flip a ROUND() at a rounding
+boundary. For columns with fixed decimal precision pass
+``exact_sums={col: scale}``: values are scaled to int64
+(``rint(v * scale)``) in phase 1 and summed exactly in integer
+arithmetic — order-independent, bit-reproducible, and equal to a SQL
+``SUM(CAST(col AS DECIMAL))`` oracle.
 """
 
 from __future__ import annotations
@@ -33,36 +44,24 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from .._util import hash_u64
-
 _AGG_FUNCS = {"count", "sum", "min", "max", "mean"}
 
 
-def _partial_stage(keys, aggs, num_salts, salt_on):
-    """Build the per-batch combiner: batch → one row per (keys, salt)."""
+def _partial_stage(keys, aggs, exact_sums):
+    """Build the per-batch combiner: batch → one row per key tuple."""
+    exact_sums = exact_sums or {}
 
     def combine(batch: pa.Table) -> pa.Table:
         df_cols = {k: batch[k].to_numpy(zero_copy_only=False) for k in keys}
-        n = len(batch)
-        if num_salts > 1:
-            if salt_on and salt_on in batch.column_names:
-                ids = hash_u64(
-                    np.asarray(
-                        pd.util.hash_array(
-                            pd.Series(batch[salt_on].to_numpy(zero_copy_only=False)).to_numpy()
-                        ),
-                        dtype=np.uint64,
-                    )
-                )
-            else:
-                ids = hash_u64(np.arange(n, dtype=np.uint64), salt=17)
-            df_cols["_salt"] = (ids % np.uint64(num_salts)).astype(np.int64)
         for col, fns in aggs.items():
             if col != "*":
                 df_cols[col] = batch[col].to_numpy(zero_copy_only=False)
         df = pd.DataFrame(df_cols)
-        gkeys = list(keys) + (["_salt"] if num_salts > 1 else [])
-        g = df.groupby(gkeys, dropna=False, sort=False, observed=True)
+        for col, scale in exact_sums.items():
+            v = df[col].to_numpy(dtype=np.float64, copy=True)
+            v[np.isnan(v)] = 0.0  # skipna-sum semantics: nulls contribute 0
+            df[f"_int_{col}"] = np.rint(v * scale).astype(np.int64)
+        g = df.groupby(list(keys), dropna=False, sort=False, observed=True)
         out = g.size().rename("_count").to_frame()
         for col, fns in aggs.items():
             if col == "*":
@@ -71,7 +70,10 @@ def _partial_stage(keys, aggs, num_salts, salt_on):
                 if fn == "count":
                     out[f"{col}__count"] = g[col].count()
                 elif fn in ("sum", "mean"):
-                    out[f"{col}__sum"] = g[col].sum()
+                    if col in exact_sums:
+                        out[f"{col}__isum"] = g[f"_int_{col}"].sum()
+                    else:
+                        out[f"{col}__sum"] = g[col].sum()
                 elif fn == "min":
                     out[f"{col}__min"] = g[col].min()
                 elif fn == "max":
@@ -87,32 +89,43 @@ def two_phase_agg(
     keys: Sequence[str],
     aggs: dict[str, Sequence[str]],
     *,
-    num_salts: int = 16,
-    salt_on: str | None = None,
+    num_salts: int = 16,  # accepted for API compat; no-op (see module doc)
+    salt_on: str | None = None,  # accepted for API compat; no-op
     batch_size: int = 64 * 1024,
     driver_finalize: bool = False,
+    exact_sums: dict[str, int] | None = None,
 ):
-    """Grouped aggregation with per-batch combining and key salting.
+    """Grouped aggregation with per-batch combining.
 
     aggs: {column: [fn,...]} with fn in {count,sum,min,max,mean};
     use {"*": ["count"]} for plain row counts. Output columns are
     ``<col>_<fn>`` plus ``count`` for the row count.
 
+    ``exact_sums={col: scale}`` makes that column's sum (and mean)
+    bit-deterministic: values are int64-scaled per batch and summed in
+    integer arithmetic, so the merge order cannot perturb the result
+    (module doc). Use for fixed-decimal inputs (scale=100 for cents).
+
     Returns a Ray Dataset with one row per distinct key tuple — or,
     with ``driver_finalize=True``, a pyarrow.Table merged on the
     driver: the combine phase stays fully distributed and the driver
-    only merges the per-batch partials (≤ groups × salts × blocks
-    rows). Use it when the group count is small — it replaces the
-    all-to-all groupby shuffle with one tiny collect.
+    only merges the per-batch partials (≤ groups × blocks rows). Use
+    it when the group count is small — it replaces the all-to-all
+    groupby shuffle with one tiny collect.
     """
     from ray.data.aggregate import Max, Min, Sum
 
     keys = list(keys)
+    exact_sums = exact_sums or {}
     partial = ds.map_batches(
-        _partial_stage(keys, aggs, num_salts, salt_on),
+        _partial_stage(keys, aggs, exact_sums),
         batch_format="pyarrow",
         batch_size=batch_size,
     )
+
+    def _sum_part(col: str) -> str:
+        return f"{col}__isum" if col in exact_sums else f"{col}__sum"
+
     if driver_finalize:
         parts = pa.concat_tables(
             partial.iter_batches(batch_format="pyarrow", batch_size=None),
@@ -128,20 +141,22 @@ def two_phase_agg(
                 if fn == "count":
                     out[f"{col}_count"] = g[f"{col}__count"].sum()
                 elif fn == "sum":
-                    out[f"{col}_sum"] = g[f"{col}__sum"].sum()
+                    s = g[_sum_part(col)].sum()
+                    out[f"{col}_sum"] = s / exact_sums[col] if col in exact_sums else s
                 elif fn == "mean":
-                    out[f"{col}_mean"] = g[f"{col}__sum"].sum() / out["count"]
+                    s = g[_sum_part(col)].sum()
+                    if col in exact_sums:
+                        s = s / exact_sums[col]
+                    out[f"{col}_mean"] = s / out["count"]
                 elif fn == "min":
                     out[f"{col}_min"] = g[f"{col}__min"].min()
                 elif fn == "max":
                     out[f"{col}_max"] = g[f"{col}__max"].max()
         return pa.Table.from_pandas(out.reset_index(), preserve_index=False)
-    # phase 2: merge partials. With salting the partial key space is
-    # (keys × salt); we merge straight to `keys` — Ray hash-partitions on
-    # the full key tuple, so pre-salted partials already spread hot keys
-    # across batches; the final groupby input is tiny (≤ groups×salts×blocks).
+    # phase 2: merge partials — the groupby input is tiny (≤ groups × blocks).
     ray_aggs = [Sum("_count", alias_name="count")]
     finalize_mean = []
+    finalize_scale = []
     for col, fns in aggs.items():
         if col == "*":
             continue
@@ -149,28 +164,45 @@ def two_phase_agg(
             if fn == "count":
                 ray_aggs.append(Sum(f"{col}__count", alias_name=f"{col}_count"))
             elif fn == "sum":
-                ray_aggs.append(Sum(f"{col}__sum", alias_name=f"{col}_sum"))
+                if col in exact_sums:
+                    ray_aggs.append(Sum(f"{col}__isum", alias_name=f"{col}__isum_total"))
+                    finalize_scale.append(col)
+                else:
+                    ray_aggs.append(Sum(f"{col}__sum", alias_name=f"{col}_sum"))
             elif fn == "mean":
-                ray_aggs.append(Sum(f"{col}__sum", alias_name=f"{col}__msum"))
+                if col not in (exact_sums.keys() & {c for c, f in aggs.items() if "sum" in f}):
+                    # avoid double-adding the same partial when sum+mean both requested
+                    ray_aggs.append(Sum(_sum_part(col), alias_name=f"{col}__msum"))
                 finalize_mean.append(col)
             elif fn == "min":
                 ray_aggs.append(Min(f"{col}__min", alias_name=f"{col}_min"))
             elif fn == "max":
                 ray_aggs.append(Max(f"{col}__max", alias_name=f"{col}_max"))
     out = partial.groupby(keys).aggregate(*ray_aggs)
-    if finalize_mean:
+    if finalize_mean or finalize_scale:
 
         def _fin(t: pa.Table) -> pa.Table:
             import pyarrow.compute as pc
 
-            for col in finalize_mean:
-                mean = pc.divide(
-                    pc.cast(t[f"{col}__msum"], pa.float64()),
-                    pc.cast(t["count"], pa.float64()),
+            for col in finalize_scale:
+                total = pc.divide(
+                    pc.cast(t[f"{col}__isum_total"], pa.float64()),
+                    pa.scalar(float(exact_sums[col])),
                 )
+                t = t.append_column(f"{col}_sum", total)
+            for col in finalize_mean:
+                if f"{col}__msum" in t.column_names:
+                    msum = pc.cast(t[f"{col}__msum"], pa.float64())
+                    if col in exact_sums:
+                        msum = pc.divide(msum, pa.scalar(float(exact_sums[col])))
+                else:  # sum+mean with exact scaling share one partial
+                    msum = t[f"{col}_sum"]
+                mean = pc.divide(msum, pc.cast(t["count"], pa.float64()))
                 t = t.append_column(f"{col}_mean", mean)
-                t = t.drop_columns([f"{col}__msum"])
-            return t
+            drop = [f"{c}__isum_total" for c in finalize_scale] + [
+                f"{c}__msum" for c in finalize_mean if f"{c}__msum" in t.column_names
+            ]
+            return t.drop_columns(drop)
 
         out = out.map_batches(_fin, batch_format="pyarrow")
     return out
@@ -244,14 +276,19 @@ def histogram_agg(
     value_col: str,
     bounds: Sequence[float],
     *,
-    num_salts: int = 8,
+    num_salts: int = 8,  # accepted for API compat; no-op (see module doc)
     batch_size: int = 64 * 1024,
+    value_scale: int | None = None,
 ):
     """spanmetrics-style explicit-bucket histogram per key tuple
     (processor.go:305-333): per group emit ``call_count``,
     ``<value>_sum`` and ``bucket_0..bucket_len(bounds)`` counts
     (bucket_i = count of values ≤ bounds[i]; last bucket = overflow).
     Two-phase: per-batch searchsorted+bincount partials, Sum merge.
+
+    ``value_scale`` (e.g. 100 for cent-precision values) switches the
+    sum to exact int64 arithmetic so the merged double is independent
+    of Ray's partial-merge order (module doc: determinism).
     """
     from ray.data.aggregate import Sum
 
@@ -263,12 +300,11 @@ def histogram_agg(
         vals = batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
         bucket = np.searchsorted(bounds_arr, vals, side="left")
         df = pd.DataFrame({k: batch[k].to_numpy(zero_copy_only=False) for k in keys})
-        df["_salt"] = (
-            hash_u64(np.arange(len(batch), dtype=np.uint64), 23) % np.uint64(num_salts)
-        ).astype(np.int64)
-        df["_v"] = vals
-        df["_b"] = bucket
-        g = df.groupby(keys + ["_salt"], dropna=False, sort=False, observed=True)
+        if value_scale is not None:
+            df["_v"] = np.rint(vals * value_scale).astype(np.int64)
+        else:
+            df["_v"] = vals
+        g = df.groupby(keys, dropna=False, sort=False, observed=True)
         out = g["_v"].agg(call_count="count", vsum="sum").reset_index()
         # bucket count matrix per group
         codes = g.ngroup().to_numpy()
@@ -276,22 +312,45 @@ def histogram_agg(
         np.add.at(mat, (codes, bucket), 1)
         for b in range(nb):
             out[f"bucket_{b}"] = mat[:, b]
-        return pa.Table.from_pandas(out.drop(columns=["_salt"]), preserve_index=False)
+        return pa.Table.from_pandas(out, preserve_index=False)
 
     partial = ds.map_batches(combine, batch_format="pyarrow", batch_size=batch_size)
     aggs = [
         Sum("call_count", alias_name="call_count"),
-        Sum("vsum", alias_name=f"{value_col}_sum"),
+        Sum("vsum", alias_name="vsum"),
     ] + [Sum(f"bucket_{b}", alias_name=f"bucket_{b}") for b in range(nb)]
-    return partial.groupby(keys).aggregate(*aggs)
+    merged = partial.groupby(keys).aggregate(*aggs)
+
+    def _fin(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        v = pc.cast(t["vsum"], pa.float64())
+        if value_scale is not None:
+            v = pc.divide(v, pa.scalar(float(value_scale)))
+        i = t.column_names.index("vsum")
+        return t.set_column(i, f"{value_col}_sum", v)
+
+    return merged.map_batches(_fin, batch_format="pyarrow")
 
 
-def statsd_agg(ds, keys: Sequence[str], value_col: str, *, num_salts: int = 16):
+def statsd_agg(
+    ds,
+    keys: Sequence[str],
+    value_col: str,
+    *,
+    num_salts: int = 16,
+    value_scale: int | None = None,
+):
     """statsd counter/gauge/timer rollup per key
     (statsd_parser.go:138-222): count, sum, min, max, mean over the
-    value column — the batch-engine equivalent of one flush interval."""
+    value column — the batch-engine equivalent of one flush interval.
+    ``value_scale`` → exact int64 sums (see two_phase_agg)."""
     return two_phase_agg(
-        ds, keys, {value_col: ["count", "sum", "min", "max", "mean"]}, num_salts=num_salts
+        ds,
+        keys,
+        {value_col: ["count", "sum", "min", "max", "mean"]},
+        num_salts=num_salts,
+        exact_sums={value_col: value_scale} if value_scale else None,
     )
 
 

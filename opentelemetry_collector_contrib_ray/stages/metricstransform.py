@@ -74,16 +74,24 @@ def aggregate_labels(
     *,
     group_by_timestamp: str | None = None,
     num_salts: int = 8,
+    exact_scale: int | None = None,
 ):
     """aggregate_labels: retain a label subset, merge points with
     sum/mean/min/max (datapoint_aggregation.go:34-117). Points are
     grouped by (retained labels [, timestamp]) — the dropped labels'
     dimensions collapse. Output column: ``<value_col>_<aggregation>``.
+    ``exact_scale`` → deterministic int64-scaled sums (two_phase_agg).
     """
     if aggregation not in ("sum", "mean", "min", "max"):
         raise ValueError(f"unsupported aggregation {aggregation}")
     keys = list(retain) + ([group_by_timestamp] if group_by_timestamp else [])
-    return two_phase_agg(ds, keys, {value_col: [aggregation]}, num_salts=num_salts)
+    return two_phase_agg(
+        ds,
+        keys,
+        {value_col: [aggregation]},
+        num_salts=num_salts,
+        exact_sums={value_col: exact_scale} if exact_scale else None,
+    )
 
 
 def aggregate_label_values(

@@ -346,6 +346,16 @@ class Router:
             if chain is None or not m.any():
                 continue
             sub_out = chain(proj.filter(pa.array(m)))
+            if len(sub_out) != int(m.sum()):
+                # scatter-back requires 1:1 rows; a row-dropping branch
+                # (e.g. RegexParser(on_error="drop")) cannot be a Router
+                # branch — use on_error="keep" and filter after routing.
+                raise ValueError(
+                    "Router branch chains must preserve row count: branch "
+                    f"produced {len(sub_out)} rows for {int(m.sum())} inputs. "
+                    'Row-dropping stages (on_error="drop") are not routable; '
+                    'parse with on_error="keep" and filter downstream.'
+                )
             for f in sub_out.schema:
                 if f.name in proj_cols:
                     continue

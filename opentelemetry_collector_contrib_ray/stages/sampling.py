@@ -188,7 +188,12 @@ def probabilistic_sample(ds, id_col: str, fraction: float, salt: int = 0):
     across reruns, unlike random sampling)."""
     from .._util import hash_str_u64
 
-    threshold = int(fraction * (1 << 64))
+    if fraction >= 1.0:
+        return ds  # sample everything — avoid uint64 threshold overflow
+    # clamp: fraction just under 1.0 can round up to 2^64
+    threshold = min(int(fraction * (1 << 64)), (1 << 64) - 1)
+    if threshold <= 0:
+        threshold = 0
 
     def f(batch: pa.Table) -> pa.Table:
         vals = batch[id_col].to_numpy(zero_copy_only=False)

@@ -32,7 +32,18 @@ class CheckpointManifest:
         return os.path.join(self.manifest_dir, f"{shard_id}.json")
 
     def is_complete(self, shard_id: str) -> bool:
-        return os.path.exists(self._path(shard_id))
+        """A shard is complete only if its record exists AND parses —
+        a torn write (crash between rename durability and data
+        durability) must re-run the shard, not skip it forever."""
+        p = self._path(shard_id)
+        if not os.path.exists(p):
+            return False
+        try:
+            with open(p) as f:
+                json.load(f)
+            return True
+        except (json.JSONDecodeError, OSError):
+            return False
 
     def completed_shards(self) -> list[str]:
         return sorted(
@@ -40,12 +51,22 @@ class CheckpointManifest:
         )
 
     def mark_complete(self, shard_id: str, record: dict) -> None:
-        """Atomically record shard completion with lineage metadata."""
+        """Atomically AND durably record shard completion: fsync the
+        temp file before the rename (otherwise the rename can survive a
+        crash while the contents do not, leaving a truncated record),
+        then fsync the directory so the rename itself is durable."""
         record = dict(record, shard_id=shard_id, completed_unix=time.time())
         tmp = self._path(shard_id) + ".tmp"
         with open(tmp, "w") as f:
             json.dump(record, f, indent=2, sort_keys=True, default=str)
+            f.flush()
+            os.fsync(f.fileno())
         os.replace(tmp, self._path(shard_id))
+        dfd = os.open(self.manifest_dir, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
 
     def read(self, shard_id: str) -> dict:
         with open(self._path(shard_id)) as f:

@@ -110,3 +110,35 @@ def test_sorted_group_apply_delta(events_df):
     exp_df = small.sort_values(["uid", "seq"]).reset_index(drop=True)
     assert np.allclose(merged["d"], exp.to_numpy())
     assert merged["seq"].tolist() == exp_df["seq"].tolist()
+
+
+def test_exact_sums_deterministic_vs_float():
+    """exact_sums carries int64-scaled partials: the merged sum equals
+    the mathematically exact decimal total regardless of merge order."""
+    # 0.1 + 0.2 ≠ 0.3 in binary floats; with scale=10 the sum is exact
+    vals = np.tile([0.1, 0.2, 0.3, 0.7], 500)
+    df = pd.DataFrame({"k": ["a", "b"] * 1000, "v": vals})
+    ds = ray.data.from_pandas(df).repartition(8)
+    out = two_phase_agg(ds, ["k"], {"v": ["sum", "mean"]}, exact_sums={"v": 10}).to_pandas()
+    out = out.sort_values("k").reset_index(drop=True)
+    # per key: 500 × (0.1+0.3) = 200.0 and 500 × (0.2+0.7) = 450.0 exactly
+    assert out["v_sum"].tolist() == [200.0, 450.0]
+    assert out["v_mean"].tolist() == [0.2, 0.45]
+    # driver_finalize path agrees bit-for-bit
+    tbl = two_phase_agg(
+        ray.data.from_pandas(df).repartition(8),
+        ["k"], {"v": ["sum", "mean"]}, exact_sums={"v": 10}, driver_finalize=True,
+    ).to_pandas().sort_values("k").reset_index(drop=True)
+    assert tbl["v_sum"].tolist() == [200.0, 450.0]
+    assert tbl["v_mean"].tolist() == [0.2, 0.45]
+
+
+def test_histogram_agg_value_scale_exact():
+    from opentelemetry_collector_contrib_ray.stages.aggregate import histogram_agg
+
+    df = pd.DataFrame({"k": ["x"] * 1000, "v": np.tile([0.01, 0.02], 500)})
+    ds = ray.data.from_pandas(df).repartition(16)
+    out = histogram_agg(ds, ["k"], "v", bounds=[0.015], value_scale=100).to_pandas()
+    assert out["call_count"].iloc[0] == 1000
+    assert out["v_sum"].iloc[0] == 15.0  # 500×0.01 + 500×0.02, exactly
+    assert out["bucket_0"].iloc[0] == 500 and out["bucket_1"].iloc[0] == 500

@@ -48,3 +48,17 @@ def test_run_resume_and_partial(tmp_path):
     assert os.path.exists(os.path.join(run_dir, "metrics.json"))
     with open(os.path.join(run_dir, "metrics.json")) as f:
         assert json.load(f) == s1["metrics"]
+
+
+def test_torn_manifest_record_reruns_shard(tmp_path):
+    """A crash can leave a renamed-but-empty manifest record; it must
+    not mark the shard complete forever (state/checkpoint.py)."""
+    from opentelemetry_collector_contrib_ray.state.checkpoint import CheckpointManifest
+
+    m = CheckpointManifest(str(tmp_path / "run"))
+    m.mark_complete("s1", {"ok": True})
+    assert m.is_complete("s1")
+    # simulate torn write: record file exists but is truncated garbage
+    with open(os.path.join(str(tmp_path / "run"), "manifest", "s2.json"), "w") as f:
+        f.write('{"trunc')
+    assert not m.is_complete("s2")

@@ -131,3 +131,15 @@ def test_router_missing_match_column():
     chain = Router(routes=[("j", r"^\{", Chain([]))], default=None)
     out = chain(pa.table({"other": [1, 2]}))
     assert out["route"].to_pylist() == ["default", "default"]
+
+
+def test_router_rejects_row_dropping_branch():
+    """Scatter-back needs 1:1 rows; a dropping branch must fail loudly
+    (not raise an opaque broadcast error)."""
+    import pytest
+
+    bad = Chain([RegexParser(r"^(?P<n>\d+)$", parse_from="raw", on_error="drop")])
+    router = Router(routes=[("num", r".", bad)], match_on="raw")
+    t = pa.table({"raw": ["123", "nope", "7"]})
+    with pytest.raises(ValueError, match="preserve row count"):
+        router(t)

@@ -87,3 +87,11 @@ def test_probabilistic_deterministic():
     b = probabilistic_sample(ray.data.from_pandas(df), "id", 0.25).to_pandas()
     assert sorted(a["id"]) == sorted(b["id"])  # stable across runs
     assert 0.2 < len(a) / 2000 < 0.3
+
+
+def test_probabilistic_full_fraction_passes_all():
+    df = pd.DataFrame({"id": [f"r{i}" for i in range(100)]})
+    out = probabilistic_sample(ray.data.from_pandas(df), "id", 1.0).to_pandas()
+    assert len(out) == 100
+    out2 = probabilistic_sample(ray.data.from_pandas(df), "id", 0.9999999999999999).to_pandas()
+    assert len(out2) <= 100  # no overflow crash near 1.0
