@@ -3,8 +3,20 @@
 Not present in the reference (SURVEY.md §2.8 — the ES exporter dedups
 field keys only); these are first-class engine additions. All follow
 the same scale shape: vectorized per-batch signature computation in
-``map_batches``, then ONE shuffle on the signature key, then per-group
-resolution. Nothing materializes the corpus on the driver.
+``map_batches``, then ONE shuffle on the signature key, then per-BUCKET
+(not per-key) resolution. Nothing materializes the corpus — or any
+O(corpus)-sized structure — on the driver:
+
+- signature kernels (shingles, MinHash, SimHash) run one strided numpy
+  pass over the batch's concatenated bytes — no per-document Python;
+- LSH bucket resolution and candidate-pair generation happen inside a
+  hash-bucketed ``groupby(_bucket).map_groups`` (64 Python calls total,
+  each a vectorized pass), not via driver-side collection;
+- pair verification is a distributed join of the pair list against the
+  corpus texts (two bucketed shuffles of pairs+texts);
+- connected components default to driver union-find over the VERIFIED
+  edge set (orders smaller than the corpus) with a distributed
+  min-label-propagation implementation for dup-heavy corpora.
 """
 
 from __future__ import annotations
@@ -16,6 +28,7 @@ import pyarrow as pa
 from .._util import splitmix64
 
 _MERSENNE = (1 << 61) - 1
+_SHINGLE_P = np.uint64(1099511628211)
 
 
 def _text_hash64(texts: pd.Series) -> np.ndarray:
@@ -49,33 +62,88 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
     return hashed.groupby("content_hash").aggregate(Min(id_col, alias_name=id_col))
 
 
-# ---------------------------------------------------------------- MinHash-LSH
+# ------------------------------------------------------- shingle kernel
+
+
+def _cumsum0(counts: np.ndarray) -> np.ndarray:
+    out = np.zeros(len(counts) + 1, dtype=np.int64)
+    np.cumsum(counts, out=out[1:])
+    return out
+
+
+def _shingle_hashes_flat(
+    arr: pa.Array, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """ALL docs' k-byte-shingle hashes in one strided pass.
+
+    Zero-copy from the Arrow string buffers: the batch's texts are one
+    contiguous UTF-8 byte run; a single rolling polynomial-hash pass
+    computes every window, and windows crossing document boundaries are
+    excluded by construction. Docs shorter than ``k`` are zero-padded
+    (identical to the per-doc reference kernel). Returns
+    ``(flat_hashes uint64, per_doc_counts int64)`` — feed ``counts``
+    boundaries to ``np.minimum.reduceat`` for per-doc minima.
+    """
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
+    if arr.null_count:
+        import pyarrow.compute as pc
+
+        arr = pc.fill_null(arr, "")
+    off_dtype = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    bufs = arr.buffers()
+    off = np.frombuffer(bufs[1], dtype=off_dtype)[arr.offset : arr.offset + n + 1].astype(
+        np.int64
+    )
+    data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None else np.empty(0, np.uint8)
+    lens = np.diff(off)
+    pad = np.clip(k - lens, 0, None)
+    out_lens = lens + pad
+    out_off = _cumsum0(out_lens)
+    in_flat = data[off[0] : off[-1]]
+    if pad.any():
+        # scatter each doc's bytes to its padded position (vectorized)
+        out_buf = np.zeros(int(out_off[-1]), dtype=np.uint8)
+        shift = np.repeat(out_off[:-1] - (off[:-1] - off[0]), lens)
+        out_buf[np.arange(len(in_flat), dtype=np.int64) + shift] = in_flat
+    else:
+        out_buf = in_flat  # zero-copy: already contiguous and aligned
+    total = int(out_off[-1])
+    W = total - k + 1  # ≥ 1: every doc is ≥ k bytes after padding
+    # rolling hash h[s] = Σ_j byte[s+j] · P^j  — k strided passes
+    h = np.zeros(W, dtype=np.uint64)
+    pw = np.uint64(1)
+    with np.errstate(over="ignore"):
+        for j in range(k):
+            h += out_buf[j : j + W].astype(np.uint64) * pw
+            pw = pw * _SHINGLE_P
+    counts = out_lens - k + 1
+    starts = (
+        np.arange(int(counts.sum()), dtype=np.int64)
+        - np.repeat(_cumsum0(counts)[:-1], counts)
+        + np.repeat(out_off[:-1], counts)
+    )
+    return splitmix64(h[starts]), counts
 
 
 def _shingle_hashes(text: str, k: int) -> np.ndarray:
-    """Character-shingle 64-bit hashes via a rolling polynomial hash."""
-    b = text.encode("utf-8", errors="replace")
-    if len(b) < k:
-        b = b + b"\x00" * (k - len(b))
-    arr = np.frombuffer(b, dtype=np.uint8).astype(np.uint64)
-    # rolling hash: sum of byte * P^pos over window, vectorized via cumsum trick
-    P = np.uint64(1099511628211)
-    with np.errstate(over="ignore"):
-        pw = np.empty(k, dtype=np.uint64)
-        pw[0] = np.uint64(1)
-        for i in range(1, k):
-            pw[i] = pw[i - 1] * P
-        win = np.lib.stride_tricks.sliding_window_view(arr, k)
-        h = (win * pw[None, :]).sum(axis=1, dtype=np.uint64)
-    return splitmix64(np.unique(h))
+    """Single-doc shingle hashes (unique'd) — thin wrapper over the
+    batch kernel, kept for signature()/tests API compatibility."""
+    flat, _ = _shingle_hashes_flat(pa.array([text or ""], pa.string()), k)
+    return np.unique(flat)
 
 
 class MinHasher:
     """Per-batch MinHash signatures (k-shingles, n permutations).
 
-    Actor-pool stage: permutation parameters generated once in
-    __init__; per batch each doc's shingle set is min-hashed. Output
-    adds ``minhash`` (list<uint64> length num_perm).
+    Stateless task-pool stage: permutation parameters built in
+    __init__; per batch ONE strided shingle pass over the concatenated
+    texts, then chunked (shingles × num_perm) permutation passes with
+    per-doc minima via ``minimum.reduceat`` — no per-document Python
+    anywhere. Output adds ``minhash`` (list<uint64> length num_perm).
     """
 
     def __init__(self, text_col: str = "text", k: int = 5, num_perm: int = 64, seed: int = 7):
@@ -98,27 +166,21 @@ class MinHasher:
     _CHUNK = 256 * 1024
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        # batched: (chunk_shingles × num_perm) passes with per-doc min
-        # via minimum.reduceat — no per-doc Python, bounded temp memory
-        texts = batch[self.text_col].to_pylist()
-        shingle_sets = [_shingle_hashes(t or "", self.k) for t in texts]
-        counts = np.array([len(s) for s in shingle_sets], dtype=np.int64)
-        n = len(texts)
+        flat_sh, counts = _shingle_hashes_flat(batch[self.text_col], self.k)
+        n = len(batch)
+        doc_off = _cumsum0(counts)
         sigs = np.empty((n, self.num_perm), dtype=np.uint64)
         lo = 0
         while lo < n:
-            hi = lo
-            total = 0
-            while hi < n and (hi == lo or total + counts[hi] <= self._CHUNK):
-                total += counts[hi]
-                hi += 1
-            flat_sh = np.concatenate(shingle_sets[lo:hi])
+            hi = int(np.searchsorted(doc_off, doc_off[lo] + self._CHUNK, side="right")) - 1
+            hi = max(hi, lo + 1)
+            hi = min(hi, n)
+            chunk = flat_sh[doc_off[lo] : doc_off[hi]]
             with np.errstate(over="ignore"):
                 vals = (
-                    self.a[None, :] * flat_sh[:, None] + self.b[None, :]
+                    self.a[None, :] * chunk[:, None] + self.b[None, :]
                 ) % np.uint64(_MERSENNE)
-            starts = np.zeros(hi - lo, dtype=np.int64)
-            np.cumsum(counts[lo:hi][:-1], out=starts[1:])
+            starts = (doc_off[lo:hi] - doc_off[lo]).astype(np.int64)
             sigs[lo:hi] = np.minimum.reduceat(vals, starts, axis=0)
             lo = hi
         flat = pa.array(sigs.reshape(-1).astype(np.int64))
@@ -136,18 +198,27 @@ def minhash_lsh_groups(
     k: int = 5,
     num_perm: int = 64,
     bands: int = 16,
+    num_buckets: int = 64,
     concurrency: int | tuple = (2, 8),
 ):
     """MinHash+LSH near-dup candidate buckets.
 
-    shingle→minhash per batch (actor pool) → explode to
-    (band_id, band_hash, id) rows → groupby bucket → emit buckets with
-    ≥2 members as candidate groups. Returns Dataset with columns
-    (band_id, band_hash, ids list, n).
+    shingle→minhash per batch → explode to (band_id, band_hash, id)
+    rows → ONE shuffle on a hash bucket of the band key → per-bucket
+    vectorized resolution emits only buckets with ≥2 members. Returns a
+    Dataset with columns (band_id, band_hash, ids list, n).
 
-    Scale: the shuffle moves only (band, hash, id) triples, num_perm/bands
-    per doc, not documents.
+    Scale: the shuffle moves only (band, hash, id) triples — bands per
+    doc, not documents — and nothing is collected to the driver.
     """
+    exploded = _lsh_explode(
+        ds, text_col, id_col, k=k, num_perm=num_perm, bands=bands
+    )
+    return _resolve_buckets(exploded, id_col, num_buckets=num_buckets)
+
+
+def _lsh_explode(ds, text_col, id_col, *, k, num_perm, bands):
+    """minhash → (band_id, band_hash, id) triples Dataset."""
     rows_per_band = num_perm // bands
 
     # instance-as-function → elastic task pool (the permutation params
@@ -155,7 +226,10 @@ def minhash_lsh_groups(
     mh = ds.map_batches(
         MinHasher(text_col=text_col, k=k, num_perm=num_perm),
         batch_format="pyarrow",
-        batch_size=512,  # minhash is compute-heavy: small batches → wide task pool
+        # small batches → wide task pool: the kernel is vectorized, so
+        # the only reason to batch bigger is amortizing dispatch — and
+        # minhash is compute-heavy enough that parallelism wins
+        batch_size=512,
     )
 
     def explode(batch: pa.Table) -> pa.Table:
@@ -180,69 +254,159 @@ def minhash_lsh_groups(
             }
         )
 
-    # (band, hash, id) triples are tiny next to the documents; pin them
-    # so the counts pass and the member-gather pass don't re-run the
-    # minhash computation. (At extreme scale, write them to parquet and
-    # re-read instead of materializing.)
-    exploded = mh.map_batches(explode, batch_format="pyarrow").materialize()
-
-    return _resolve_buckets(exploded, id_col)
+    return mh.map_batches(explode, batch_format="pyarrow")
 
 
+def _add_bucket_col(exploded, num_buckets: int):
+    """_bucket = hash(band_id, band_hash) % B — the ONE shuffle key."""
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        bh = batch["band_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        bid = batch["band_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = splitmix64(bh ^ (bid * np.uint64(0x9E3779B97F4A7C15)))
+        b = (h % np.uint64(num_buckets)).astype(np.int64)
+        return batch.append_column("_bucket", pa.array(b))
+
+    return exploded.map_batches(add_bucket, batch_format="pyarrow")
 
 
-def _resolve_buckets(exploded, id_col: str) -> pa.Table:
+def _resolve_buckets(exploded, id_col: str, *, num_buckets: int = 64):
     """(band_id, band_hash, id) triples → multi-member buckets with
-    sorted member lists, without per-group Python calls: (1) vectorized
-    bucket-size counts (two-phase, no row shuffle), (2) broadcast the
-    multi-member bucket keys — near-dup buckets are a tiny fraction —
-    (3) semi-join filter, (4) one pandas agg over the filtered set."""
-    from .aggregate import two_phase_agg
+    sorted member lists — DISTRIBUTED: one shuffle on a hash bucket of
+    the band key, then per-bucket vectorized resolution (filter groups
+    of size ≥2, build the id lists directly as an Arrow ListArray). No
+    driver-side bucket-count table, no per-row Python membership."""
+    bucketed = _add_bucket_col(exploded, num_buckets)
 
-    counts = two_phase_agg(
-        exploded, ["band_id", "band_hash"], {"*": ["count"]}, num_salts=1,
-        driver_finalize=True,
-    ).to_pandas()
-    multi = counts[counts["count"] >= 2]
-    hot = set(zip(multi["band_id"].tolist(), multi["band_hash"].tolist()))
-    if not hot:
-        return pa.table(
+    def per_bucket(g: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
             {
-                "band_id": pa.array([], pa.int32()),
-                "band_hash": pa.array([], pa.int64()),
-                "ids": pa.array([], pa.list_(pa.string())),
-                "n": pa.array([], pa.int64()),
+                "band_id": g["band_id"].to_numpy(zero_copy_only=False),
+                "band_hash": g["band_hash"].to_numpy(zero_copy_only=False),
+                id_col: g[id_col].to_numpy(zero_copy_only=False),
             }
         )
-    import ray
-
-    hot_ref = ray.put(hot)
-
-    def keep_hot(batch: pa.Table) -> pa.Table:
-        keys = ray.get(hot_ref)
-        bid = batch["band_id"].to_numpy(zero_copy_only=False)
-        bh = batch["band_hash"].to_numpy(zero_copy_only=False)
-        mask = np.fromiter(
-            ((int(b), int(h)) in keys for b, h in zip(bid, bh)), bool, len(batch)
+        df = df.sort_values(["band_id", "band_hash", id_col], kind="stable")
+        sizes = df.groupby(["band_id", "band_hash"], sort=False)[id_col].transform("size")
+        df = df[sizes.to_numpy() >= 2]
+        id_type = g.schema.field(id_col).type
+        if df.empty:
+            return pa.table(
+                {
+                    "band_id": pa.array([], pa.int32()),
+                    "band_hash": pa.array([], pa.int64()),
+                    "ids": pa.array([], pa.list_(id_type)),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        # group boundaries on the sorted frame → ListArray, zero loops
+        key_change = (
+            (df["band_id"].to_numpy()[1:] != df["band_id"].to_numpy()[:-1])
+            | (df["band_hash"].to_numpy()[1:] != df["band_hash"].to_numpy()[:-1])
         )
-        return batch.filter(pa.array(mask))
+        starts = np.concatenate([[0], np.flatnonzero(key_change) + 1])
+        bounds = np.concatenate([starts, [len(df)]]).astype(np.int32)
+        ids_arr = pa.array(df[id_col].to_numpy(), id_type)
+        lists = pa.ListArray.from_arrays(pa.array(bounds, pa.int32()), ids_arr)
+        return pa.table(
+            {
+                "band_id": pa.array(
+                    df["band_id"].to_numpy()[starts].astype(np.int32)
+                ),
+                "band_hash": pa.array(df["band_hash"].to_numpy()[starts].astype(np.int64)),
+                "ids": lists,
+                "n": pa.array(np.diff(bounds).astype(np.int64)),
+            }
+        )
 
-    survivors = (
-        exploded.map_batches(keep_hot, batch_format="pyarrow").to_pandas()
-    )  # small: only multi-member buckets survive
-    agg = (
-        survivors.groupby(["band_id", "band_hash"])[id_col]
-        .agg(ids=lambda s: sorted(s.tolist()), n="size")
-        .reset_index()
-    )
-    return pa.Table.from_pandas(agg, preserve_index=False)
+    return bucketed.groupby("_bucket").map_groups(per_bucket, batch_format="pyarrow")
 
 
-def simhash_buckets(ds, text_col: str = "text", id_col: str = "doc_id", *, bands: int = 4):
+def lsh_candidate_pairs(exploded, id_col: str, *, num_buckets: int = 64):
+    """(band_id, band_hash, id) triples → globally-unique candidate
+    pairs (id_a < id_b), fully distributed: pairs are generated inside
+    the bucketed groupby (size-2 groups vectorized; larger groups —
+    rare by LSH construction — via a bounded per-group expansion), then
+    deduped across bands with one hash-bucketed shuffle of the pairs."""
+    bucketed = _add_bucket_col(exploded, num_buckets)
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "band_id": g["band_id"].to_numpy(zero_copy_only=False),
+                "band_hash": g["band_hash"].to_numpy(zero_copy_only=False),
+                id_col: g[id_col].to_numpy(zero_copy_only=False),
+            }
+        )
+        df = df.sort_values(["band_id", "band_hash", id_col], kind="stable")
+        grp = df.groupby(["band_id", "band_hash"], sort=False)[id_col]
+        sizes = grp.transform("size").to_numpy()
+        ids = df[id_col].to_numpy()
+        id_type = g.schema.field(id_col).type
+        out_a, out_b = [], []
+        # size-2 groups (the common case): consecutive rows, vectorized
+        m2 = sizes == 2
+        if m2.any():
+            pos = np.flatnonzero(m2)
+            first = pos[::2]  # sorted frame → the two members are adjacent
+            out_a.append(ids[first])
+            out_b.append(ids[first + 1])
+        # larger groups: per-group triangular expansion (rare; bounded
+        # by LSH bucket sizes — all inside this distributed task)
+        mlarge = sizes > 2
+        if mlarge.any():
+            dfl = df[mlarge]
+            for _, members in dfl.groupby(["band_id", "band_hash"], sort=False)[id_col]:
+                vals = members.to_numpy()
+                ia, ib = np.triu_indices(len(vals), k=1)
+                out_a.append(vals[ia])
+                out_b.append(vals[ib])
+        if not out_a:
+            return pa.table(
+                {
+                    "id_a": pa.array([], id_type),
+                    "id_b": pa.array([], id_type),
+                    "_pb": pa.array([], pa.int64()),
+                }
+            )
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        # local dedupe first (same pair can recur within this bucket)
+        _, first = np.unique(
+            np.char.add(np.char.add(a.astype(str), "\x00"), b.astype(str)),
+            return_index=True,
+        )
+        a, b = a[first], b[first]
+        from .._util import hash_str_u64
+
+        with np.errstate(over="ignore"):
+            ph = splitmix64(hash_str_u64(a) ^ splitmix64(hash_str_u64(b)))
+        pb = (ph % np.uint64(num_buckets)).astype(np.int64)
+        return pa.table(
+            {
+                "id_a": pa.array(a, id_type),
+                "id_b": pa.array(b, id_type),
+                "_pb": pa.array(pb),
+            }
+        )
+
+    pairs = bucketed.groupby("_bucket").map_groups(per_bucket, batch_format="pyarrow")
+
+    # dedupe across bands: hash-bucket the pairs (single int key — far
+    # cheaper to shuffle than a two-string-column sort aggregate), then
+    # one vectorized drop_duplicates per pair bucket
+    def dedupe(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["id_a", "id_b"])[["id_a", "id_b"]]
+
+    return pairs.groupby("_pb").map_groups(dedupe, batch_format="pandas")
+
+
+def simhash_buckets(ds, text_col: str = "text", id_col: str = "doc_id", *, bands: int = 4, num_buckets: int = 64):
     """SimHash near-dup candidates: split each 64-bit simhash into
     ``bands`` equal bit-bands; docs within Hamming distance < bands
     share at least one identical band (pigeonhole) and land in a common
-    bucket. Same triple-shuffle/bucket-resolution shape as MinHash-LSH.
+    bucket. Same triple-shuffle/bucketed-resolution shape as MinHash-LSH.
     """
     width = 64 // bands
     band_mask = np.uint64((1 << width) - 1)
@@ -267,31 +431,63 @@ def simhash_buckets(ds, text_col: str = "text", id_col: str = "doc_id", *, bands
             }
         )
 
-    exploded = sh.map_batches(explode, batch_format="pyarrow").materialize()
-    return _resolve_buckets(exploded, id_col)
+    exploded = sh.map_batches(explode, batch_format="pyarrow")
+    return _resolve_buckets(exploded, id_col, num_buckets=num_buckets)
 
 # -------------------------------------------------------------------- SimHash
+
+_GRAM_SENT1 = np.uint64(0xC2B2AE3D27D4EB4F)
+_GRAM_SENT2 = np.uint64(0x165667B19E3779F9)
 
 
 class SimHasher:
     """64-bit SimHash over word 3-grams; adds ``simhash`` column.
-    Near-dups share low Hamming distance; bucket by rotated prefixes."""
+
+    Fully batch-vectorized: words hashed once (pandas hash_array over
+    the exploded word list), 3-gram hashes mixed from consecutive word
+    hashes, bit counting via ``unpackbits`` + per-doc ``reduceat`` — no
+    per-document Python loop. Near-dups share low Hamming distance.
+    """
 
     def __init__(self, text_col: str = "text"):
         self.text_col = text_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out = np.zeros(len(batch), dtype=np.uint64)
-        for i, t in enumerate(batch[self.text_col].to_pylist()):
-            words = (t or "").split()
-            grams = [" ".join(words[j : j + 3]) for j in range(max(1, len(words) - 2))]
-            hs = splitmix64(
-                np.asarray(pd.util.hash_array(np.asarray(grams, dtype=object)), dtype=np.uint64)
-            )
-            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int64)
-            v = (2 * bits - 1).sum(axis=0)
-            out[i] = np.uint64(((v > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
-        return batch.append_column("simhash", pa.array(out.astype(np.int64)))
+        n = len(batch)
+        if n == 0:
+            return batch.append_column("simhash", pa.array([], pa.int64()))
+        s = pd.Series(batch[self.text_col].to_numpy(zero_copy_only=False), dtype=object)
+        words = s.fillna("").str.split()
+        # explode: one row per word; empty docs yield one NaN row → ""
+        flat = words.explode().fillna("").to_numpy(dtype=object)
+        nw = np.maximum(words.str.len().to_numpy(dtype=np.int64), 1)
+        word_h = splitmix64(np.asarray(pd.util.hash_array(flat), dtype=np.uint64))
+        word_off = _cumsum0(nw)
+        g_counts = np.maximum(nw - 2, 1)
+        g_off = _cumsum0(g_counts)
+        pos = (
+            np.arange(int(g_counts.sum()), dtype=np.int64)
+            - np.repeat(g_off[:-1], g_counts)
+            + np.repeat(word_off[:-1], g_counts)
+        )
+        doc_end = np.repeat(word_off[1:], g_counts)
+        h0 = word_h[pos]
+        i1, i2 = pos + 1, pos + 2
+        v1, v2 = i1 < doc_end, i2 < doc_end
+        h1 = np.where(v1, word_h[np.minimum(i1, len(word_h) - 1)], _GRAM_SENT1)
+        h2 = np.where(v2, word_h[np.minimum(i2, len(word_h) - 1)], _GRAM_SENT2)
+        with np.errstate(over="ignore"):
+            gh = splitmix64(h0 ^ splitmix64(h1 ^ splitmix64(h2)))
+        # bit matrix (G × 64) via unpackbits on the little-endian bytes
+        bits = np.unpackbits(
+            gh.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+        ).astype(np.int32)
+        ones = np.add.reduceat(bits, g_off[:-1], axis=0)
+        v = 2 * ones - g_counts[:, None]
+        sim = ((v > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)[None, :]).sum(
+            axis=1
+        )
+        return batch.append_column("simhash", pa.array(sim.astype(np.int64)))
 
 
 def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
@@ -362,8 +558,9 @@ def embedding_neardup_pairs(ds, *, id_col="vec_id", emb_col="embedding", thresho
 
 def candidate_pairs_from_buckets(buckets: pa.Table, id_col: str = "doc_id") -> list[tuple]:
     """LSH buckets (ids list per bucket) → unique unordered candidate
-    pairs. Pair count is bounded by sum over buckets of C(n,2); LSH
-    keeps buckets small by construction."""
+    pairs, on the driver. COMPAT/SMALL-SCALE ONLY: the distributed path
+    is ``lsh_candidate_pairs`` (pairs generated inside the bucketed
+    groupby), which ``near_dedup`` uses."""
     pairs = set()
     for ids in buckets["ids"].to_pylist():
         ids = sorted(ids)
@@ -373,12 +570,122 @@ def candidate_pairs_from_buckets(buckets: pa.Table, id_col: str = "doc_id") -> l
     return sorted(pairs)
 
 
-def verify_pairs(ds, pairs: list[tuple], *, text_col="text", id_col="doc_id", n: int = 3, threshold: float = 0.8):
-    """Verify candidate pairs with exact n-gram Jaccard.
+def _jaccard_hash_sets(texts: np.ndarray, n: int) -> list[np.ndarray]:
+    """Per-text sorted unique word-n-gram hash arrays (for vectorized
+    pairwise Jaccard via np.intersect1d on presorted arrays)."""
+    s = pd.Series(texts, dtype=object)
+    words = s.fillna("").str.split()
+    flat = words.explode().fillna("").to_numpy(dtype=object)
+    nw = np.maximum(words.str.len().to_numpy(dtype=np.int64), 1)
+    word_h = splitmix64(np.asarray(pd.util.hash_array(flat), dtype=np.uint64))
+    word_off = _cumsum0(nw)
+    g_counts = np.maximum(nw - n + 1, 1)
+    g_off = _cumsum0(g_counts)
+    pos = (
+        np.arange(int(g_counts.sum()), dtype=np.int64)
+        - np.repeat(g_off[:-1], g_counts)
+        + np.repeat(word_off[:-1], g_counts)
+    )
+    doc_end = np.repeat(word_off[1:], g_counts)
+    gh = word_h[pos].copy()
+    with np.errstate(over="ignore"):
+        for j in range(1, n):
+            ij = pos + j
+            vj = ij < doc_end
+            hj = np.where(vj, word_h[np.minimum(ij, len(word_h) - 1)], np.uint64(j) * _GRAM_SENT1)
+            gh = splitmix64(gh ^ hj)
+    return [np.unique(gh[g_off[i] : g_off[i + 1]]) for i in range(len(nw))]
 
-    The texts needed are only those appearing in candidate pairs — a
-    broadcast semi-join fetch (tiny vs corpus), then pairwise exact
-    similarity. Returns [(a, b, jaccard)] for pairs ≥ threshold.
+
+def verify_pairs_ds(
+    ds,
+    pairs_ds,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    num_buckets: int = 32,
+):
+    """Distributed candidate-pair verification: join the pair list
+    against the corpus texts (two bucketed shuffles of pairs + texts —
+    nothing collected to the driver), then exact n-gram Jaccard per
+    pair (hash-set intersection; texts appear only inside the join).
+    Returns a Dataset (id_a, id_b, jaccard) with jaccard ≥ threshold.
+
+    The n-grams are compared as 64-bit hashes (collision probability
+    negligible), equivalent to ``ngram_jaccard`` on tuple sets.
+    """
+    from .join import bucketed_hash_join, native_join
+
+    texts = ds.map_batches(
+        lambda t: t.select([id_col, text_col]), batch_format="pyarrow"
+    )
+    ta = texts.map_batches(
+        lambda t: t.rename_columns(["id_a", "text_a"]), batch_format="pyarrow"
+    )
+    tb = texts.map_batches(
+        lambda t: t.rename_columns(["id_b", "text_b"]), batch_format="pyarrow"
+    )
+    # native hash-shuffle join (measured faster at full width); its
+    # aggregator actors stall on tiny clusters, so partition count must
+    # track the actual CPU budget and small sessions use the bucketed path
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    if cpus >= 8:
+        nparts = max(4, min(16, cpus // 2))
+        j1 = native_join(pairs_ds, ta, "id_a", num_partitions=nparts)
+        j2 = native_join(j1, tb, "id_b", num_partitions=nparts)
+    else:
+        j1 = bucketed_hash_join(pairs_ds, ta, "id_a", num_buckets=num_buckets)
+        j2 = bucketed_hash_join(j1, tb, "id_b", num_buckets=num_buckets)
+
+    def score(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table(
+                {
+                    "id_a": batch["id_a"],
+                    "id_b": batch["id_b"],
+                    "jaccard": pa.array([], pa.float64()),
+                }
+            )
+        # each doc appears in many pairs — build its gram set ONCE per
+        # batch (unique docs), then look pairs up by position
+        ids = np.concatenate(
+            [
+                batch["id_a"].to_numpy(zero_copy_only=False),
+                batch["id_b"].to_numpy(zero_copy_only=False),
+            ]
+        )
+        txts = np.concatenate(
+            [
+                batch["text_a"].to_numpy(zero_copy_only=False),
+                batch["text_b"].to_numpy(zero_copy_only=False),
+            ]
+        )
+        uniq_ids, inv = np.unique(ids.astype(str), return_inverse=True)
+        first = np.zeros(len(uniq_ids), dtype=np.int64)
+        first[inv[::-1]] = np.arange(len(ids) - 1, -1, -1)
+        sets = _jaccard_hash_sets(txts[first], n)
+        m = len(batch)
+        jac = np.empty(m, dtype=np.float64)
+        for i in range(m):  # per-PAIR intersect of presorted hash sets
+            A, B = sets[inv[i]], sets[inv[m + i]]
+            inter = np.intersect1d(A, B, assume_unique=True).size
+            jac[i] = inter / max(1, A.size + B.size - inter)
+        out = pa.table(
+            {"id_a": batch["id_a"], "id_b": batch["id_b"], "jaccard": pa.array(jac)}
+        )
+        return out.filter(pa.array(jac >= threshold))
+
+    return j2.map_batches(score, batch_format="pyarrow")
+
+
+def verify_pairs(ds, pairs: list[tuple], *, text_col="text", id_col="doc_id", n: int = 3, threshold: float = 0.8):
+    """Broadcast-based pair verification (COMPAT/SMALL-SCALE: the
+    candidate-texts dict lives on the driver — use ``verify_pairs_ds``
+    for dup-heavy corpora where candidates ~ corpus).
     """
     import ray
 
@@ -386,9 +693,9 @@ def verify_pairs(ds, pairs: list[tuple], *, text_col="text", id_col="doc_id", n:
     ref = ray.put(needed)
 
     def fetch(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        ids = pd.Series(batch[id_col].to_numpy(zero_copy_only=False))
         keep = ray.get(ref)
-        mask = np.fromiter((v in keep for v in ids), bool, len(ids))
+        mask = ids.isin(keep).to_numpy()
         return batch.select([id_col, text_col]).filter(pa.array(mask))
 
     texts_tbl = pa.concat_tables(
@@ -426,9 +733,9 @@ def connected_components(edges: list[tuple]) -> dict:
     """Union-find over verified duplicate edges → {id: cluster_root}.
 
     Driver-side: the edge set is the VERIFIED near-duplicate graph,
-    orders of magnitude smaller than the corpus; for corpora where even
-    that is too large, run iterative min-label propagation with
-    groupby rounds instead (documented trade-off)."""
+    orders of magnitude smaller than the corpus. For corpora where even
+    that is too large, use ``connected_components_ds`` (distributed
+    min-label propagation — same roots)."""
     parent: dict = {}
 
     def find(x):
@@ -447,6 +754,97 @@ def connected_components(edges: list[tuple]) -> dict:
     return {x: find(x) for x in parent}
 
 
+def connected_components_ds(edges_ds, *, max_iters: int = 20):
+    """Distributed connected components over an edge Dataset
+    (id_a, id_b) via iterative min-label propagation: each round every
+    node takes the min of its own label and its neighbors' labels (two
+    grouped merges over the edge list — no driver-side graph). Labels
+    converge to the component's min id — identical roots to the
+    union-find path. Iterations ≈ graph diameter; near-dup clusters
+    are shallow, so a handful of rounds suffices.
+
+    Returns a Dataset (id, root) covering every node that appears in
+    an edge. Scale shape: each round shuffles |edges| label messages.
+    """
+    from ray.data.aggregate import Min
+
+    import pyarrow.compute as pc
+
+    def _min_ew(a, b):
+        # element-wise min that also works for string ids
+        return pc.if_else(pc.less_equal(a, b), a, b)
+
+    def to_msgs(batch: pa.Table) -> pa.Table:
+        # seed: each endpoint proposes min(a, b) to both endpoints
+        a, b = batch["id_a"].combine_chunks(), batch["id_b"].combine_chunks()
+        lo = _min_ew(a, b)
+        return pa.table(
+            {
+                "id": pa.concat_arrays([a, b]),
+                "label": pa.concat_arrays([lo, lo]),
+            }
+        )
+
+    labels = (
+        edges_ds.map_batches(to_msgs, batch_format="pyarrow")
+        .groupby("id")
+        .aggregate(Min("label", alias_name="label"))
+        .materialize()
+    )
+    edges = edges_ds.materialize()
+    prev_sig = None
+    for _ in range(max_iters):
+        from .join import bucketed_hash_join  # labels can be large: bucketed join
+
+        la = labels.map_batches(
+            lambda t: t.rename_columns(["id_a", "label_a"]), batch_format="pyarrow"
+        )
+        j = bucketed_hash_join(edges, la, "id_a", num_buckets=16)
+        lb = labels.map_batches(
+            lambda t: t.rename_columns(["id_b", "label_b"]), batch_format="pyarrow"
+        )
+        j = bucketed_hash_join(j, lb, "id_b", num_buckets=16)
+
+        def msgs(df: pd.DataFrame) -> pd.DataFrame:
+            # every node appears in an incident edge, so emitting
+            # min(label_a, label_b) to BOTH endpoints already includes
+            # each node's own label — no union with `labels` needed
+            m = np.minimum(df["label_a"].to_numpy(), df["label_b"].to_numpy())
+            return pd.DataFrame(
+                {
+                    "id": np.concatenate([df["id_a"].to_numpy(), df["id_b"].to_numpy()]),
+                    "label": np.concatenate([m, m]),
+                }
+            )
+
+        new_labels = (
+            j.map_batches(msgs, batch_format="pandas")
+            .groupby("id")
+            .aggregate(Min("label", alias_name="label"))
+            .materialize()
+        )
+        # convergence: order-insensitive checksum of (id, label)
+        def sig_batch(t: pa.Table) -> pa.Table:
+            h = _text_hash64(
+                pd.Series(t["id"].to_pylist(), dtype=object).astype(str)
+                + "\x00"
+                + pd.Series(t["label"].to_pylist(), dtype=object).astype(str)
+            )
+            return pa.table({"x": pa.array([int(np.bitwise_xor.reduce(h))], pa.uint64())})
+
+        parts = new_labels.map_batches(sig_batch, batch_format="pyarrow").take_all()
+        sig = 0
+        for r in parts:
+            sig ^= int(r["x"])
+        labels = new_labels
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    return labels.map_batches(
+        lambda t: t.rename_columns(["id", "root"]), batch_format="pyarrow"
+    )
+
+
 def near_dedup(
     ds,
     *,
@@ -456,30 +854,45 @@ def near_dedup(
     num_perm: int = 64,
     bands: int = 16,
     jaccard_threshold: float = 0.8,
+    num_buckets: int = 64,
 ):
-    """End-to-end near-duplicate removal:
+    """End-to-end near-duplicate removal, distributed at every step:
 
-    MinHash+LSH candidate buckets → exact n-gram-Jaccard verification →
-    connected components → survivors = min id per duplicate cluster +
-    all unclustered docs. Returns (survivor_ids_table, clusters dict).
+    MinHash+LSH candidate pairs (bucketed groupby — no driver bucket
+    table) → exact n-gram-Jaccard verification (distributed join of
+    pairs × texts) → connected components over the verified edges →
+    survivors = min id per duplicate cluster + all unclustered docs.
+    The only driver-side structures are the VERIFIED edge set and the
+    drop set (≈ number of duplicate documents, not corpus size).
+    Returns (survivor_ids_table, clusters dict).
     """
-    buckets = minhash_lsh_groups(
-        ds, text_col=text_col, id_col=id_col, k=k, num_perm=num_perm, bands=bands
-    )
-    pairs = candidate_pairs_from_buckets(buckets, id_col)
-    verified = verify_pairs(
+    exploded = _lsh_explode(ds, text_col, id_col, k=k, num_perm=num_perm, bands=bands)
+    pairs = lsh_candidate_pairs(exploded, id_col, num_buckets=num_buckets)
+    edges_ds = verify_pairs_ds(
         ds, pairs, text_col=text_col, id_col=id_col, threshold=jaccard_threshold
     )
-    clusters = connected_components(verified)
+    edge_batches = list(edges_ds.iter_batches(batch_format="pyarrow", batch_size=None))
+    if edge_batches:
+        edges_tbl = pa.concat_tables(edge_batches, promote_options="permissive")
+        edges = list(
+            zip(
+                edges_tbl["id_a"].to_pylist(),
+                edges_tbl["id_b"].to_pylist(),
+                edges_tbl["jaccard"].to_pylist(),
+            )
+        )
+    else:
+        edges = []
+    clusters = connected_components(edges)
     drop = {x for x, root in clusters.items() if root != x}
     import ray
 
-    drop_ref = ray.put(drop)
+    drop_ref = ray.put(np.asarray(sorted(drop), dtype=object))
 
     def survivors(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        ids = pd.Series(batch[id_col].to_numpy(zero_copy_only=False))
         dropped = ray.get(drop_ref)
-        mask = np.fromiter((v not in dropped for v in ids), bool, len(ids))
+        mask = ~ids.isin(dropped).to_numpy()  # vectorized membership
         return batch.select([id_col]).filter(pa.array(mask))
 
     surv = pa.concat_tables(

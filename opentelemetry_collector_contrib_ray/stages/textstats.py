@@ -113,19 +113,13 @@ def fingerprint_md5(batch: pa.Table, text_col: str = "text", out: str = "fingerp
 
 def rolling_fingerprint(batch: pa.Table, text_col: str = "text", out: str = "rhash", window: int = 32) -> pa.Table:
     """Rolling polynomial hash fingerprint: min of window hashes —
-    robust to small edits (winnowing-style). Vectorized per row."""
-    from .._util import splitmix64
+    robust to small edits (winnowing-style). One strided pass over the
+    batch's concatenated bytes (the shingle kernel), per-doc minima via
+    ``minimum.reduceat`` — no per-document Python."""
+    from ..stages.dedup import _cumsum0, _shingle_hashes_flat
 
-    res = np.zeros(len(batch), dtype=np.uint64)
-    P = np.uint64(1099511628211)
-    for i, t in enumerate(batch[text_col].to_pylist()):
-        b = (t or "").encode("utf-8", errors="replace")
-        if len(b) < window:
-            b = b + b"\x00" * (window - len(b))
-        arr = np.frombuffer(b, dtype=np.uint8).astype(np.uint64)
-        with np.errstate(over="ignore"):
-            pw = P ** np.arange(window, dtype=np.uint64)
-            win = np.lib.stride_tricks.sliding_window_view(arr, window)
-            hs = splitmix64((win * pw[None, :]).sum(axis=1, dtype=np.uint64))
-        res[i] = hs.min()
+    if len(batch) == 0:
+        return batch.append_column(out, pa.array([], pa.int64()))
+    flat, counts = _shingle_hashes_flat(batch[text_col], window)
+    res = np.minimum.reduceat(flat, _cumsum0(counts)[:-1])
     return batch.append_column(out, pa.array(res.astype(np.int64)))

@@ -112,8 +112,71 @@ def test_simhash_buckets_near_dups():
     from opentelemetry_collector_contrib_ray.stages.dedup import simhash_buckets
 
     ds = ray.data.from_pandas(_docs())
-    out = simhash_buckets(ds, bands=4)
-    joint = [set(ids) for ids in out["ids"].to_pylist()]
+    out = simhash_buckets(ds, bands=4).to_pandas()
+    joint = [set(ids) for ids in out["ids"]]
     # exact dup pair d0/d1 shares every band; unrelated d3 never joins them
     assert any({"d0", "d1"} <= s for s in joint)
     assert not any("d3" in s and len(s) > 1 for s in joint)
+
+
+def test_lsh_candidate_pairs_distributed():
+    """Pairs generated inside the bucketed groupby match the driver-side
+    bucket→pairs path, deduped across bands."""
+    from opentelemetry_collector_contrib_ray.stages.dedup import (
+        _lsh_explode,
+        candidate_pairs_from_buckets,
+        lsh_candidate_pairs,
+    )
+
+    docs = _docs()
+    ds = ray.data.from_pandas(docs)
+    exploded = _lsh_explode(ds, "text", "doc_id", k=5, num_perm=64, bands=32).materialize()
+    pairs_ds = lsh_candidate_pairs(exploded, "doc_id").to_pandas()
+    got = sorted(zip(pairs_ds["id_a"], pairs_ds["id_b"]))
+    from opentelemetry_collector_contrib_ray.stages.dedup import _resolve_buckets
+
+    buckets = pa.Table.from_pandas(_resolve_buckets(exploded, "doc_id").to_pandas())
+    want = candidate_pairs_from_buckets(buckets)
+    assert got == sorted(want)
+    assert all(a < b for a, b in got)
+
+
+def test_verify_pairs_ds_matches_broadcast():
+    from opentelemetry_collector_contrib_ray.stages.dedup import (
+        verify_pairs,
+        verify_pairs_ds,
+    )
+
+    docs = _docs()
+    pairs = [("d0", "d1"), ("d0", "d2"), ("d0", "d3")]
+    bcast = verify_pairs(ray.data.from_pandas(docs), pairs, threshold=0.3)
+    pairs_ds = ray.data.from_pandas(
+        pd.DataFrame({"id_a": [p[0] for p in pairs], "id_b": [p[1] for p in pairs]})
+    )
+    dist = verify_pairs_ds(
+        ray.data.from_pandas(docs), pairs_ds, threshold=0.3
+    ).to_pandas()
+    got = {(a, b): j for a, b, j in zip(dist["id_a"], dist["id_b"], dist["jaccard"])}
+    want = {(a, b): j for a, b, j in bcast}
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-12  # hash-set Jaccard == tuple-set Jaccard
+
+
+def test_connected_components_ds_matches_union_find():
+    from opentelemetry_collector_contrib_ray.stages.dedup import (
+        connected_components,
+        connected_components_ds,
+    )
+
+    edges = [("b", "c", 1.0), ("a", "b", 1.0), ("x", "y", 1.0), ("c", "d", 1.0)]
+    uf = connected_components(edges)
+    eds = ray.data.from_pandas(
+        pd.DataFrame({"id_a": [e[0] for e in edges], "id_b": [e[1] for e in edges]})
+    )
+    lp = connected_components_ds(eds).to_pandas()
+    got = dict(zip(lp["id"], lp["root"]))
+    # label propagation converges to the component min id — same as
+    # union-find smaller-root-wins
+    assert got == {k: uf[k] for k in got}
+    assert got["d"] == "a" and got["y"] == "x"
