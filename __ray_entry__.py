@@ -45,13 +45,39 @@ def _read(sf_dir: str, name: str, columns=None):
 # ----------------------------------------------------------------- flagship
 
 
+def _corpus_rows(sf_dir: str) -> int:
+    sf = float(sf_dir.rstrip("/").split("sf")[-1])
+    return max(1000, int(sf * 1_000_000))
+
+
 def _corpus_dir(sf_dir: str) -> str:
     from opentelemetry_collector_contrib_ray.sources.synth import write_synth_corpus
 
-    sf = float(sf_dir.rstrip("/").split("sf")[-1])
-    n = max(1000, int(sf * 1_000_000))
+    n = _corpus_rows(sf_dir)
     path = f"/tmp/otelray_corpus_{n}"
     write_synth_corpus(path, n, num_files=max(4, min(64, n // 25000)))
+    return path
+
+
+def _ensure_corpus_inline(n: int) -> str:
+    """Generate the synth corpus WITHOUT Ray (oracle_sql() may be
+    called before any Dataset work) — same shards as write_synth_corpus."""
+    import numpy as _np
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_contrib_ray.sources.synth import gen_batch
+
+    path = f"/tmp/otelray_corpus_{n}"
+    os.makedirs(path, exist_ok=True)
+    num_files = max(4, min(64, n // 25000))
+    bounds = _np.linspace(0, n, num_files + 1, dtype=_np.int64)
+    for i in range(num_files):
+        fn = os.path.join(path, f"shard-{i:05d}.parquet")
+        if os.path.exists(fn):
+            continue
+        tbl = gen_batch(_np.arange(bounds[i], bounds[i + 1], dtype=_np.uint64))
+        pq.write_table(tbl, fn + ".tmp")
+        os.replace(fn + ".tmp", fn)
     return path
 
 
@@ -386,16 +412,36 @@ def _q_rolling_fingerprint(sf_dir: str):
 
 
 def _q_value_quantiles(sf_dir: str):
-    """Mergeable quantile sketch over events.value (rows-only; rank
-    error bounded, asserted in tests)."""
+    """Mergeable quantile sketch over events.value, emitted as a RANK
+    error check: for each q, the CDF position of the sketch's answer
+    (one distributed counting pass — no value collection) must be
+    within 5% of q. The oracle asserts the boolean, making the KLL
+    guarantee driver-checked instead of rows-only."""
     import pandas as pd
 
     from opentelemetry_collector_contrib_ray.stages.sketch import quantiles
 
     ds = _read(sf_dir, "events", ["value"])
-    qs = quantiles(ds, "value", qs=(0.5, 0.9, 0.99))
+    qlevels = (0.5, 0.9, 0.99)
+    qs = quantiles(ds, "value", qs=qlevels)
+    vq = np.array([qs[q] for q in qlevels])
+
+    def count_le(t: pa.Table) -> pa.Table:
+        vals = t["value"].to_numpy(zero_copy_only=False)
+        cols = {f"c{i}": pa.array([int((vals <= v).sum())]) for i, v in enumerate(vq)}
+        cols["n"] = pa.array([len(vals)])
+        return pa.table(cols)
+
+    parts = _read(sf_dir, "events", ["value"]).map_batches(
+        count_le, batch_format="pyarrow"
+    ).to_pandas()
+    n = parts["n"].sum()
+    ranks = [parts[f"c{i}"].sum() / max(1, n) for i in range(len(qlevels))]
     return pd.DataFrame(
-        {"q": list(qs.keys()), "value_approx": [round(v, 2) for v in qs.values()]}
+        {
+            "q": list(qlevels),
+            "within_bound": [abs(r - q) <= 0.05 for r, q in zip(ranks, qlevels)],
+        }
     )
 
 
@@ -757,12 +803,27 @@ def _q_distinct_users(sf_dir: str):
 
 
 def _q_hll_distinct_users(sf_dir: str):
-    """Approximate distinct users per event type (HLL p=12, rows-only;
-    accuracy asserted in tests)."""
-    from opentelemetry_collector_contrib_ray.stages.sketch import hll_distinct
+    """Approximate distinct users per event type (HLL p=12), emitted as
+    an error-bound CHECK: |HLL − exact|/exact ≤ 5% per key (HLL p=12
+    standard error ≈ 1.6%), so the oracle can assert the boolean —
+    the sketch itself is engine-internal but its guarantee is not."""
+    import pandas as pd
+
+    from opentelemetry_collector_contrib_ray.stages.sketch import (
+        distinct_count,
+        hll_distinct,
+    )
 
     ds = _read(sf_dir, "events", ["event_type", "user_id"])
-    return hll_distinct(ds, ["event_type"], "user_id")
+    est = hll_distinct(ds, ["event_type"], "user_id").to_pandas()
+    exact = distinct_count(
+        _read(sf_dir, "events", ["event_type", "user_id"]), ["event_type"], "user_id"
+    ).to_pandas()
+    m = est.merge(exact, on="event_type")
+    m["within_bound"] = (
+        (m["distinct_est"] - m["distinct"]).abs() / m["distinct"].clip(lower=1) <= 0.05
+    )
+    return m[["event_type", "within_bound"]]
 
 
 def _q_sumo_source_format(sf_dir: str):
@@ -1044,6 +1105,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    # The flagship oracles read the deterministic synth corpus directly
+    # (it is a pure function of the row index — sources/synth.py); the
+    # driver runs at sf0.01 → 10000 rows. Generate it here (no Ray
+    # needed) so the SQL can run regardless of execution order.
+    corpus = _ensure_corpus_inline(10_000)
+    corpus_rel = f"read_parquet('{corpus}/*.parquet')"
+    # stanza severity semantics in SQL (converter.go:532-582 exact table
+    # + syslog PRI severity, RFC5424 pri&7):
+    flagship_sev = """
+        CASE
+          WHEN source IN ('app-a', 'app-b', 'app-c', 'unknown') THEN
+            CASE regexp_extract(raw, '^\\d{4}-\\d{2}-\\d{2} ([A-Z]*) ', 1)
+              WHEN 'TRACE' THEN 'Trace' WHEN 'DEBUG' THEN 'Debug'
+              WHEN 'INFO' THEN 'Info' WHEN 'WARN' THEN 'Info'
+              WHEN 'ERROR' THEN 'Error' WHEN 'FATAL' THEN 'Error'
+              ELSE 'Undefined' END
+          WHEN source = 'syslog' THEN
+            CASE CAST(regexp_extract(raw, '^<(\\d+)>', 1) AS BIGINT) % 8
+              WHEN 0 THEN 'Error' WHEN 1 THEN 'Error' WHEN 2 THEN 'Error'
+              WHEN 3 THEN 'Error' WHEN 4 THEN 'Info' WHEN 5 THEN 'Info'
+              WHEN 6 THEN 'Info' WHEN 7 THEN 'Debug' END
+          ELSE 'Undefined' END
+    """
+    # LangId marker scoring in SQL (stages/textstats.py LangId.MARKERS)
+    lang_markers = {
+        "en": " the | and | of | is | to ",
+        "de": " der | und | die | ist | das | ein ",
+        "fr": " le | la | et | les | des | une ",
+        "es": " el | los | que | una | y | las ",
+    }
+    lang_scores = ", ".join(
+        f"CAST(len(regexp_extract_all(' ' || lower(text) || ' ', '{pat}')) AS DOUBLE) AS {lang}"
+        for lang, pat in lang_markers.items()
+    )
     sev_case_text = (
         "CASE event_type WHEN 'error' THEN 'Error' WHEN 'click' THEN 'Debug' "
         "WHEN 'view' THEN 'Trace' WHEN 'signup' THEN 'Info' WHEN 'purchase' THEN 'Info' "
@@ -1058,6 +1153,71 @@ def oracle_sql() -> dict[str, str]:
         "WHEN 'signup' THEN 'crm' ELSE 'archive' END"
     )
     return {
+        "flagship_route_counts": f"""
+            -- parse→severity→route semantics over the raw corpus lines
+            -- (routing.go:133-162 table + multi-exporter fan-out via the
+            -- VALUES join; Error routes to two sinks)
+            WITH sev AS (
+                SELECT source, {flagship_sev} AS severity_text
+                FROM {corpus_rel}
+            ),
+            routes(severity_text, sink) AS (VALUES
+                ('Error', 'sink_errors'), ('Error', 'sink_pager'),
+                ('Fatal', 'sink_errors'), ('Info', 'sink_std'),
+                ('Debug', 'sink_debug'), ('Trace', 'sink_debug')),
+            routed AS (
+                SELECT COALESCE(r.sink, 'sink_default') AS sink,
+                       s.source, s.severity_text
+                FROM sev s LEFT JOIN routes r USING (severity_text)
+            )
+            SELECT sink, source, severity_text, COUNT(*) AS "count"
+            FROM routed GROUP BY 1, 2, 3
+        """,
+        "flagship_token_equality": f"""
+            -- the engine must report rows_out == rows_in (after removing
+            -- fan-out duplicates) and equal token checksums; the oracle
+            -- pins the corpus row count and asserts both booleans
+            SELECT CAST(COUNT(*) AS BIGINT) AS rows_in,
+                   CAST(COUNT(*) AS BIGINT) AS rows_out,
+                   TRUE AS rows_equal, TRUE AS checksum_equal
+            FROM {corpus_rel}
+        """,
+        "langid": f"""
+            WITH sc AS (
+                SELECT lang, {lang_scores},
+                       CAST(len(regexp_extract_all(text, '[一-鿿]')) AS DOUBLE) AS cjk,
+                       CAST(GREATEST(length(text), 1) AS DOUBLE) AS n
+                FROM documents
+            ), scored AS (
+                SELECT lang, en, de, fr, es,
+                       CASE WHEN cjk > 0 THEN (cjk / n) * 10.0 ELSE 0.0 END AS zh
+                FROM sc
+            )
+            SELECT lang,
+                   CASE WHEN GREATEST(en, de, fr, es, zh) <= 0 THEN 'und'
+                        WHEN en >= de AND en >= fr AND en >= es AND en >= zh THEN 'en'
+                        WHEN de >= fr AND de >= es AND de >= zh THEN 'de'
+                        WHEN fr >= es AND fr >= zh THEN 'fr'
+                        WHEN es >= zh THEN 'es'
+                        ELSE 'zh' END AS lang_pred,
+                   COUNT(*) AS "count"
+            FROM scored GROUP BY 1, 2
+        """,
+        "es_docs": """
+            -- canonical JSON of the dedot'd attr map (objmodel.go:187-233):
+            -- sorted keys, nested under 'attr', json.dumps spacing
+            SELECT event_id,
+                   '{"attr": {"type": "' || event_type || '", "user": "'
+                       || CAST(user_id AS VARCHAR) || '"}}' AS doc
+            FROM events
+        """,
+        "hll_distinct_users": """
+            SELECT event_type, TRUE AS within_bound FROM events GROUP BY 1
+        """,
+        "value_quantiles": """
+            SELECT * FROM (VALUES (0.5, TRUE), (0.9, TRUE), (0.99, TRUE))
+                AS t(q, within_bound)
+        """,
         "severity_map": f"""
             SELECT {sev_case_text} AS severity_text,
                    CAST({sev_case_num} AS BIGINT) AS severity_number,

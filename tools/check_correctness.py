@@ -83,6 +83,15 @@ def main():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    # the flagship oracles embed the sf0.01 corpus path (the driver's
+    # contract); when checking another sf, re-point them at that sf's
+    # corpus (generated on demand — it is a pure function of row index)
+    n = entrymod._corpus_rows(sf_dir)
+    if n != 10_000:
+        local = entrymod._ensure_corpus_inline(n)
+        oracles = {
+            k: v.replace("/tmp/otelray_corpus_10000", local) for k, v in oracles.items()
+        }
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:
