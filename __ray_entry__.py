@@ -262,6 +262,96 @@ def _q_enrich_users(sf_dir: str):
     )
 
 
+def _q_k8s_pod_enrich(sf_dir: str):
+    """k8sprocessor cache DYNAMICS end-to-end: a pod event log (adds,
+    same-IP reuse with out-of-order updates, delayed deletions past the
+    grace period) builds the PodCache; the association fallback chain
+    resolves each event row via pod IP (even event ids) or pod UID
+    (odd); extraction rules derive the deployment from the pod name
+    (kube/client.go:149-188,226-232,293-304 + pod_association.go:31-87).
+    """
+    import pyarrow.parquet as pq
+    import ray
+
+    from opentelemetry_collector_contrib_ray.stages.enrich import (
+        DEPLOYMENT_REGEX,
+        LookupEnrich,
+        PodCache,
+        apply_extraction_rules,
+        extract_pod_keys,
+        make_lookup_fn,
+    )
+
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey"])
+    cache = PodCache(grace_period=60.0)
+    for c in cust["c_custkey"].to_pylist():
+        ip = f"10.{(c >> 8) & 255}.{c & 255}.1"
+        old_name = f"dep-{c}-aaa11-bbb22"
+        cache.add_pod(
+            uid=f"u{c}", ip=ip, name=old_name, start_time=10.0,
+            attributes={"name": old_name, "freshness": "old"},
+        )
+        if c % 5 == 0:
+            # scheduler reused the IP for a NEWER pod; then a LATE
+            # update for the old pod arrives — must not clobber the IP
+            new_name = f"dep-{c}-ccc33-ddd44"
+            cache.add_pod(
+                uid=f"u{c}x", ip=ip, name=new_name, start_time=100.0,
+                attributes={"name": new_name, "freshness": "new"},
+            )
+            cache.add_pod(
+                uid=f"u{c}", ip=ip, name=old_name, start_time=10.0,
+                attributes={"name": old_name, "freshness": "old"},
+            )
+        elif c % 7 == 0:
+            cache.forget_pod(uid=f"u{c}", ip=ip, name=old_name, ts=200.0)
+    cache.sweep(now=400.0)  # past the 60 s grace → queued pods deleted
+    table = apply_extraction_rules(
+        cache.snapshot(),
+        [{"from": "name", "name": "deployment", "regex": DEPLOYMENT_REGEX}],
+    )
+    table_ref = ray.put(table)
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id"])
+    associations = [
+        {"from": "resource_attribute", "name": "k8s.pod.ip"},
+        {"from": "resource_attribute", "name": "pod_uid"},
+    ]
+
+    def add_keys(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        even = eid % 2 == 0
+        hi = ((uid.astype(np.int64) >> 8) & 255).astype(str)
+        lo = (uid.astype(np.int64) & 255).astype(str)
+        ips = np.char.add(
+            np.char.add(np.char.add(np.char.add("10.", hi), "."), lo), ".1"
+        ).astype(object)
+        uids = np.char.add("u", uid.astype(str)).astype(object)
+        t = t.append_column(
+            "k8s.pod.ip", pa.array(np.where(even, ips, None), pa.string())
+        )
+        t = t.append_column(
+            "pod_uid", pa.array(np.where(even, None, uids), pa.string())
+        )
+        return extract_pod_keys(t, associations)
+
+    enrich_fn = make_lookup_fn(table_ref, ["_pod_key"], "k8s.")
+
+    def finish(t: pa.Table) -> pa.Table:
+        dep = pc.coalesce(t["k8s.deployment"], pa.scalar("unknown"))
+        fresh = pc.coalesce(t["k8s.freshness"], pa.scalar("unknown"))
+        return pa.table(
+            {"event_id": t["event_id"], "deployment": dep, "freshness": fresh}
+        )
+
+    return (
+        ds.map_batches(add_keys, batch_format="pyarrow")
+        .map_batches(enrich_fn, batch_format="pyarrow")
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
 def _q_metrics_generation(sf_dir: str):
     """metricsgenerationprocessor 'calculate': derived metric =
     value × json-extracted field (json_parser + column arithmetic,
@@ -605,6 +695,31 @@ def _q_mt_aggregate_label_values(sf_dir: str):
         "event_type",
         {"click": "engagement", "view": "engagement"},
         ["event_type"],
+        exact_scale=100,
+    )
+    return _round_cols(out, {"value_sum": 6})
+
+
+def _q_mt_combine(sf_dir: str):
+    """metricstransform 'combine' with regexp submatch naming: rendered
+    per-type metric names merge into one metric, the (?P<kind>...)
+    capture group becomes an upper-cased label, points aggregate per
+    label tuple (metrics_transform_processor.go:342-383)."""
+    from opentelemetry_collector_contrib_ray.stages.metricstransform import (
+        combine_metrics,
+    )
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def render(t: pa.Table) -> pa.Table:
+        name = pc.binary_join_element_wise("req.", t["event_type"], ".count", "")
+        return pa.table({"metric_name": name, "value": t["value"]})
+
+    out = combine_metrics(
+        ds.map_batches(render, batch_format="pyarrow"),
+        r"^req\.(?P<kind>[a-z]+)\.count$",
+        "combined",
+        submatch_case="upper",
         exact_scale=100,
     )
     return _round_cols(out, {"value_sum": 6})
@@ -972,15 +1087,31 @@ def _q_q3_shipping(sf_dir: str):
         batch_format="pyarrow",
     )
     col = native_join(li, co, "orderkey", num_partitions=16)
-    agg_tbl = two_phase_agg(
-        col, ["orderkey"], {"revenue": ["sum"]}, driver_finalize=True
-    )
+    # distributed top-k: the grouped aggregate stays a Dataset (orderkey
+    # is high-cardinality — collecting it would be a driver OOM at
+    # scale); each output block reduces to its local top-10 and the
+    # driver merges only ≤ 10 × blocks candidate rows.
+    agg_ds = two_phase_agg(col, ["orderkey"], {"revenue": ["sum"]})
     import pandas as pd
 
-    df = agg_tbl.to_pandas()
-    df["revenue_sum"] = np.round(df["revenue_sum"], 4)
-    top = df.nlargest(10, ["revenue_sum", "orderkey"])[["orderkey", "revenue_sum"]]
-    return pa.Table.from_pandas(top.reset_index(drop=True), preserve_index=False)
+    def local_topk(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["revenue_sum"] = np.round(df["revenue_sum"], 4)
+        top = df.nlargest(10, ["revenue_sum", "orderkey"])
+        return pa.Table.from_pandas(
+            top[["orderkey", "revenue_sum"]], preserve_index=False
+        )
+
+    partials = pa.concat_tables(
+        agg_ds.map_batches(local_topk, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None
+        ),
+        promote_options="permissive",
+    )
+    top = partials.to_pandas().nlargest(10, ["revenue_sum", "orderkey"])
+    return pa.Table.from_pandas(
+        top[["orderkey", "revenue_sum"]].reset_index(drop=True), preserve_index=False
+    )
 
 
 def _q_q6_filtered_revenue(sf_dir: str):
@@ -1060,6 +1191,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spanmetrics_hist": _q_spanmetrics_hist,
         "groupby_attrs": _q_groupby_attrs,
         "enrich_users": _q_enrich_users,
+        "k8s_pod_enrich": _q_k8s_pod_enrich,
         "delta_conversion": _q_delta_conversion,
         "time_window_agg": _q_time_window_agg,
         "exact_dedup": _q_exact_dedup,
@@ -1077,6 +1209,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tail_sampling": _q_tail_sampling,
         "loki_streams": _q_loki_streams,
         "mt_aggregate_label_values": _q_mt_aggregate_label_values,
+        "mt_combine": _q_mt_combine,
         "topk_orders": _q_topk_orders,
         "probabilistic_sample": _q_probabilistic_sample,
         "ivf_knn": _q_ivf_knn,
@@ -1261,6 +1394,24 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN nation ON c_nationkey = n_nationkey
             GROUP BY 1
         """,
+        "k8s_pod_enrich": """
+            -- the cache dynamics collapse to this closed form: pods of
+            -- custkeys ≡0 (mod 7, not mod 5) were deleted past grace
+            -- (unknown); custkeys ≡0 (mod 5) had their IP reused by a
+            -- newer pod, so IP-resolved rows (even event_id) see the
+            -- new pod while UID-resolved rows still see the old one
+            SELECT event_id,
+                   CASE WHEN c_custkey IS NULL
+                             OR (user_id % 7 = 0 AND user_id % 5 <> 0)
+                        THEN 'unknown'
+                        ELSE 'dep-' || CAST(user_id AS VARCHAR) END AS deployment,
+                   CASE WHEN c_custkey IS NULL
+                             OR (user_id % 7 = 0 AND user_id % 5 <> 0)
+                        THEN 'unknown'
+                        WHEN user_id % 5 = 0 AND event_id % 2 = 0 THEN 'new'
+                        ELSE 'old' END AS freshness
+            FROM events LEFT JOIN customer ON user_id = c_custkey
+        """,
         "metrics_generation": """
             SELECT event_id,
                    ROUND(value * CAST(json_extract(props, '$.k') AS DOUBLE), 6) AS derived
@@ -1321,6 +1472,12 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS "count",
                    ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 6) AS value_sum
             FROM events GROUP BY 1
+        """,
+        "mt_combine": """
+            SELECT 'combined' AS metric_name, UPPER(event_type) AS kind,
+                   COUNT(*) AS "count",
+                   ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 6) AS value_sum
+            FROM events GROUP BY 2
         """,
         "topk_orders": """
             SELECT o_orderkey, o_totalprice FROM orders

@@ -229,6 +229,150 @@ class LookupEnrich:
         return self.state.apply(batch, self.association, self.prefix)
 
 
+class PodCache:
+    """k8sprocessor WatchClient cache DYNAMICS (kube/client.go):
+
+    - ``add_pod``: the UID key always updates; the IP key only updates
+      when the new pod's StartTime is not older than the incumbent's —
+      the scheduler can reuse an IP, and a LATE update event for the
+      old pod must not clobber the new pod's mapping
+      (client.go:293-304).
+    - ``forget_pod``: deletion is DELAYED — the id goes on a delete
+      queue (only if the current mapping still points at this pod
+      name), and ``sweep(now)`` removes entries older than the grace
+      period, re-checking the name so an IP remapped in the interim
+      survives (client.go:149-188 deleteLoop + forgetPod).
+    - ``get``: honors the Ignore flag (host-network pods etc. resolve
+      to nothing, client.go:191-199).
+
+    The batch engine builds this on the driver from a pod event log,
+    snapshots it (``snapshot()`` → {key: attrs}), and broadcasts the
+    snapshot to the vectorized LookupEnrich stage.
+    """
+
+    def __init__(self, grace_period: float = 120.0):
+        self.pods: dict = {}  # identifier (uid or ip) → pod dict
+        self.delete_queue: list = []  # (ts, identifier, pod_name)
+        self.grace = grace_period
+
+    def add_pod(self, *, uid: str | None, ip: str | None, name: str,
+                start_time: float, attributes: dict, ignore: bool = False) -> None:
+        pod = {
+            "name": name,
+            "start_time": start_time,
+            "attributes": dict(attributes),
+            "ignore": ignore,
+        }
+        if uid:
+            self.pods[uid] = pod
+        if ip:
+            incumbent = self.pods.get(ip)
+            if incumbent is not None and start_time < incumbent["start_time"]:
+                return  # same-IP reuse: older pod's late update loses
+            self.pods[ip] = pod
+
+    def forget_pod(self, *, uid: str | None, ip: str | None, name: str, ts: float) -> None:
+        for ident in (ip, uid):
+            if ident is None:
+                continue
+            cur = self.pods.get(ident)
+            if cur is not None and cur["name"] == name:
+                self.delete_queue.append((ts, ident, name))
+
+    def sweep(self, now: float) -> None:
+        """deleteLoop pass: drop queue entries whose grace expired,
+        deleting only if the mapping still names the queued pod."""
+        keep = []
+        for ts, ident, name in self.delete_queue:
+            if ts + self.grace > now:
+                keep.append((ts, ident, name))
+                continue
+            cur = self.pods.get(ident)
+            if cur is not None and cur["name"] == name:
+                del self.pods[ident]
+        self.delete_queue = keep
+
+    def get(self, identifier: str):
+        pod = self.pods.get(identifier)
+        if pod is None or pod["ignore"]:
+            return None
+        return pod
+
+    def snapshot(self) -> dict:
+        """{identifier: attributes} view for LookupEnrich broadcast."""
+        return {
+            k: dict(p["attributes"]) for k, p in self.pods.items() if not p["ignore"]
+        }
+
+
+_IPV4_RE = None
+
+
+def _is_ipv4(values: np.ndarray) -> np.ndarray:
+    """Vectorized net.ParseIP-shaped check (IPv4 dotted quad)."""
+    import pandas as pd
+
+    s = pd.Series(values, dtype=object)
+    return (
+        s.str.fullmatch(r"(\d{1,3})\.(\d{1,3})\.(\d{1,3})\.(\d{1,3})", na=False)
+        .to_numpy(dtype=bool)
+    )
+
+
+def extract_pod_keys(
+    batch: pa.Table,
+    associations: Sequence[dict] | None,
+    connection_ip: str | None = None,
+    out: str = "_pod_key",
+) -> pa.Table:
+    """pod_association.go:31-87 extractPodID as a column: per row, the
+    first association rule that yields a value wins.
+
+    No rules configured → the default chain: ``k8s.pod.ip`` attribute,
+    then ``ip`` attribute, then the connection IP, then ``host.name``
+    if it parses as an IP (:38-57). With rules: ``from: connection``
+    uses the connection IP; ``from: resource_attribute`` reads the
+    named column — except ``host.name``, which only matches when the
+    value is an IP (:60-87).
+    """
+    import pandas as pd
+
+    n = len(batch)
+    key = np.full(n, None, dtype=object)
+    unresolved = np.ones(n, dtype=bool)
+
+    def take_col(col: str, require_ip: bool = False):
+        nonlocal key, unresolved
+        if col not in batch.column_names or not unresolved.any():
+            return
+        vals = batch[col].to_numpy(zero_copy_only=False)
+        ok = pd.Series(vals, dtype=object).notna().to_numpy() & unresolved
+        if require_ip:
+            ok &= _is_ipv4(vals)
+        key[ok] = vals[ok]
+        unresolved &= ~ok
+
+    def take_connection():
+        nonlocal key, unresolved
+        if connection_ip:
+            key[unresolved] = connection_ip
+            unresolved[:] = False
+
+    if not associations:
+        take_col("k8s.pod.ip")
+        take_col("ip")
+        take_connection()
+        take_col("host.name", require_ip=True)
+    else:
+        for asso in associations:
+            if asso.get("from") == "connection":
+                take_connection()
+            elif asso.get("from") == "resource_attribute":
+                name = asso.get("name", "")
+                take_col(name, require_ip=(name == "host.name"))
+    return _set_column(batch, out, pa.array(key, pa.string()))
+
+
 def build_source_metadata(sources: Sequence[str]) -> dict:
     """Deterministic source→metadata cache for the flagship pipeline
     (stands in for the k8s informer-fed cache; same shape)."""

@@ -126,6 +126,103 @@ def merge_histograms(ds, keys: Sequence[str], bucket_cols: Sequence[str],
     return two_phase_agg(ds, keys, aggs, num_salts=num_salts)
 
 
+def combine_metrics(
+    ds,
+    include_pattern: str,
+    new_name: str,
+    *,
+    label_cols: Sequence[str] = (),
+    value_col: str = "value",
+    aggregation: str = "sum",
+    submatch_case: str | None = None,
+    name_col: str = "metric_name",
+    keep_unmatched: bool = False,
+    num_salts: int = 8,
+    exact_scale: int | None = None,
+):
+    """metricstransform ``combine`` action with regexp submatch naming
+    (metrics_transform_processor.go:342-383, config.go:254-298 and the
+    ``combine*`` golden matrix in
+    metrics_transform_processor_testcases_test.go:1153-1303):
+
+    - metrics whose name matches ``include_pattern`` merge into one
+      metric named ``new_name``;
+    - every capture group becomes a NEW label: named groups keep their
+      name, unnamed groups get ``$i`` (``getSubexpNames``/:352-359);
+    - submatch values are optionally lower/upper-cased
+      (``replaceCaseOfSubmatch``);
+    - points sharing (existing labels + submatch labels) merge with
+      ``aggregation`` (groupTimeseries/mergeTimeseries).
+
+    Columnar form: a metric point is a row with ``name_col``, label
+    columns and ``value_col``. Returns the combined Dataset (one row
+    per surviving label tuple); with ``keep_unmatched=True`` the
+    non-matching rows pass through unchanged with a ``count`` of 1 and
+    ``<value>_<agg>`` = value (removeMatchedMetricsAndAppendCombined
+    keeps them in the stream).
+    """
+    import re
+
+    pat = re.compile(include_pattern)
+    inv = {v: k for k, v in pat.groupindex.items()}
+    sub_labels = [inv.get(i, f"${i}") for i in range(1, pat.groups + 1)]
+
+    def split(batch: pa.Table):
+        s = pd.Series(batch[name_col].to_numpy(zero_copy_only=False), dtype=object)
+        mask = s.str.contains(pat, regex=True, na=False).to_numpy(dtype=bool)
+        return s, mask
+
+    def matched(batch: pa.Table) -> pa.Table:
+        s, mask = split(batch)
+        batch = batch.filter(pa.array(mask))
+        # one column per capture group (no groups → no new labels)
+        sub = s[mask].str.extract(pat) if pat.groups else pd.DataFrame(index=s[mask].index)
+        for i, lbl in enumerate(sub_labels):
+            vals = sub.iloc[:, i].fillna("")
+            if submatch_case == "lower":
+                vals = vals.str.lower()
+            elif submatch_case == "upper":
+                vals = vals.str.upper()
+            batch = _set_column(
+                batch, lbl, pa.array(vals.to_numpy(dtype=object), pa.string())
+            )
+        return _set_column(
+            batch,
+            name_col,
+            pa.array(np.full(len(batch), new_name, dtype=object), pa.string()),
+        )
+
+    combined = two_phase_agg(
+        ds.map_batches(matched, batch_format="pyarrow"),
+        [name_col, *label_cols, *sub_labels],
+        {value_col: [aggregation]},
+        num_salts=num_salts,
+        exact_sums={value_col: exact_scale} if exact_scale else None,
+    )
+    if not keep_unmatched:
+        return combined
+
+    out_val = f"{value_col}_{aggregation}"
+
+    def unmatched(batch: pa.Table) -> pa.Table:
+        s, mask = split(batch)
+        rest = batch.filter(pa.array(~mask))
+        cols = {name_col: rest[name_col]}
+        for lbl in list(label_cols) + sub_labels:
+            cols[lbl] = (
+                rest[lbl]
+                if lbl in rest.column_names
+                else pa.nulls(len(rest), pa.string())
+            )
+        cols["count"] = pa.array(np.ones(len(rest), dtype=np.int64))
+        cols[out_val] = pc.cast(rest[value_col], pa.float64())
+        return pa.table(cols)
+
+    passthrough = ds.map_batches(unmatched, batch_format="pyarrow")
+    cols = [name_col, *label_cols, *sub_labels, "count", out_val]
+    return combined.select_columns(cols).union(passthrough.select_columns(cols))
+
+
 def calculate_metric(batch: pa.Table, out: str, left: str, op: str, right: str | float) -> pa.Table:
     """metricsgenerationprocessor 'calculate'/'scale' (config.go:72-83;
     the reference's ProcessMetrics is a stub — semantics per its config
