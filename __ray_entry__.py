@@ -758,24 +758,48 @@ def _q_ivf_knn(sf_dir: str):
 
 
 def _q_multimodal_features(sf_dir: str):
-    """Multimodal plumbing (rows-only): synthetic binary payloads →
-    actor-pool fake decode → feature stats."""
+    """REAL image decode end-to-end: deterministic BMP payloads →
+    actor-pool decode (pure-numpy BMP codec; PIL when present) →
+    channel stats. The red channel of each synthetic image is an exact
+    x-gradient, so the query recomputes the expected mean from the
+    image dimensions and emits an equality boolean the oracle asserts
+    — pixel-exact decode is driver-checked, not rows-only."""
     import ray.data
 
     from opentelemetry_collector_contrib_ray.stages.multimodal import (
-        DeterministicFakeDecoder,
-        synth_image_table,
+        ImageDecoder,
+        synth_bmp_table,
     )
 
-    ds = ray.data.from_arrow(synth_image_table(512))
+    ds = ray.data.from_arrow(synth_bmp_table(512))
     out = ds.map_batches(
-        DeterministicFakeDecoder,
-        fn_constructor_kwargs={"feature_dim": 8},
+        ImageDecoder,
+        fn_constructor_kwargs={"thumb": (8, 8)},
         batch_format="pyarrow",
         batch_size=64,
         concurrency=(1, 2),
     )
-    return out.select_columns(["item_id", "byte_mean"])
+
+    def check(t: pa.Table) -> pa.Table:
+        idx = pc.cast(pc.utf8_slice_codeunits(t["item_id"], 4, 99), pa.int64())
+        w = t["img_width"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mr = t["mean_r"].to_numpy(zero_copy_only=False)
+        # per-row expected gradient mean: mean over x of (x*255)//(w-1)
+        exact = np.array(
+            [
+                float(np.mean((np.arange(wi) * 255) // max(1, wi - 1)))
+                for wi in w.tolist()
+            ]
+        )
+        return pa.table(
+            {
+                "item_idx": idx,
+                "decoded": t["decoded"],
+                "mean_r_exact": pa.array(np.abs(mr - exact) < 1e-9),
+            }
+        )
+
+    return out.map_batches(check, batch_format="pyarrow")
 
 
 def _q_wavefront_parse(sf_dir: str):
@@ -1411,6 +1435,13 @@ def oracle_sql() -> dict[str, str]:
                         WHEN user_id % 5 = 0 AND event_id % 2 = 0 THEN 'new'
                         ELSE 'old' END AS freshness
             FROM events LEFT JOIN customer ON user_id = c_custkey
+        """,
+        "multimodal_features": """
+            -- every synthetic BMP must decode with a pixel-exact red
+            -- gradient mean (query emits the equality booleans)
+            SELECT CAST(i AS BIGINT) AS item_idx, TRUE AS decoded,
+                   TRUE AS mean_r_exact
+            FROM range(512) t(i)
         """,
         "metrics_generation": """
             SELECT event_id,

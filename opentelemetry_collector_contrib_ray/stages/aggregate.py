@@ -354,24 +354,27 @@ def statsd_agg(
     )
 
 
-def sorted_group_apply(ds, key: str, order_by: str, fn, batch_format: str = "pandas"):
-    """Per-key ordered window: ``groupby(key).map_groups(sorted fn)``.
+def sorted_group_apply(ds, key: str, order_by: str, fn, batch_format: str = "pandas", num_buckets: int = 64):
+    """Per-key ordered window: each key's rows, sorted by ``order_by``,
+    are passed to ``fn`` as one DataFrame.
 
     Used for last-write-wins gauges, cumulative→delta conversion
     (datadogexporter metrics_translator.go:106-134) and recombine.
-    The shuffle co-locates each key; ``fn`` sees the group sorted by
-    ``order_by``.
 
-    SCALE NOTE: map_groups makes one Python call per key. For
-    high-cardinality keys use ``bucketed_group_apply`` — same shuffle
-    semantics, but the per-key work happens in a vectorized pandas
-    groupby inside each of B buckets.
+    SCALE: routed through ``bucketed_group_apply`` — ONE shuffle on
+    ``hash(key) % num_buckets`` co-locates every key, and Ray schedules
+    ``num_buckets`` tasks instead of one per key. ``fn`` still runs
+    once per key (that is this API's contract); when the per-key work
+    is expressible as a vectorized pandas groupby, call
+    ``bucketed_group_apply`` directly instead.
     """
 
-    def wrapped(g: pd.DataFrame) -> pd.DataFrame:
-        return fn(g.sort_values(order_by, kind="stable"))
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, order_by], kind="stable")
+        outs = [fn(g) for _, g in df.groupby(key, sort=False)]
+        return pd.concat(outs, ignore_index=True) if outs else df.iloc[0:0]
 
-    return ds.groupby(key).map_groups(wrapped, batch_format=batch_format)
+    return bucketed_group_apply(ds, key, per_bucket, num_buckets=num_buckets)
 
 
 def bucketed_group_apply(ds, key: str, fn, *, num_buckets: int = 64):

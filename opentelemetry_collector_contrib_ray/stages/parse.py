@@ -441,18 +441,20 @@ class RecombineLines:
         return pa.Table.from_pandas(out[[c for c in df.columns if c != "_gid"]], preserve_index=False)
 
 
-def recombine_grouped(ds, group_by: str, field: str = "raw", order_by: str | None = None, separator: str = "\n"):
-    """Partition-safe recombine: shuffle co-locates each group, then the
-    within-batch Recombine joins it. Use when multiline groups may span
-    input blocks; plain ``Recombine`` when the source guarantees
-    contiguity (e.g. per-file ordered reads)."""
+def recombine_grouped(ds, group_by: str, field: str = "raw", order_by: str | None = None, separator: str = "\n", num_buckets: int = 64):
+    """Partition-safe recombine: ONE bucketed shuffle co-locates each
+    group, then ``Recombine`` joins every group inside the bucket in a
+    single vectorized pandas pass (it already handles many groups per
+    frame). Use when multiline groups may span input blocks; plain
+    ``Recombine`` when the source guarantees contiguity."""
+    from .aggregate import bucketed_group_apply
 
-    def apply(g):
-        return Recombine(group_by, field, order_by, separator)(
-            pa.Table.from_pandas(g, preserve_index=False)
-        ).to_pandas()
+    rec = Recombine(group_by, field, order_by, separator)
 
-    return ds.groupby(group_by).map_groups(apply, batch_format="pandas")
+    def per_bucket(df):
+        return rec(pa.Table.from_pandas(df, preserve_index=False)).to_pandas()
+
+    return bucketed_group_apply(ds, group_by, per_bucket, num_buckets=num_buckets)
 
 
 class Recombine:
@@ -579,11 +581,21 @@ def recombine_lines_grouped(
         is_last_entry=is_last_entry,
         separator=separator,
     )
+    from .aggregate import bucketed_group_apply
 
-    def per_file(g):
+    def per_bucket(df):
         import pandas as pd
 
-        g = g.sort_values(order_col, kind="stable")
-        return rl(pa.Table.from_pandas(g, preserve_index=False)).to_pandas()
+        outs = [
+            rl(
+                pa.Table.from_pandas(
+                    g.sort_values(order_col, kind="stable"), preserve_index=False
+                )
+            ).to_pandas()
+            for _, g in df.groupby(file_col, sort=False)
+        ]
+        return pd.concat(outs, ignore_index=True) if outs else df.iloc[0:0]
 
-    return ds.groupby(file_col).map_groups(per_file, batch_format="pandas")
+    # bucketed: one shuffle on hash(file) co-locates each file's lines;
+    # boundary-joining runs per file inside each bucket task
+    return bucketed_group_apply(ds, file_col, per_bucket)

@@ -174,12 +174,23 @@ def tail_sample(
     return sampled_ds, ddf
 
 
-def group_by_trace(ds, trace_col: str, fn=None, batch_format: str = "pandas"):
+def group_by_trace(ds, trace_col: str, fn=None, batch_format: str = "pandas", num_buckets: int = 64):
     """groupbytraceprocessor: deliver each trace's spans as one group
-    (processor.go:82-90); ``fn`` defaults to pass-through concat."""
+    (processor.go:82-90); ``fn`` defaults to pass-through concat.
+
+    SCALE: bucketed — one shuffle on ``hash(trace) % num_buckets``,
+    then ``fn`` per trace inside each bucket task (never one Ray group
+    per trace id)."""
+    from .aggregate import bucketed_group_apply
+
     if fn is None:
         fn = lambda g: g  # noqa: E731
-    return ds.groupby(trace_col).map_groups(fn, batch_format=batch_format)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        outs = [fn(g) for _, g in df.groupby(trace_col, sort=False)]
+        return pd.concat(outs, ignore_index=True) if outs else df.iloc[0:0]
+
+    return bucketed_group_apply(ds, trace_col, per_bucket, num_buckets=num_buckets)
 
 
 def probabilistic_sample(ds, id_col: str, fraction: float, salt: int = 0):

@@ -1,7 +1,9 @@
-"""Config-driven pipeline builder + multimodal plumbing stubs."""
+"""Config-driven pipeline builder + multimodal decode stages."""
 
 import numpy as np
+import pyarrow as pa
 import pytest
+import ray.data
 
 from opentelemetry_collector_contrib_ray.pipelines.builder import build, register_stage
 from opentelemetry_collector_contrib_ray.stages.multimodal import (
@@ -62,11 +64,12 @@ def test_fake_decoder_deterministic():
     assert all(0 <= m <= 255 for m in out1["byte_mean"].to_pylist())
 
 
-def test_pillow_decoder_stubbed():
+def test_pillow_decoder_is_real_now():
+    """The decoder is no longer a stub: opaque fake payloads raise a
+    clear error; real BMP payloads decode (see test_bmp_roundtrip)."""
     d = PillowImageDecoder()
-    if not d._pil:
-        with pytest.raises(NotImplementedError):
-            d(synth_image_table(1))
+    with pytest.raises(ValueError, match="unsupported image payload"):
+        d(synth_image_table(1))
 
 
 def test_frame_sample():
@@ -131,3 +134,89 @@ def test_cli_main(tmp_path):
     ).stdout
     res = json.loads(out.strip().splitlines()[-1])
     assert sum(s["count"] for s in res["sample"]) == 300
+
+
+def test_bmp_roundtrip_exact():
+    """encode_bmp → decode_bmp is pixel-exact, incl. 4-byte row padding
+    (non-multiple-of-4 widths) and bottom-up row order."""
+    from opentelemetry_collector_contrib_ray.stages.multimodal import (
+        decode_bmp,
+        decode_image,
+        encode_bmp,
+    )
+
+    rng = np.random.default_rng(5)
+    for w, h in [(7, 3), (8, 8), (13, 2), (1, 1)]:
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        buf = encode_bmp(img)
+        assert buf[:2] == b"BM"
+        out = decode_bmp(buf)
+        assert out.shape == (h, w, 3)
+        assert np.array_equal(out, img)
+        assert np.array_equal(decode_image(buf), img)  # dispatch path
+
+
+def test_ppm_decode_exact():
+    from opentelemetry_collector_contrib_ray.stages.multimodal import decode_image
+
+    img = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    buf = b"P6\n# a comment\n3 2\n255\n" + img.tobytes()
+    assert np.array_equal(decode_image(buf), img)
+
+
+def test_image_decoder_real_values():
+    """The actor stage decodes REAL BMP payloads: known solid-color
+    image → exact channel means, thumbnail features, dims."""
+    from opentelemetry_collector_contrib_ray.stages.multimodal import (
+        ImageDecoder,
+        encode_bmp,
+    )
+
+    solid = np.zeros((10, 6, 3), dtype=np.uint8)
+    solid[..., 0] = 200  # R
+    solid[..., 1] = 100  # G
+    solid[..., 2] = 50   # B
+    t = pa.table(
+        {
+            "item_id": ["a"],
+            "payload": pa.array([encode_bmp(solid)], pa.binary()),
+        }
+    )
+    out = ImageDecoder(thumb=(4, 4))(t)
+    assert out["decoded"].to_pylist() == [True]
+    assert out["img_width"].to_pylist() == [6] and out["img_height"].to_pylist() == [10]
+    assert out["mean_r"].to_pylist() == [200.0]
+    assert out["mean_g"].to_pylist() == [100.0]
+    assert out["mean_b"].to_pylist() == [50.0]
+    assert out["std_r"].to_pylist() == [0.0]
+    feats = np.asarray(out["features"].to_pylist()[0])
+    expect = (200 + 100 + 50) / 3 / 255.0
+    assert np.allclose(feats, expect, atol=1e-6)
+
+
+def test_image_decoder_actor_pool_over_synth_bmps():
+    """Real decode as a Ray actor-pool stage over deterministic BMPs;
+    on_error='null' tolerates a corrupt payload."""
+    from opentelemetry_collector_contrib_ray.stages.multimodal import (
+        ImageDecoder,
+        synth_bmp_table,
+    )
+
+    tbl = synth_bmp_table(32)
+    # corrupt one payload
+    payloads = tbl["payload"].to_pylist()
+    payloads[7] = b"garbage-not-an-image"
+    tbl = tbl.set_column(1, "payload", pa.array(payloads, pa.binary()))
+    ds = ray.data.from_arrow(tbl)
+    out = ds.map_batches(
+        ImageDecoder,
+        fn_constructor_kwargs={"thumb": (8, 8), "on_error": "null"},
+        batch_format="pyarrow",
+        batch_size=8,
+        concurrency=(1, 2),
+    ).to_pandas()
+    assert out["decoded"].sum() == 31
+    good = out[out["decoded"]]
+    # gradient images: mean R is the x-gradient mean ≈ 127.5 ± rounding
+    assert (good["mean_r"].between(100, 155)).all()
+    assert ((good["img_width"] >= 8) & (good["img_width"] <= 32)).all()
