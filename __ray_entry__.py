@@ -579,12 +579,13 @@ def _q_embedding_knn(sf_dir: str):
     import pyarrow.parquet as pq
     import ray
 
-    q = None
-    tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
-    for vid, emb in zip(tbl["vec_id"].to_pylist(), tbl["embedding"].to_pylist()):
-        if vid == 0:
-            q = np.asarray(emb, dtype=np.float32)
-            break
+    # pruned driver read: only the query row's embedding leaves storage
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "==", 0)],
+    )
+    q = np.asarray(tbl["embedding"].to_pylist()[0], dtype=np.float32)
     qn = q / np.linalg.norm(q)
     qref = ray.put(qn)
 
@@ -749,7 +750,12 @@ def _q_ivf_knn(sf_dir: str):
 
     from opentelemetry_collector_contrib_ray.stages.ann import IvfIndex, ivf_topk
 
-    tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    # pruned driver read: the IVF trainer samples only vec_id < 500
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", 500)],
+    )
     mat = np.stack([np.asarray(v, np.float32) for v in tbl["embedding"].to_pylist()[:500]])
     q = mat[0]
     idx = IvfIndex(n_lists=8).train(mat)

@@ -529,33 +529,59 @@ class TraceParser:
         self.trace_from, self.span_from, self.flags_from = trace_from, span_from, flags_from
 
     @staticmethod
-    def _hex_to_fixed(values, width: int):
-        out = []
-        for v in values:
-            try:
-                b = bytes.fromhex(v) if v else None
-                out.append(b if b is not None and len(b) == width else None)
-            except ValueError:
-                out.append(None)
-        return pa.array(out, pa.binary(width))
+    def _hex_to_fixed(col, width: int):
+        """Vectorized hex→binary(width): regex validity mask, ONE
+        bytes.fromhex over the concatenated valid strings, scatter into
+        a zero-filled data buffer, validity bitmap via packbits."""
+        import pandas as pd
+
+        s = pd.Series(col.to_numpy(zero_copy_only=False), dtype=object)
+        n = len(s)
+        low = s.str.lower()
+        valid = low.str.fullmatch(f"[0-9a-f]{{{2 * width}}}", na=False).to_numpy(
+            dtype=bool
+        )
+        data = np.zeros(n * width, dtype=np.uint8)
+        idx = np.flatnonzero(valid)
+        if len(idx):
+            blob = np.frombuffer(
+                bytes.fromhex("".join(low.iloc[idx])), dtype=np.uint8
+            )
+            target = (idx[:, None] * width + np.arange(width)[None, :]).ravel()
+            data[target] = blob
+        validity = np.packbits(valid, bitorder="little")
+        return pa.Array.from_buffers(
+            pa.binary(width),
+            n,
+            [pa.py_buffer(validity.tobytes()), pa.py_buffer(data.tobytes())],
+            null_count=int((~valid).sum()),
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self.trace_from in batch.column_names:
             batch = _set_column(
-                batch, "trace_id", self._hex_to_fixed(batch[self.trace_from].to_pylist(), 16)
+                batch,
+                "trace_id",
+                self._hex_to_fixed(batch[self.trace_from].combine_chunks(), 16),
             )
         if self.span_from in batch.column_names:
             batch = _set_column(
-                batch, "span_id", self._hex_to_fixed(batch[self.span_from].to_pylist(), 8)
+                batch,
+                "span_id",
+                self._hex_to_fixed(batch[self.span_from].combine_chunks(), 8),
             )
         if self.flags_from and self.flags_from in batch.column_names:
-            flags = []
-            for v in batch[self.flags_from].to_pylist():
-                try:
-                    flags.append(int(v, 16) & 0xFF if v else None)
-                except ValueError:
-                    flags.append(None)
-            batch = _set_column(batch, "trace_flags", pa.array(flags, pa.int32()))
+            import pandas as pd
+
+            s = pd.Series(
+                batch[self.flags_from].to_numpy(zero_copy_only=False), dtype=object
+            )
+            ok = s.str.fullmatch(r"[0-9a-fA-F]{1,16}", na=False)
+            flags = pd.Series(np.full(len(s), None, dtype=object))
+            flags[ok] = s[ok].map(lambda v: int(v, 16) & 0xFF)
+            batch = _set_column(
+                batch, "trace_flags", pa.array(flags.tolist(), pa.int32())
+            )
         return batch
 
 

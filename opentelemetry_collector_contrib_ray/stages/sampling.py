@@ -83,17 +83,40 @@ class StringAttribute(Policy):
 
 
 class RateLimiting(Policy):
-    """sampling/rate_limiting.go: admit while spans-per-second stays
-    under the budget. Batch semantics: traces are processed in
-    event-time order; a trace is sampled if the window's running span
-    count so far stays within spans_per_second * window_seconds.
-    STATEFUL across groups → evaluated in the decision stage, which
-    sees per-trace summaries sorted by time (single small pass)."""
+    """sampling/rate_limiting.go:50-66 exact semantics: a per-SECOND
+    span budget. The evaluator tracks the current second; on a new
+    second the counter resets; a trace is Sampled iff
+    ``count_in_second + span_count < spans_per_second`` (strict), and
+    only SAMPLED traces consume budget. Batch re-expression: traces are
+    evaluated in event-time order (first span timestamp = the
+    evaluation clock), seconds bucket on the epoch floor. STATEFUL
+    across traces → applied on the per-trace decision table (one row
+    per trace), never on span data."""
 
     name = "rate_limiting"
 
     def __init__(self, spans_per_second: int):
         self.spans_per_second = spans_per_second
+
+    def apply_to_decisions(self, ddf: pd.DataFrame, ts_col: str = "first_ts") -> pd.DataFrame:
+        """Run the per-second budget over a decision table sorted by
+        event time; returns the table with ``sampled`` updated."""
+        ddf = ddf.sort_values(ts_col, kind="stable").reset_index(drop=True)
+        secs = (ddf[ts_col].astype("datetime64[ns]").astype(np.int64) // 1_000_000_000).to_numpy()
+        spans = ddf["n_spans"].to_numpy()
+        sampled = ddf["sampled"].to_numpy().copy()
+        count, cur = 0, None
+        for i in range(len(ddf)):
+            if not sampled[i]:
+                continue
+            if secs[i] != cur:
+                cur, count = secs[i], 0  # new second → counter reset
+            if count + spans[i] < self.spans_per_second:
+                count += spans[i]
+            else:
+                sampled[i] = False
+        ddf["sampled"] = sampled
+        return ddf
 
 
 def tail_sample(
@@ -153,13 +176,10 @@ def tail_sample(
     ddf = decisions.to_pandas()  # one row per trace — small by design
 
     if rate_policies and ts_col:
-        budget = min(p.spans_per_second for p in rate_policies)
-        ddf = ddf.sort_values("first_ts", kind="stable").reset_index(drop=True)
-        # spans/sec over the decision window ≈ cumulative spans vs elapsed sec
-        t0 = ddf["first_ts"].iloc[0]
-        elapsed = (ddf["first_ts"] - t0).dt.total_seconds().clip(lower=1.0)
-        cum = ddf["n_spans"].where(ddf["sampled"], 0).cumsum()
-        ddf["sampled"] = ddf["sampled"] & (cum <= budget * elapsed)
+        # exact per-second budget (rate_limiting.go:50-66), tightest
+        # policy wins; runs over the tiny one-row-per-trace table
+        tightest = min(rate_policies, key=lambda p: p.spans_per_second)
+        ddf = tightest.apply_to_decisions(ddf, "first_ts")
 
     sampled_ids = pd.unique(ddf.loc[ddf["sampled"], trace_col])
     ids_ref = ray.put(sampled_ids)

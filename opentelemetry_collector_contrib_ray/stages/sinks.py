@@ -35,18 +35,29 @@ class LokiLabeler:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = len(batch)
-        labels = [dict() for _ in range(n)]
-        for col, label in self.allowed.items():
+        # vectorized canonical JSON: per allowed label (sorted, matching
+        # json.dumps(sort_keys=True)) build '"label": "value"' fragments
+        # with pandas str kernels, then fold with ", " separators
+        combined = pd.Series([None] * n, dtype=object)
+        for label, col in sorted(
+            (lbl, c) for c, lbl in self.allowed.items()
+        ):
             if col not in batch.column_names:
                 continue
-            vals = batch[col].to_numpy(zero_copy_only=False)
-            for i, v in enumerate(vals):
-                if v is not None:
-                    labels[i][label] = str(v)
-        mask = np.array([len(l) > 0 for l in labels], dtype=bool)
-        enc = pa.array(
-            [json.dumps(l, sort_keys=True) if l else None for l in labels], pa.string()
-        )
+            vals = pd.Series(batch[col].to_numpy(zero_copy_only=False), dtype=object)
+            esc = (
+                vals.dropna()
+                .astype(str)
+                .str.replace("\\", "\\\\", regex=False)
+                .str.replace('"', '\\"', regex=False)
+            )
+            frag = pd.Series([None] * n, dtype=object)
+            frag[esc.index] = '"' + label + '": "' + esc + '"'
+            both = combined.notna() & frag.notna()
+            combined = combined.where(~both, combined + ", " + frag)
+            combined = combined.where(combined.notna(), frag)
+        mask = combined.notna().to_numpy(dtype=bool)
+        enc = pa.array(("{" + combined.dropna() + "}").reindex(range(n)), pa.string())
         out = _set_column(batch, "labels", enc)
         dropped = int((~mask).sum())
         out = out.filter(pa.array(mask))

@@ -95,3 +95,65 @@ def test_probabilistic_full_fraction_passes_all():
     assert len(out) == 100
     out2 = probabilistic_sample(ray.data.from_pandas(df), "id", 0.9999999999999999).to_pandas()
     assert len(out2) <= 100  # no overflow crash near 1.0
+
+
+def test_rate_limiting_per_second_budget():
+    """rate_limiting_test.go semantics: strict < budget; only sampled
+    traces consume; the counter resets every second."""
+    from opentelemetry_collector_contrib_ray.stages.sampling import RateLimiting
+
+    ddf = pd.DataFrame(
+        {
+            "trace": ["a", "b", "c", "d"],
+            "n_spans": [3, 2, 1, 3],
+            "first_ts": pd.to_datetime(
+                [
+                    "2021-03-01 00:00:00.1",  # sec 0: 0+3 < 4 → sampled (count 3)
+                    "2021-03-01 00:00:00.5",  # sec 0: 3+2 < 4 fails → dropped
+                    "2021-03-01 00:00:00.9",  # sec 0: 3+1 < 4 fails (strict) → dropped
+                    "2021-03-01 00:00:01.2",  # sec 1: reset, 0+3 < 4 → sampled
+                ]
+            ),
+            "sampled": [True, True, True, True],
+        }
+    )
+    out = RateLimiting(4).apply_to_decisions(ddf)
+    assert out["sampled"].tolist() == [True, False, False, True]
+    # reference golden (rate_limiting_test.go): budget == trace size →
+    # NotSampled (strict <); budget one above → Sampled
+    one = pd.DataFrame(
+        {"trace": ["t"], "n_spans": [3],
+         "first_ts": pd.to_datetime(["2021-03-01 00:00:00"]), "sampled": [True]}
+    )
+    assert not RateLimiting(3).apply_to_decisions(one.copy())["sampled"].iloc[0]
+    assert RateLimiting(4).apply_to_decisions(one.copy())["sampled"].iloc[0]
+
+
+def test_tail_sample_rate_limited_end_to_end():
+    from opentelemetry_collector_contrib_ray.stages.sampling import (
+        AlwaysSample,
+        RateLimiting,
+        tail_sample,
+    )
+
+    df = pd.DataFrame(
+        {
+            "trace": ["a"] * 3 + ["b"] * 2 + ["c"] * 4,
+            "ts": pd.to_datetime(
+                ["2021-03-01 00:00:00.1"] * 3
+                + ["2021-03-01 00:00:00.6"] * 2
+                + ["2021-03-01 00:00:01.4"] * 4
+            ),
+        }
+    )
+    sampled, decisions = tail_sample(
+        ray.data.from_pandas(df),
+        "trace",
+        [AlwaysSample(), RateLimiting(5)],
+        ts_col="ts",
+    )
+    got = sampled.to_pandas()
+    # sec 0: a(3) fits (3<5), b(2) → 3+2<5 fails → dropped; sec 1: c(4) fits
+    assert sorted(got["trace"].unique()) == ["a", "c"]
+    dd = decisions.set_index("trace")["sampled"]
+    assert dd["a"] and dd["c"] and not dd["b"]
