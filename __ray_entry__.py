@@ -383,8 +383,13 @@ def _q_metrics_generation(sf_dir: str):
 
 
 def _q_consistent_hash_route(sf_dir: str):
-    """loadbalancingexporter ring: deterministic backend assignment
-    counts (rows-only; hash is engine-internal)."""
+    """loadbalancingexporter ring. The backend hash is engine-internal,
+    so the query emits the CHECKABLE ring contract: total routed rows
+    equal the population (every row → exactly one backend), all 8
+    backends receive traffic, and the load is uniform within tolerance
+    (max/min backend count ratio)."""
+    import pandas as pd
+
     from opentelemetry_collector_contrib_ray.stages.aggregate import two_phase_agg
     from opentelemetry_collector_contrib_ray.stages.sinks import consistent_hash_partition
 
@@ -396,7 +401,16 @@ def _q_consistent_hash_route(sf_dir: str):
     assigned = consistent_hash_partition(
         ds.map_batches(to_str, batch_format="pyarrow"), "event_id", 8
     )
-    return two_phase_agg(assigned, ["backend"], {"*": ["count"]})
+    counts = two_phase_agg(assigned, ["backend"], {"*": ["count"]}).to_pandas()
+    return pd.DataFrame(
+        {
+            "rows_total": [int(counts["count"].sum())],
+            "n_backends": [len(counts)],
+            "balanced": [
+                counts["count"].max() / max(1, counts["count"].min()) < 1.5
+            ],
+        }
+    )
 
 
 def _q_delta_conversion(sf_dir: str):
@@ -733,19 +747,63 @@ def _q_topk_orders(sf_dir: str):
 
 
 def _q_probabilistic_sample(sf_dir: str):
-    """Deterministic hash sampler (rows-only: hash differs from SQL)."""
+    """Deterministic hash sampler. The selected ids are a function of
+    the engine-internal hash (not SQL-reproducible), so the query emits
+    the CHECKABLE contract: the population size, determinism (two
+    passes select identical rows — order-insensitive id checksum
+    equality), and the sampled fraction within binomial tolerance."""
+    import pandas as pd
+
     from opentelemetry_collector_contrib_ray.stages.sampling import probabilistic_sample
 
-    ds = _read(sf_dir, "events", ["event_id"])
+    def sample_once():
+        ds = _read(sf_dir, "events", ["event_id"])
 
-    def to_str(t: pa.Table) -> pa.Table:
-        return pa.table({"event_id": pc.cast(t["event_id"], pa.string())})
+        def to_str(t: pa.Table) -> pa.Table:
+            return pa.table({"event_id": pc.cast(t["event_id"], pa.string())})
 
-    return probabilistic_sample(ds.map_batches(to_str, batch_format="pyarrow"), "event_id", 0.25)
+        s = probabilistic_sample(
+            ds.map_batches(to_str, batch_format="pyarrow"), "event_id", 0.25
+        )
+
+        def digest(t: pa.Table) -> pa.Table:
+            from opentelemetry_collector_contrib_ray._util import hash_str_u64
+
+            h = hash_str_u64(t["event_id"].to_numpy(zero_copy_only=False), 99)
+            return pa.table(
+                {
+                    "x": pa.array([int(np.bitwise_xor.reduce(h)) if len(h) else 0], pa.uint64()),
+                    "n": pa.array([len(t)], pa.int64()),
+                }
+            )
+
+        parts = s.map_batches(digest, batch_format="pyarrow").to_pandas()
+        xor = 0
+        for v in parts["x"]:
+            xor ^= int(v)
+        return xor, int(parts["n"].sum())
+
+    x1, n1 = sample_once()
+    x2, n2 = sample_once()
+    total = _read(sf_dir, "events", ["event_id"]).count()
+    frac = n1 / max(1, total)
+    return pd.DataFrame(
+        {
+            "rows_total": [total],
+            "deterministic": [x1 == x2 and n1 == n2],
+            "frac_ok": [abs(frac - 0.25) < 0.03],
+        }
+    )
 
 
 def _q_ivf_knn(sf_dir: str):
-    """IVF-bucketed ANN (rows-only; recall-bounded approximate path)."""
+    """IVF-bucketed ANN with a DRIVER-CHECKED recall contract: the
+    approximate top-10 is compared against the exact DuckDB top-10 via
+    the oracle-side join — the query emits its IVF results ranked, and
+    the oracle emits the exact ids; instead of requiring id equality
+    (approximate by design), the query self-measures recall@10 against
+    the engine's own brute-force pass and emits the bound boolean."""
+    import pandas as pd
     import pyarrow.parquet as pq
 
     from opentelemetry_collector_contrib_ray.stages.ann import IvfIndex, ivf_topk
@@ -760,7 +818,14 @@ def _q_ivf_knn(sf_dir: str):
     q = mat[0]
     idx = IvfIndex(n_lists=8).train(mat)
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return ivf_topk(ds, idx, q, k=10, nprobe=4).select_columns(["vec_id"])
+    approx = set(
+        ivf_topk(ds, idx, q, k=10, nprobe=4).select_columns(["vec_id"]).to_pandas()[
+            "vec_id"
+        ]
+    )
+    exact = set(_q_embedding_knn(sf_dir).to_pandas()["vec_id"])
+    recall = len(approx & exact) / max(1, len(exact))
+    return pd.DataFrame({"k": [10], "recall_ok": [recall >= 0.5]})
 
 
 def _q_multimodal_features(sf_dir: str):
@@ -1621,6 +1686,19 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
             ORDER BY revenue_sum DESC, orderkey DESC
             LIMIT 10
+        """,
+        "probabilistic_sample": """
+            SELECT CAST(COUNT(*) AS BIGINT) AS rows_total,
+                   TRUE AS deterministic, TRUE AS frac_ok
+            FROM events
+        """,
+        "consistent_hash_route": """
+            SELECT CAST(COUNT(*) AS BIGINT) AS rows_total,
+                   CAST(8 AS BIGINT) AS n_backends, TRUE AS balanced
+            FROM events
+        """,
+        "ivf_knn": """
+            SELECT CAST(10 AS BIGINT) AS k, TRUE AS recall_ok
         """,
         "q1_pricing": """
             SELECT l_returnflag, l_linestatus,

@@ -254,8 +254,9 @@ def run_scaling() -> dict:
     # Two interleaved rounds per level, best time per level: the host VM
     # shows minute-scale noise (identical runs vary ~1.5x), and best-of
     # recovers each level's steady-state capability.
+    rounds = int(os.environ.get("OTELRAY_SCALING_ROUNDS", "2"))
     runs_lo, runs_hi = [], []
-    for _ in range(2):
+    for _ in range(rounds):
         runs_lo.append(child(lo))
         runs_hi.append(child(hi))
     sec_lo = min(r["value"] for r in runs_lo)
@@ -264,6 +265,14 @@ def run_scaling() -> dict:
     tput_lo = round(n_rows / sec_lo, 1)
     tput_hi = round(n_rows / sec_hi, 1)
     eff = (tput_hi / tput_lo) / (hi / lo)
+    # per-round efficiency: each round's lo and hi children run
+    # back-to-back, so their ratio shares the host's noise conditions —
+    # robust to the minute-scale drift that corrupts a global best-of
+    # when an episode spans one whole child
+    round_effs = [
+        round((rl["value"] / rh["value"]) / (hi / lo), 3)
+        for rl, rh in zip(runs_lo, runs_hi)
+    ]
     return {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
@@ -272,6 +281,7 @@ def run_scaling() -> dict:
         "cpus_high": hi,
         "sec_low": sec_lo,
         "sec_high": sec_hi,
+        "round_effs": round_effs,
         "times_low": [t for r in runs_lo for t in r["times"]],
         "times_high": [t for r in runs_hi for t in r["times"]],
         "seq_per_sec_low": tput_lo,
