@@ -212,6 +212,16 @@ def _q_statsd_agg(sf_dir: str):
     return _round_cols(out, {"value_sum": 6, "value_mean": 6})
 
 
+def _q_statsd_timer_summary(sf_dir: str):
+    """statsd timer → Summary: count, sum, nearest-rank percentiles at
+    the reference's default quantile set (metric_translator.go:63-88)."""
+    from opentelemetry_collector_contrib_ray.stages.aggregate import timer_summary
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    out = timer_summary(ds, ["event_type"], "value", exact_scale=100)
+    return _round_cols(out, {"value_sum": 6})
+
+
 def _q_spanmetrics_hist(sf_dir: str):
     from opentelemetry_collector_contrib_ray.stages.aggregate import histogram_agg
 
@@ -1284,6 +1294,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "json_parse_props": _q_json_parse_props,
         "statsd_agg": _q_statsd_agg,
         "spanmetrics_hist": _q_spanmetrics_hist,
+        "statsd_timer_summary": _q_statsd_timer_summary,
         "groupby_attrs": _q_groupby_attrs,
         "enrich_users": _q_enrich_users,
         "k8s_pod_enrich": _q_k8s_pod_enrich,
@@ -1476,6 +1487,25 @@ def oracle_sql() -> dict[str, str]:
                    SUM(CASE WHEN value > 100 AND value <= 150 THEN 1 ELSE 0 END) AS bucket_2,
                    SUM(CASE WHEN value > 150 THEN 1 ELSE 0 END) AS bucket_3
             FROM events GROUP BY 1
+        """,
+        "statsd_timer_summary": """
+            -- nearest-rank percentile (metric_translator.go:82):
+            -- sorted[ceil(n*p/100)-1], clamped; p0=min, p100=max
+            WITH ranked AS (
+                SELECT event_type, value,
+                       ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+                       COUNT(*) OVER (PARTITION BY event_type) AS n
+                FROM events
+            )
+            SELECT event_type, CAST(MAX(n) AS BIGINT) AS "count",
+                   ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 6) AS value_sum,
+                   MAX(CASE WHEN rn = 1 THEN value END) AS p0,
+                   MAX(CASE WHEN rn = GREATEST(1, CEIL(n * 0.10)) THEN value END) AS p10,
+                   MAX(CASE WHEN rn = GREATEST(1, CEIL(n * 0.50)) THEN value END) AS p50,
+                   MAX(CASE WHEN rn = GREATEST(1, CEIL(n * 0.90)) THEN value END) AS p90,
+                   MAX(CASE WHEN rn = GREATEST(1, CEIL(n * 0.95)) THEN value END) AS p95,
+                   MAX(CASE WHEN rn = n THEN value END) AS p100
+            FROM ranked GROUP BY 1
         """,
         "groupby_attrs": """
             SELECT lang, source, COUNT(*) AS "count",

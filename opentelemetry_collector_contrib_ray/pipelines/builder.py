@@ -53,8 +53,23 @@ def _defaults():
             "update_label": lambda **kw: (lambda b: update_label(b, **kw)),
             "add_label": lambda **kw: (lambda b: add_label(b, **kw)),
             "delete_label_value": lambda **kw: (lambda b: delete_label_value(b, **kw)),
+            "trace_parser": lambda **kw: parse.TraceParser(**kw),
+            "k8s_path_metadata": lambda **kw: parse.K8sPathMetadata(**kw),
+            "recombine_lines": lambda **kw: parse.RecombineLines(**kw),
+            "extract_pod_keys": lambda associations=None, connection_ip=None, **kw: (
+                lambda b: enrich.extract_pod_keys(
+                    b, associations, connection_ip=connection_ip, **kw
+                )
+            ),
+            "image_decoder": _image_decoder_factory,
         }
     )
+
+
+def _image_decoder_factory(**kw):
+    from ..stages.multimodal import ImageDecoder
+
+    return ImageDecoder(**kw)
 
 
 def build(config: dict) -> Any:
@@ -132,6 +147,7 @@ def build(config: dict) -> Any:
             agg_cfg.get("aggs", {"*": ["count"]}),
             num_salts=agg_cfg.get("num_salts", 16),
             driver_finalize=agg_cfg.get("driver_finalize", False),
+            exact_sums=agg_cfg.get("exact_sums"),
         )
 
     sink = config.get("sink")

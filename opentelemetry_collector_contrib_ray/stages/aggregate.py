@@ -354,6 +354,60 @@ def statsd_agg(
     )
 
 
+def timer_summary(
+    ds,
+    keys: Sequence[str],
+    value_col: str,
+    *,
+    percentiles: Sequence[float] = (0, 10, 50, 90, 95, 100),
+    num_buckets: int = 64,
+    exact_scale: int | None = None,
+):
+    """statsd TIMER → Summary datapoint (metric_translator.go:63-88):
+    per key emit count, sum and NEAREST-RANK percentiles (the
+    reference's stats.PercentileNearestRank: sorted[ceil(n·p/100)−1],
+    p=0 → min, p=100 → max) at the reference's default quantile set.
+
+    EXACT and distributed: one bucketed shuffle co-locates each key's
+    full value multiset (statsd metric names are low-cardinality by
+    design — a single key's values must fit one bucket task), then one
+    vectorized sort + gather per bucket. Output columns: keys, count,
+    ``<value>_sum``, ``p<P>`` per percentile.
+    """
+    keys = list(keys)
+    pcts = list(percentiles)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(keys + [value_col], kind="stable").reset_index(drop=True)
+        g = df.groupby(keys, sort=False, observed=True)
+        n = g[value_col].transform("size").to_numpy()
+        starts = np.flatnonzero(
+            np.concatenate([[True], (g.ngroup().to_numpy()[1:] != g.ngroup().to_numpy()[:-1])])
+        )
+        sizes = n[starts]
+        out = df.iloc[starts][keys].reset_index(drop=True)
+        out["count"] = sizes.astype(np.int64)
+        if exact_scale:  # fixed-decimal input → exact int64 sum (module doc)
+            ints = np.rint(df[value_col].to_numpy() * exact_scale).astype(np.int64)
+            isum = np.add.reduceat(ints, starts)
+            out[f"{value_col}_sum"] = isum / float(exact_scale)
+        else:
+            out[f"{value_col}_sum"] = g[value_col].sum().to_numpy()
+        vals = df[value_col].to_numpy()
+        for p in pcts:
+            # nearest rank: ceil(n·p/100) clamped to [1, n], minus 1
+            idx = np.maximum(1, np.ceil(sizes * p / 100.0).astype(np.int64)) - 1
+            out[f"p{int(p)}"] = vals[starts + np.minimum(idx, sizes - 1)]
+        return out
+
+    return bucketed_group_apply(
+        ds.select_columns(keys + [value_col]) if hasattr(ds, "select_columns") else ds,
+        keys[0],
+        per_bucket,
+        num_buckets=num_buckets,
+    )
+
+
 def sorted_group_apply(ds, key: str, order_by: str, fn, batch_format: str = "pandas", num_buckets: int = 64):
     """Per-key ordered window: each key's rows, sorted by ``order_by``,
     are passed to ``fn`` as one DataFrame.

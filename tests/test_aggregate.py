@@ -142,3 +142,27 @@ def test_histogram_agg_value_scale_exact():
     assert out["call_count"].iloc[0] == 1000
     assert out["v_sum"].iloc[0] == 15.0  # 500×0.01 + 500×0.02, exactly
     assert out["bucket_0"].iloc[0] == 500 and out["bucket_1"].iloc[0] == 500
+
+
+def test_timer_summary_nearest_rank():
+    """statsd timer Summary (metric_translator.go:63-88): nearest-rank
+    percentiles — canonical example [15,20,35,40,50]: P30=20, P40=20,
+    P95=50, P0=min, P100=max; count/sum exact."""
+    from opentelemetry_collector_contrib_ray.stages.aggregate import timer_summary
+
+    df = pd.DataFrame(
+        {"m": ["t"] * 5 + ["u"] * 2, "v": [35.0, 20.0, 15.0, 50.0, 40.0, 7.0, 3.0]}
+    )
+    ds = ray.data.from_pandas(df).repartition(3)
+    out = (
+        timer_summary(ds, ["m"], "v", percentiles=(0, 30, 40, 95, 100), exact_scale=10)
+        .to_pandas()
+        .sort_values("m")
+        .reset_index(drop=True)
+    )
+    t = out[out["m"] == "t"].iloc[0]
+    assert t["count"] == 5 and t["v_sum"] == 160.0
+    assert t["p0"] == 15.0 and t["p30"] == 20.0 and t["p40"] == 20.0
+    assert t["p95"] == 50.0 and t["p100"] == 50.0
+    u = out[out["m"] == "u"].iloc[0]
+    assert u["count"] == 2 and u["p0"] == 3.0 and u["p100"] == 7.0

@@ -220,3 +220,22 @@ def test_image_decoder_actor_pool_over_synth_bmps():
     # gradient images: mean R is the x-gradient mean ≈ 127.5 ± rounding
     assert (good["mean_r"].between(100, 155)).all()
     assert ((good["img_width"] >= 8) & (good["img_width"] <= 32)).all()
+
+
+def test_builder_round2_stages():
+    """Registry covers the round-2 ops: trace_parser, extract_pod_keys,
+    image_decoder compose via config."""
+    from opentelemetry_collector_contrib_ray.pipelines.builder import _defaults, _REGISTRY
+
+    _defaults()
+    for op in ("trace_parser", "k8s_path_metadata", "recombine_lines",
+               "extract_pod_keys", "image_decoder"):
+        assert op in _REGISTRY
+    # extract_pod_keys factory builds a working stage
+    stage = _REGISTRY["extract_pod_keys"](associations=None, connection_ip="9.9.9.9")
+    out = stage(pa.table({"k8s.pod.ip": ["1.2.3.4", None]}))
+    assert out["_pod_key"].to_pylist() == ["1.2.3.4", "9.9.9.9"]
+    dec = _REGISTRY["image_decoder"](thumb=(4, 4))
+    from opentelemetry_collector_contrib_ray.stages.multimodal import synth_bmp_table
+
+    assert dec(synth_bmp_table(2))["decoded"].to_pylist() == [True, True]
