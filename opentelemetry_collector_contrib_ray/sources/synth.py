@@ -191,11 +191,32 @@ def write_synth_corpus(path: str, n_rows: int, num_files: int = 8) -> str:
 
     Shards are row-index ranges (shard-00000.parquet …) — each shard is
     the checkpointing unit for resumable runs. Idempotent: skips shards
-    that already exist.
+    that already exist — but idempotency is LAYOUT-AWARE: a `_meta.json`
+    records (n_rows, num_files), and a request with a different layout
+    wipes and regenerates the directory. (Filename-only idempotency
+    once layered a 32×250k corpus with 32×125k extra shards into a
+    silent 12M-row directory.)
     """
+    import json as _json
+    import shutil
+
     import ray
 
+    meta_path = os.path.join(path, "_meta.json")
+    want = {"n_rows": int(n_rows), "num_files": int(num_files)}
+    if os.path.isdir(path):
+        have = None
+        try:
+            with open(meta_path) as f:
+                have = _json.load(f)
+        except (OSError, ValueError):
+            pass
+        if have != want:
+            shutil.rmtree(path)
     os.makedirs(path, exist_ok=True)
+    if not os.path.exists(meta_path):
+        with open(meta_path, "w") as f:
+            _json.dump(want, f)
     bounds = np.linspace(0, n_rows, num_files + 1, dtype=np.int64)
 
     @ray.remote

@@ -1,4 +1,5 @@
 import numpy as np
+import os
 import pyarrow as pa
 
 from opentelemetry_collector_contrib_ray.sources.synth import (
@@ -44,7 +45,33 @@ def test_write_corpus_idempotent(tmp_path):
     import os
 
     files = sorted(os.listdir(p))
-    assert files == ["shard-00000.parquet", "shard-00001.parquet"]
+    assert [f for f in files if f.endswith(".parquet")] == [
+        "shard-00000.parquet", "shard-00001.parquet"
+    ]
     rows1 = pq.read_table(p + "/shard-00000.parquet")
     write_synth_corpus(p, 1000, num_files=2)  # no-op rerun
     assert pq.read_table(p + "/shard-00000.parquet").equals(rows1)
+
+
+def test_corpus_layout_change_regenerates(tmp_path):
+    """Filename-only idempotency once layered two shard layouts into one
+    directory (12M rows from an 8M request); the layout meta file must
+    force a clean regeneration instead."""
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_contrib_ray.sources.synth import write_synth_corpus
+
+    d = str(tmp_path / "c")
+    write_synth_corpus(d, 2000, num_files=2)
+    files1 = sorted(os.listdir(d))
+    assert "shard-00001.parquet" in files1
+    # same layout → no rewrite (idempotent): mtimes unchanged
+    m1 = os.path.getmtime(os.path.join(d, "shard-00000.parquet"))
+    write_synth_corpus(d, 2000, num_files=2)
+    assert os.path.getmtime(os.path.join(d, "shard-00000.parquet")) == m1
+    # different layout → wiped and regenerated with the right row total
+    write_synth_corpus(d, 2000, num_files=4)
+    files2 = sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+    assert len(files2) == 4
+    total = sum(pq.read_table(os.path.join(d, f)).num_rows for f in files2)
+    assert total == 2000
