@@ -648,10 +648,18 @@ def _q_embedding_knn(sf_dir: str):
 
 
 def _q_embedding_neardup(sf_dir: str):
+    """Multi-table hyperplane-LSH cosine near-dup. Every emitted pair
+    is exact-cosine verified (no false positives), so the pair COUNT is
+    oracle-checkable against DuckDB's exhaustive self-join at the same
+    threshold (the synthetic embeddings have max pairwise cosine ≈0.51,
+    so both sides must report zero)."""
+    import pandas as pd
+
     from opentelemetry_collector_contrib_ray.stages.dedup import embedding_neardup_pairs
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return embedding_neardup_pairs(ds, threshold=0.9)
+    n = embedding_neardup_pairs(ds, threshold=0.9).count()
+    return pd.DataFrame({"n_pairs": [n]})
 
 
 # ------------------------------------------------- line-protocol round-trips
@@ -1716,6 +1724,11 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
             ORDER BY revenue_sum DESC, orderkey DESC
             LIMIT 10
+        """,
+        "embedding_neardup": """
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9
         """,
         "probabilistic_sample": """
             SELECT CAST(COUNT(*) AS BIGINT) AS rows_total,

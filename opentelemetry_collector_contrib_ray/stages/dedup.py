@@ -503,10 +503,27 @@ def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
 # ------------------------------------------------------ embedding near-dup
 
 
-def embedding_neardup_pairs(ds, *, id_col="vec_id", emb_col="embedding", threshold=0.95, nbits=12, seed=3):
-    """Embedding-cosine near-dup: random-hyperplane LSH bucket (one
-    shuffle of (bucket, id, vec)), then exact cosine within buckets.
-    Returns pairs (id_a, id_b, cos) with cos ≥ threshold, id_a < id_b.
+def embedding_neardup_pairs(
+    ds,
+    *,
+    id_col="vec_id",
+    emb_col="embedding",
+    threshold=0.95,
+    nbits=8,
+    num_tables=8,
+    seed=3,
+):
+    """Embedding-cosine near-dup: MULTI-TABLE random-hyperplane LSH.
+
+    ``num_tables`` independent hyperplane sets each bucket every vector
+    (one shuffle of (table, bucket, id, vec) rows), exact cosine runs
+    within buckets, and pairs union across tables with a bucketed
+    dedup. Recall for a pair at cosine c is
+    ``1 − (1 − p^nbits)^num_tables`` with ``p = 1 − acos(c)/π`` — at
+    the defaults (8 bits × 8 tables) ≈ 0.93 for c = 0.9, vs 0.16 for a
+    single 12-bit table. Candidates are verified exactly, so the output
+    NEVER contains false positives; returns pairs
+    (id_a, id_b, cos ≥ threshold, id_a < id_b).
     """
 
     class Bucketer:
@@ -519,22 +536,35 @@ def embedding_neardup_pairs(ds, *, id_col="vec_id", emb_col="embedding", thresho
             )
             if self.planes is None:
                 rng = np.random.default_rng(seed)
-                self.planes = rng.standard_normal((vecs.shape[1], nbits)).astype(np.float32)
-            proj = vecs @ self.planes
-            bits = (proj > 0).astype(np.uint64)
-            bucket = (bits << np.arange(nbits, dtype=np.uint64)[None, :]).sum(axis=1)
+                self.planes = rng.standard_normal(
+                    (num_tables, vecs.shape[1], nbits)
+                ).astype(np.float32)
             norm = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+            n = len(vecs)
+            tabs, buckets, idxs = [], [], []
+            ids = batch[id_col].to_numpy(zero_copy_only=False)
+            for t in range(num_tables):
+                proj = vecs @ self.planes[t]
+                bits = (proj > 0).astype(np.uint64)
+                b = (bits << np.arange(nbits, dtype=np.uint64)[None, :]).sum(axis=1)
+                tabs.append(np.full(n, t, dtype=np.int32))
+                buckets.append(b.astype(np.int64))
+                idxs.append(np.arange(n))
+            rep = np.concatenate(idxs)
             return pa.table(
                 {
-                    "bucket": pa.array(bucket.astype(np.int64)),
-                    id_col: batch[id_col],
-                    "vec": pa.array(list(norm), type=pa.list_(pa.float32())),
+                    "table_id": pa.array(np.concatenate(tabs)),
+                    "bucket": pa.array(np.concatenate(buckets)),
+                    id_col: pa.array(ids[rep]),
+                    "vec": pa.array(list(norm[rep]), type=pa.list_(pa.float32())),
                 }
             )
 
     bucketed = ds.map_batches(Bucketer(), batch_format="pyarrow")
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # one (table, bucket) group per call; exact cosine verification
+        g = g.drop_duplicates(id_col)
         if len(g) < 2:
             return pd.DataFrame({"id_a": [], "id_b": [], "cos": []})
         ids = g[id_col].to_numpy()
@@ -550,7 +580,26 @@ def embedding_neardup_pairs(ds, *, id_col="vec_id", emb_col="embedding", thresho
             }
         )
 
-    return bucketed.groupby("bucket").map_groups(pairs, batch_format="pandas")
+    raw = bucketed.groupby(["table_id", "bucket"]).map_groups(
+        pairs, batch_format="pandas"
+    )
+
+    # same pair found by several tables → one bucketed dedup pass
+    def add_pb(batch: pa.Table) -> pa.Table:
+        a = batch["id_a"].to_numpy(zero_copy_only=False)
+        h = splitmix64(np.asarray(pd.util.hash_array(a), dtype=np.uint64))
+        return batch.append_column(
+            "_pb", pa.array((h % np.uint64(16)).astype(np.int64))
+        )
+
+    def dedupe(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["id_a", "id_b"])[["id_a", "id_b", "cos"]]
+
+    return (
+        raw.map_batches(add_pb, batch_format="pyarrow")
+        .groupby("_pb")
+        .map_groups(dedupe, batch_format="pandas")
+    )
 
 
 # ------------------------------------------------- end-to-end near-dedup

@@ -180,3 +180,30 @@ def test_connected_components_ds_matches_union_find():
     # union-find smaller-root-wins
     assert got == {k: uf[k] for k in got}
     assert got["d"] == "a" and got["y"] == "x"
+
+
+def test_embedding_neardup_multitable_recall():
+    """Multi-table LSH (8×8-bit) finds planted cosine-0.97 pairs that a
+    single table would likely miss, and never emits false positives."""
+    from opentelemetry_collector_contrib_ray.stages.dedup import embedding_neardup_pairs
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((60, 32)).astype(np.float32)
+    # plant 10 near-dup partners at high cosine
+    partners = base[:10] + 0.12 * rng.standard_normal((10, 32)).astype(np.float32)
+    vecs = np.concatenate([base, partners])
+    norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    ia, ib = np.triu_indices(len(vecs), k=1)
+    true_pairs = {
+        (int(min(a, b)), int(max(a, b)))
+        for a, b in zip(ia[sims[ia, ib] >= 0.9], ib[sims[ia, ib] >= 0.9])
+    }
+    assert len(true_pairs) >= 8  # the plant worked
+    df = pd.DataFrame({"vec_id": np.arange(len(vecs)), "embedding": list(vecs)})
+    out = embedding_neardup_pairs(
+        ray.data.from_pandas(df), threshold=0.9
+    ).to_pandas()
+    got = {(int(a), int(b)) for a, b in zip(out["id_a"], out["id_b"])}
+    assert got <= true_pairs  # exact verification → no false positives
+    assert len(got & true_pairs) / len(true_pairs) >= 0.8  # multi-table recall
