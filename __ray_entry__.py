@@ -997,6 +997,87 @@ def _q_splunk_hec_parse(sf_dir: str):
     return ds.map_batches(rp, batch_format="pyarrow")
 
 
+def _q_fluentforward_parse(sf_dir: str):
+    """Fluent Forward round-trip: render REAL msgpack payloads (Message
+    mode for even event ids, gzip CompressedPackedForward for odd —
+    conversion.go:191/:399), decode with the engine's msgpack decoder,
+    compare the exploded rows against SQL. The renderer is a
+    test-fixture (per-object pack), the DECODER is the product path."""
+    import gzip as _gzip
+
+    from opentelemetry_collector_contrib_ray.sources.fluentforward import (
+        FluentForwardDecoder,
+        pack,
+    )
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "user_id"])
+
+    def render(t: pa.Table) -> pa.Table:
+        payloads = []
+        for eid, et, uid in zip(
+            t["event_id"].to_pylist(),
+            t["event_type"].to_pylist(),
+            t["user_id"].to_pylist(),
+        ):
+            rec = {"eid": int(eid), "user": f"u{uid}"}
+            if eid % 2 == 0:
+                payloads.append(pack([f"app.{et}", 1600000000.0, rec]))
+            else:
+                inner = pack([1600000000.0, rec])
+                payloads.append(
+                    pack([f"app.{et}", _gzip.compress(inner, mtime=0)])
+                )
+        return pa.table({"payload": pa.array(payloads, pa.binary())})
+
+    parsed = ds.map_batches(render, batch_format="pyarrow").map_batches(
+        FluentForwardDecoder(fields=["tag", "eid", "user"]), batch_format="pyarrow"
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "tag": t["tag"],
+                "eid": pc.cast(t["eid"], pa.int64()),
+                "user": t["user"],
+            }
+        )
+
+    return parsed.map_batches(fin, batch_format="pyarrow")
+
+
+def _q_collectd_parse(sf_dir: str):
+    """collectd JSON write-payload round-trip (collectd.go): rendered
+    records → per-dsname metric rows, vs an independent SQL rendering."""
+    from opentelemetry_collector_contrib_ray.sources.lines import parse_collectd_json
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id", "value"])
+
+    def rp(t: pa.Table) -> pa.Table:
+        val = pc.cast(pc.cast(pc.floor(t["value"]), pa.int64()), pa.string())
+        raw = pc.binary_join_element_wise(
+            '[{"host": "h',
+            pc.cast(t["user_id"], pa.string()),
+            '", "plugin": "cpu", "type": "',
+            t["event_type"],
+            '", "time": 1600000000, "dsnames": ["value"], '
+            '"dstypes": ["gauge"], "values": [',
+            val,
+            "]}]",
+            "",
+        )
+        parsed = parse_collectd_json(pa.table({"raw": raw}))
+        return pa.table(
+            {
+                "metric_name": parsed["metric_name"],
+                "host": parsed["host"],
+                "dstype": parsed["dstype"],
+                "value": pc.cast(parsed["value"], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(rp, batch_format="pyarrow")
+
+
 def _q_bpe_token_count(sf_dir: str):
     """BPE-ish pre-tokenizer piece counts (ASCII word model so the
     Python re and DuckDB RE2 engines agree on non-ASCII text)."""
@@ -1335,6 +1416,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "statsd_parse_agg": _q_statsd_parse_agg,
         "influx_parse": _q_influx_parse,
         "splunk_hec_parse": _q_splunk_hec_parse,
+        "fluentforward_parse": _q_fluentforward_parse,
+        "collectd_parse": _q_collectd_parse,
         "bpe_token_count": _q_bpe_token_count,
         "join_orders_customers": _q_join_orders_customers,
         "join_native_lineitem_part": _q_join_native_lineitem_part,
@@ -1679,6 +1762,18 @@ def oracle_sql() -> dict[str, str]:
         "splunk_hec_parse": """
             SELECT event_id, event_type AS body,
                    'h' || CAST(user_id AS VARCHAR) AS host, 'main' AS idx
+            FROM events
+        """,
+        "fluentforward_parse": """
+            SELECT 'app.' || event_type AS tag, event_id AS eid,
+                   'u' || CAST(user_id AS VARCHAR) AS "user"
+            FROM events
+        """,
+        "collectd_parse": """
+            SELECT 'cpu.' || event_type AS metric_name,
+                   'h' || CAST(user_id AS VARCHAR) AS host,
+                   'gauge' AS dstype,
+                   CAST(FLOOR(value) AS BIGINT) AS value
             FROM events
         """,
         "bpe_token_count": """
