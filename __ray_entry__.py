@@ -68,8 +68,28 @@ def _ensure_corpus_inline(n: int) -> str:
     from opentelemetry_collector_contrib_ray.sources.synth import gen_batch
 
     path = f"/tmp/otelray_corpus_{n}"
-    os.makedirs(path, exist_ok=True)
     num_files = max(4, min(64, n // 25000))
+    # Mirror write_synth_corpus's layout-aware idempotency exactly: the
+    # same _meta.json (n_rows, num_files) so the two generators
+    # recognise each other's output instead of wiping+rebuilding it.
+    import json as _json
+    import shutil as _shutil
+
+    meta_path = os.path.join(path, "_meta.json")
+    want = {"n_rows": int(n), "num_files": int(num_files)}
+    if os.path.isdir(path):
+        have = None
+        try:
+            with open(meta_path) as f:
+                have = _json.load(f)
+        except (OSError, ValueError):
+            pass
+        if have != want:
+            _shutil.rmtree(path)
+    os.makedirs(path, exist_ok=True)
+    if not os.path.exists(meta_path):
+        with open(meta_path, "w") as f:
+            _json.dump(want, f)
     bounds = _np.linspace(0, n, num_files + 1, dtype=_np.int64)
     for i in range(num_files):
         fn = os.path.join(path, f"shard-{i:05d}.parquet")
@@ -295,7 +315,10 @@ def _q_k8s_pod_enrich(sf_dir: str):
     cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey"])
     cache = PodCache(grace_period=60.0)
     for c in cust["c_custkey"].to_pylist():
-        ip = f"10.{(c >> 8) & 255}.{c & 255}.1"
+        # collision-free dotted quad over 24 bits of custkey (custkeys
+        # 65536 apart must not share an IP or a later add_pod would
+        # silently remap an earlier pod's IP at sf >= ~0.44)
+        ip = f"10.{(c >> 16) & 255}.{(c >> 8) & 255}.{c & 255}"
         old_name = f"dep-{c}-aaa11-bbb22"
         cache.add_pod(
             uid=f"u{c}", ip=ip, name=old_name, start_time=10.0,
@@ -332,10 +355,15 @@ def _q_k8s_pod_enrich(sf_dir: str):
         eid = t["event_id"].to_numpy(zero_copy_only=False)
         uid = t["user_id"].to_numpy(zero_copy_only=False)
         even = eid % 2 == 0
-        hi = ((uid.astype(np.int64) >> 8) & 255).astype(str)
-        lo = (uid.astype(np.int64) & 255).astype(str)
+        u64 = uid.astype(np.int64)
+        o1 = ((u64 >> 16) & 255).astype(str)
+        o2 = ((u64 >> 8) & 255).astype(str)
+        o3 = (u64 & 255).astype(str)
         ips = np.char.add(
-            np.char.add(np.char.add(np.char.add("10.", hi), "."), lo), ".1"
+            np.char.add(
+                np.char.add(np.char.add(np.char.add("10.", o1), "."), o2), "."
+            ),
+            o3,
         ).astype(object)
         uids = np.char.add("u", uid.astype(str)).astype(object)
         t = t.append_column(
@@ -1573,10 +1601,10 @@ def oracle_sql() -> dict[str, str]:
         "spanmetrics_hist": """
             SELECT event_type, COUNT(*) AS call_count,
                    ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 6) AS value_sum,
-                   SUM(CASE WHEN value <= 50 THEN 1 ELSE 0 END) AS bucket_0,
-                   SUM(CASE WHEN value > 50 AND value <= 100 THEN 1 ELSE 0 END) AS bucket_1,
-                   SUM(CASE WHEN value > 100 AND value <= 150 THEN 1 ELSE 0 END) AS bucket_2,
-                   SUM(CASE WHEN value > 150 THEN 1 ELSE 0 END) AS bucket_3
+                   CAST(SUM(CASE WHEN value <= 50 THEN 1 ELSE 0 END) AS BIGINT) AS bucket_0,
+                   CAST(SUM(CASE WHEN value > 50 AND value <= 100 THEN 1 ELSE 0 END) AS BIGINT) AS bucket_1,
+                   CAST(SUM(CASE WHEN value > 100 AND value <= 150 THEN 1 ELSE 0 END) AS BIGINT) AS bucket_2,
+                   CAST(SUM(CASE WHEN value > 150 THEN 1 ELSE 0 END) AS BIGINT) AS bucket_3
             FROM events GROUP BY 1
         """,
         "statsd_timer_summary": """

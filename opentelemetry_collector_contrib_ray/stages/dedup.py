@@ -619,9 +619,11 @@ def candidate_pairs_from_buckets(buckets: pa.Table, id_col: str = "doc_id") -> l
     return sorted(pairs)
 
 
-def _jaccard_hash_sets(texts: np.ndarray, n: int) -> list[np.ndarray]:
-    """Per-text sorted unique word-n-gram hash arrays (for vectorized
-    pairwise Jaccard via np.intersect1d on presorted arrays)."""
+def _jaccard_hash_sets(texts: np.ndarray, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-text sorted unique word-n-gram hash sets, returned FLAT:
+    ``(flat, offsets)`` where doc i's set is ``flat[offsets[i]:offsets[i+1]]``
+    (sorted, unique). Flat layout keeps downstream pairwise work fully
+    vectorized (gather + lexsort) with no per-doc Python objects."""
     s = pd.Series(texts, dtype=object)
     words = s.fillna("").str.split()
     flat = words.explode().fillna("").to_numpy(dtype=object)
@@ -643,7 +645,16 @@ def _jaccard_hash_sets(texts: np.ndarray, n: int) -> list[np.ndarray]:
             vj = ij < doc_end
             hj = np.where(vj, word_h[np.minimum(ij, len(word_h) - 1)], np.uint64(j) * _GRAM_SENT1)
             gh = splitmix64(gh ^ hj)
-    return [np.unique(gh[g_off[i] : g_off[i + 1]]) for i in range(len(nw))]
+    # unique-per-doc without a per-doc Python loop: sort (doc, hash),
+    # drop equal neighbors within a doc
+    doc_of = np.repeat(np.arange(len(nw), dtype=np.int64), g_counts)
+    order = np.lexsort((gh, doc_of))
+    sd, sh = doc_of[order], gh[order]
+    keep = np.ones(len(sh), dtype=bool)
+    keep[1:] = (sd[1:] != sd[:-1]) | (sh[1:] != sh[:-1])
+    sd, sh = sd[keep], sh[keep]
+    out_counts = np.bincount(sd, minlength=len(nw)).astype(np.int64)
+    return sh, _cumsum0(out_counts)
 
 
 def verify_pairs_ds(
@@ -716,13 +727,39 @@ def verify_pairs_ds(
         uniq_ids, inv = np.unique(ids.astype(str), return_inverse=True)
         first = np.zeros(len(uniq_ids), dtype=np.int64)
         first[inv[::-1]] = np.arange(len(ids) - 1, -1, -1)
-        sets = _jaccard_hash_sets(txts[first], n)
+        flat, offs = _jaccard_hash_sets(txts[first], n)
+        doc_lens = np.diff(offs)
         m = len(batch)
-        jac = np.empty(m, dtype=np.float64)
-        for i in range(m):  # per-PAIR intersect of presorted hash sets
-            A, B = sets[inv[i]], sets[inv[m + i]]
-            inter = np.intersect1d(A, B, assume_unique=True).size
-            jac[i] = inter / max(1, A.size + B.size - inter)
+
+        def gather(docidx: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+            lens = doc_lens[docidx]
+            o = _cumsum0(lens)
+            pos = (
+                np.arange(int(lens.sum()), dtype=np.int64)
+                - np.repeat(o[:-1], lens)
+                + np.repeat(offs[docidx], lens)
+            )
+            return flat[pos], lens
+
+        # batched intersection: tag each set element with its pair id,
+        # lexsort the union of A- and B-elements, count equal neighbors
+        # (sets are unique per side, so each shared hash appears exactly
+        # twice per pair) — no per-pair Python work
+        a_flat, lens_a = gather(inv[:m])
+        b_flat, lens_b = gather(inv[m:])
+        pid = np.concatenate(
+            [
+                np.repeat(np.arange(m, dtype=np.int64), lens_a),
+                np.repeat(np.arange(m, dtype=np.int64), lens_b),
+            ]
+        )
+        h = np.concatenate([a_flat, b_flat])
+        order = np.lexsort((h, pid))
+        sp, sh = pid[order], h[order]
+        dup = (sp[1:] == sp[:-1]) & (sh[1:] == sh[:-1])
+        inter = np.bincount(sp[1:][dup], minlength=m).astype(np.float64)
+        union = np.maximum(lens_a + lens_b - inter, 1.0)
+        jac = inter / union
         out = pa.table(
             {"id_a": batch["id_a"], "id_b": batch["id_b"], "jaccard": pa.array(jac)}
         )
@@ -904,6 +941,8 @@ def near_dedup(
     bands: int = 16,
     jaccard_threshold: float = 0.8,
     num_buckets: int = 64,
+    cc_mode: str = "auto",
+    cc_edge_threshold: int = 100_000,
 ):
     """End-to-end near-duplicate removal, distributed at every step:
 
@@ -911,28 +950,54 @@ def near_dedup(
     table) → exact n-gram-Jaccard verification (distributed join of
     pairs × texts) → connected components over the verified edges →
     survivors = min id per duplicate cluster + all unclustered docs.
-    The only driver-side structures are the VERIFIED edge set and the
-    drop set (≈ number of duplicate documents, not corpus size).
-    Returns (survivor_ids_table, clusters dict).
+
+    ``cc_mode``: 'driver' = union-find over collected edges (O(edges)
+    on the driver); 'distributed' = min-label propagation
+    (``connected_components_ds``), driver holds only the O(dup-nodes)
+    label map; 'auto' (default) counts the verified edges and switches
+    to the distributed path past ``cc_edge_threshold`` — so a dup-heavy
+    corpus never ships its edge set to the driver.
+    Returns (survivor_ids_table, clusters dict {dup_id: root_id}).
     """
     exploded = _lsh_explode(ds, text_col, id_col, k=k, num_perm=num_perm, bands=bands)
     pairs = lsh_candidate_pairs(exploded, id_col, num_buckets=num_buckets)
     edges_ds = verify_pairs_ds(
         ds, pairs, text_col=text_col, id_col=id_col, threshold=jaccard_threshold
     )
-    edge_batches = list(edges_ds.iter_batches(batch_format="pyarrow", batch_size=None))
-    if edge_batches:
-        edges_tbl = pa.concat_tables(edge_batches, promote_options="permissive")
-        edges = list(
-            zip(
-                edges_tbl["id_a"].to_pylist(),
-                edges_tbl["id_b"].to_pylist(),
-                edges_tbl["jaccard"].to_pylist(),
+    if cc_mode not in ("auto", "driver", "distributed"):
+        raise ValueError(f"cc_mode must be auto|driver|distributed, got {cc_mode!r}")
+    use_distributed = cc_mode == "distributed"
+    if cc_mode == "auto":
+        edges_ds = edges_ds.materialize()  # count + reuse without recompute
+        use_distributed = edges_ds.count() > cc_edge_threshold
+    if use_distributed:
+        labels = connected_components_ds(
+            edges_ds.map_batches(
+                lambda t: t.select(["id_a", "id_b"]), batch_format="pyarrow"
             )
         )
+        lab_batches = list(
+            labels.iter_batches(batch_format="pyarrow", batch_size=None)
+        )
+        clusters = {}
+        for lb in lab_batches:  # one entry per dup-graph NODE (≪ edges)
+            clusters.update(zip(lb["id"].to_pylist(), lb["root"].to_pylist()))
     else:
-        edges = []
-    clusters = connected_components(edges)
+        edge_batches = list(
+            edges_ds.iter_batches(batch_format="pyarrow", batch_size=None)
+        )
+        if edge_batches:
+            edges_tbl = pa.concat_tables(edge_batches, promote_options="permissive")
+            edges = list(
+                zip(
+                    edges_tbl["id_a"].to_pylist(),
+                    edges_tbl["id_b"].to_pylist(),
+                    edges_tbl["jaccard"].to_pylist(),
+                )
+            )
+        else:
+            edges = []
+        clusters = connected_components(edges)
     drop = {x for x, root in clusters.items() if root != x}
     import ray
 

@@ -309,14 +309,18 @@ _IPV4_RE = None
 
 
 def _is_ipv4(values: np.ndarray) -> np.ndarray:
-    """Vectorized net.ParseIP-shaped check (IPv4 dotted quad)."""
+    """Vectorized net.ParseIP-shaped check (IPv4 dotted quad with each
+    octet in 0-255 — ParseIP rejects e.g. '999.300.1.1')."""
     import pandas as pd
 
     s = pd.Series(values, dtype=object)
-    return (
-        s.str.fullmatch(r"(\d{1,3})\.(\d{1,3})\.(\d{1,3})\.(\d{1,3})", na=False)
-        .to_numpy(dtype=bool)
-    )
+    ext = s.str.extract(r"^(\d{1,3})\.(\d{1,3})\.(\d{1,3})\.(\d{1,3})$")
+    ok = ext.notna().all(axis=1).to_numpy(dtype=bool)
+    if ok.any():
+        # Go 1.16 dtoi: ≤3 digits, value ≤255 (leading zeros accepted)
+        vals = ext[ok].astype(np.int64).to_numpy()
+        ok[ok] = (vals <= 255).all(axis=1)
+    return ok
 
 
 def extract_pod_keys(

@@ -18,6 +18,28 @@ import pyarrow.compute as pc
 from .parse import _set_column
 
 
+def _json_escape(s: pd.Series) -> pd.Series:
+    """Vectorized JSON string-content escaping, byte-identical to
+    json.dumps: backslash, quote, common control shorthands, then
+    remaining C0 controls as \\u00XX (rare path, regex-callable)."""
+    esc = (
+        s.astype(str)
+        .str.replace("\\", "\\\\", regex=False)
+        .str.replace('"', '\\"', regex=False)
+        .str.replace("\n", "\\n", regex=False)
+        .str.replace("\r", "\\r", regex=False)
+        .str.replace("\t", "\\t", regex=False)
+        .str.replace("\b", "\\b", regex=False)
+        .str.replace("\f", "\\f", regex=False)
+    )
+    ctrl = esc.str.contains("[\x00-\x1f]", regex=True)
+    if ctrl.any():
+        esc[ctrl] = esc[ctrl].str.replace(
+            "[\x00-\x1f]", lambda m: "\\u%04x" % ord(m.group()), regex=True
+        )
+    return esc
+
+
 class LokiLabeler:
     """lokiexporter label mapping (exporter/lokiexporter/exporter.go:123-187):
     only allow-listed attributes become Loki labels; a record none of
@@ -45,12 +67,7 @@ class LokiLabeler:
             if col not in batch.column_names:
                 continue
             vals = pd.Series(batch[col].to_numpy(zero_copy_only=False), dtype=object)
-            esc = (
-                vals.dropna()
-                .astype(str)
-                .str.replace("\\", "\\\\", regex=False)
-                .str.replace('"', '\\"', regex=False)
-            )
+            esc = _json_escape(vals.dropna())
             frag = pd.Series([None] * n, dtype=object)
             frag[esc.index] = '"' + label + '": "' + esc + '"'
             both = combined.notna() & frag.notna()
@@ -100,26 +117,74 @@ def dedup_dedot_keys(obj: dict) -> dict:
 
 
 class EsDocModel:
-    """Render rows to Elasticsearch-style JSON docs with dedot'd keys.
-    ``attr_cols`` become document fields; output column ``doc``."""
+    """Render rows to Elasticsearch-style JSON docs with dedot'd keys
+    (objmodel.go:187-233). ``attr_cols`` become document fields; output
+    column ``doc``.
+
+    Vectorized: the doc's JSON *structure* depends only on which columns
+    are non-null in a row, so rows are grouped by null-pattern; each
+    pattern's structure is rendered ONCE via json.dumps on placeholders,
+    then per-column value fragments (escaped with pandas str kernels)
+    are spliced in with vectorized concatenation — no per-row dict or
+    json.dumps on the fixed-column path.
+    """
 
     def __init__(self, attr_cols: Sequence[str]):
         self.attr_cols = list(attr_cols)
 
+    @staticmethod
+    def _render_values(typ: pa.DataType, sub: pd.Series) -> pd.Series:
+        """Per-column JSON value fragments (incl. quotes for strings),
+        matching json.dumps rendering per type."""
+        if pa.types.is_string(typ) or pa.types.is_large_string(typ):
+            return '"' + _json_escape(sub) + '"'
+        if pa.types.is_boolean(typ):
+            return sub.map(lambda v: "true" if v else "false")
+        if pa.types.is_integer(typ):
+            return sub.astype(np.int64).astype(str)
+        if pa.types.is_floating(typ):
+            return sub.map(lambda v: repr(float(v)))  # == json.dumps float
+        return sub.map(lambda v: json.dumps(v, default=str))
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        cols = {
-            c: batch[c].to_numpy(zero_copy_only=False)
-            for c in self.attr_cols
-            if c in batch.column_names
+        import re
+
+        n = len(batch)
+        present = [c for c in self.attr_cols if c in batch.column_names]
+        series = {
+            c: pd.Series(batch[c].to_numpy(zero_copy_only=False), dtype=object)
+            for c in present
         }
-        docs = []
-        for i in range(len(batch)):
-            obj = {
-                c: (v[i].item() if hasattr(v[i], "item") else v[i])
-                for c, v in cols.items()
-                if v[i] is not None
-            }
-            docs.append(json.dumps(dedup_dedot_keys(obj), sort_keys=True, default=str))
+        frags = {
+            c: self._render_values(batch.schema.field(c).type, s.dropna())
+            for c, s in series.items()
+        }
+        if present:
+            masks = np.column_stack(
+                [series[c].notna().to_numpy(dtype=bool) for c in present]
+            )
+            pattern = masks.dot(1 << np.arange(len(present), dtype=np.int64))
+        else:
+            pattern = np.zeros(n, dtype=np.int64)
+        docs = np.empty(n, dtype=object)
+        for pat in np.unique(pattern):
+            rows = np.flatnonzero(pattern == pat)
+            cols_here = [c for j, c in enumerate(present) if (pat >> j) & 1]
+            tmpl = json.dumps(
+                dedup_dedot_keys(
+                    {c: f"@@PH{j}@@" for j, c in enumerate(cols_here)}
+                ),
+                sort_keys=True,
+            )
+            parts = re.split(r'"@@PH(\d+)@@"', tmpl)
+            out = pd.Series(parts[0], index=rows, dtype=object)
+            for k in range(1, len(parts), 2):
+                col = cols_here[int(parts[k])]
+                vals = frags[col].to_numpy()[
+                    np.searchsorted(frags[col].index.to_numpy(), rows)
+                ]
+                out = out + vals + parts[k + 1]
+            docs[rows] = out.to_numpy()
         return _set_column(batch, "doc", pa.array(docs, pa.string()))
 
 

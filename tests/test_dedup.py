@@ -207,3 +207,38 @@ def test_embedding_neardup_multitable_recall():
     got = {(int(a), int(b)) for a, b in zip(out["id_a"], out["id_b"])}
     assert got <= true_pairs  # exact verification → no false positives
     assert len(got & true_pairs) / len(true_pairs) >= 0.8  # multi-table recall
+
+
+def test_near_dedup_distributed_cc_matches_driver_cc():
+    """Dup-heavy corpus (>50% duplicates): the distributed label-prop CC
+    path (cc_mode='distributed') must produce identical survivors and
+    cluster roots to the driver union-find path."""
+    from opentelemetry_collector_contrib_ray.stages.dedup import near_dedup
+
+    rng = np.random.default_rng(7)
+    words = [f"w{i}" for i in range(200)]
+    bases = [
+        " ".join(rng.choice(words, size=40, replace=True)) for _ in range(12)
+    ]
+    rows = []
+    for i, b in enumerate(bases):
+        rows.append((f"d{i:03d}_0", b))
+        # 2 near-dup variants per base → ~2/3 of the corpus is duplicate
+        toks = b.split()
+        for v in range(1, 3):
+            t = list(toks)
+            t[v] = f"alt{v}"
+            rows.append((f"d{i:03d}_{v}", " ".join(t)))
+    docs = pd.DataFrame(rows, columns=["doc_id", "text"])
+
+    ds = ray.data.from_pandas(docs)
+    surv_drv, clus_drv = near_dedup(ds, jaccard_threshold=0.5, cc_mode="driver")
+    surv_dst, clus_dst = near_dedup(ds, jaccard_threshold=0.5, cc_mode="distributed")
+    assert sorted(surv_drv["doc_id"].to_pylist()) == sorted(
+        surv_dst["doc_id"].to_pylist()
+    )
+    assert clus_drv == clus_dst
+    # every base's variants collapsed onto the min id
+    surv = set(surv_dst["doc_id"].to_pylist())
+    assert all(f"d{i:03d}_0" in surv for i in range(12))
+    assert not any(f"d{i:03d}_{v}" in surv for i in range(12) for v in (1, 2))
