@@ -1440,7 +1440,7 @@ def _q_join_native_lineitem_part(sf_dir: str):
     li = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
     part = _read(sf_dir, "part", ["p_partkey", "p_brand"])
     joined = native_join(
-        li, part, on="l_partkey", num_partitions=16, right_on=("p_partkey",)
+        li, part, on="l_partkey", right_on=("p_partkey",)
     )
     out = two_phase_agg(joined, ["p_brand"], {"l_quantity": ["sum"]})
     return _round_cols(out, {"l_quantity_sum": 4})
@@ -1466,7 +1466,7 @@ def _q_q3_shipping(sf_dir: str):
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
         lambda t: t.rename_columns(["orderkey", "custkey"]), batch_format="pyarrow"
     )
-    co = native_join(orders, cust, "custkey", num_partitions=16).map_batches(
+    co = native_join(orders, cust, "custkey").map_batches(
         lambda t: t.select(["orderkey"]), batch_format="pyarrow"
     )
     li = _read(
@@ -1482,7 +1482,7 @@ def _q_q3_shipping(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
-    col = native_join(li, co, "orderkey", num_partitions=16)
+    col = native_join(li, co, "orderkey")
     # distributed top-k: the grouped aggregate stays a Dataset (orderkey
     # is high-cardinality — collecting it would be a driver OOM at
     # scale); each output block reduces to its local top-10 and the

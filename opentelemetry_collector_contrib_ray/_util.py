@@ -55,3 +55,12 @@ def hash_str_u64(values, salt: int = 0) -> np.ndarray:
         with np.errstate(over="ignore"):
             h = h + _U64(salt) * _U64(0xD1B54A32D192ED03)
     return splitmix64(h)
+
+
+def table_from_pandas(df) -> "pa.Table":
+    """pa.Table.from_pandas without the pandas schema-metadata blob —
+    schemas with metadata are unhashable and make Ray's shuffle
+    schema-dedup warn on every aggregator."""
+    import pyarrow as pa
+
+    return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)

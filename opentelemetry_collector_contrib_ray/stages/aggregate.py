@@ -44,6 +44,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from .._util import table_from_pandas
+
 _AGG_FUNCS = {"count", "sum", "min", "max", "mean"}
 
 
@@ -79,7 +81,7 @@ def _partial_stage(keys, aggs, exact_sums):
                 elif fn == "max":
                     out[f"{col}__max"] = g[col].max()
         out = out.reset_index()
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return table_from_pandas(out)
 
     return combine
 
@@ -152,7 +154,7 @@ def two_phase_agg(
                     out[f"{col}_min"] = g[f"{col}__min"].min()
                 elif fn == "max":
                     out[f"{col}_max"] = g[f"{col}__max"].max()
-        return pa.Table.from_pandas(out.reset_index(), preserve_index=False)
+        return table_from_pandas(out.reset_index())
     # phase 2: merge partials — the groupby input is tiny (≤ groups × blocks).
     ray_aggs = [Sum("_count", alias_name="count")]
     finalize_mean = []
@@ -312,7 +314,7 @@ def histogram_agg(
         np.add.at(mat, (codes, bucket), 1)
         for b in range(nb):
             out[f"bucket_{b}"] = mat[:, b]
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return table_from_pandas(out)
 
     partial = ds.map_batches(combine, batch_format="pyarrow", batch_size=batch_size)
     aggs = [
@@ -456,7 +458,17 @@ def bucketed_group_apply(ds, key: str, fn, *, num_buckets: int = 64):
 
     bucketed = ds.map_batches(add_bucket, batch_format="pyarrow")
 
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        return fn(g.drop(columns=["_bucket"]))
+    def per_bucket(g: pd.DataFrame):
+        out = fn(g.drop(columns=["_bucket"]))
+        if isinstance(out, pd.DataFrame):
+            # emit ARROW blocks (metadata-free): pandas blocks re-acquire
+            # the unhashable pandas schema blob at the next pyarrow
+            # conversion (per-aggregator shuffle warnings) and don't
+            # union with arrow datasets; fall back for exotic dtypes
+            try:
+                return table_from_pandas(out)
+            except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
+                return out
+        return out
 
     return bucketed.groupby("_bucket").map_groups(per_bucket, batch_format="pandas")

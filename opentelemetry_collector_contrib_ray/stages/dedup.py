@@ -694,9 +694,8 @@ def verify_pairs_ds(
 
     cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
     if cpus >= 8:
-        nparts = max(4, min(16, cpus // 2))
-        j1 = native_join(pairs_ds, ta, "id_a", num_partitions=nparts)
-        j2 = native_join(j1, tb, "id_b", num_partitions=nparts)
+        j1 = native_join(pairs_ds, ta, "id_a")  # partitions derived from cluster
+        j2 = native_join(j1, tb, "id_b")
     else:
         j1 = bucketed_hash_join(pairs_ds, ta, "id_a", num_buckets=num_buckets)
         j2 = bucketed_hash_join(j1, tb, "id_b", num_buckets=num_buckets)

@@ -26,6 +26,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from .._util import table_from_pandas
+
 
 def broadcast_join(ds, small: pa.Table, on: str | Sequence[str], how: str = "left", suffix: str = "_r"):
     """Merge each batch against a broadcast small table (pandas merge).
@@ -40,7 +42,7 @@ def broadcast_join(ds, small: pa.Table, on: str | Sequence[str], how: str = "lef
         sm = ray.get(ref).to_pandas()
         df = batch.to_pandas()
         out = df.merge(sm, on=on, how=how, suffixes=("", suffix))
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return table_from_pandas(out)
 
     return ds.map_batches(merge, batch_format="pyarrow")
 
@@ -124,15 +126,36 @@ def bucketed_hash_join(
     l_out = [c for c in lschema]
     r_out = [c for c in rschema if c not in on]
 
-    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    def merge_bucket(g: pd.DataFrame) -> pa.Table:
         lhs = g[g["_side"] == 0][l_out]
         rhs = g[g["_side"] == 1][[*on, *r_out]]
-        return lhs.merge(rhs, on=on, how=how, suffixes=(left_suffix or "", right_suffix))
+        out = lhs.merge(rhs, on=on, how=how, suffixes=(left_suffix or "", right_suffix))
+        # emit ARROW (metadata-free): pandas blocks re-acquire the
+        # unhashable pandas schema blob on the next pyarrow conversion,
+        # which makes every downstream shuffle warn per aggregator; and
+        # arrow blocks union cleanly with the rest of the pipeline
+        return table_from_pandas(out)
 
     return both.groupby("_bucket").map_groups(merge_bucket, batch_format="pandas")
 
 
-def native_join(left, right, on, how: str = "inner", num_partitions: int = 64, **kw):
-    """Ray-native hash-shuffle join (Dataset.join, Ray ≥ 2.46)."""
+def derived_num_partitions(cap: int = 512) -> int:
+    """Shuffle partition count sized to the actual cluster: ~CPU/2
+    aggregators (more swamps a small node, fewer starves a big
+    cluster), capped so a 10k-core cluster doesn't make 5k tiny
+    partitions. Callers use this instead of hard-coding counts."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    return max(4, min(cap, cpus // 2))
+
+
+def native_join(left, right, on, how: str = "inner", num_partitions: int | None = None, **kw):
+    """Ray-native hash-shuffle join (Dataset.join, Ray ≥ 2.46).
+    ``num_partitions`` defaults to ``derived_num_partitions()`` so the
+    same code funnels through 16 aggregators on a laptop and hundreds
+    on a cluster."""
+    if num_partitions is None:
+        num_partitions = derived_num_partitions()
     on = (on,) if isinstance(on, str) else tuple(on)
     return left.join(right, join_type=how, num_partitions=num_partitions, on=on, **kw)

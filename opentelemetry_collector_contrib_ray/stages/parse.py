@@ -19,6 +19,8 @@ from typing import Callable, Sequence
 
 import numpy as np
 import pyarrow as pa
+
+from .._util import table_from_pandas
 import pyarrow.compute as pc
 
 from ..functions import regexes, severity as sevmod, timeparse
@@ -438,7 +440,7 @@ class RecombineLines:
         agg = {c: "first" for c in df.columns if c not in (self.field, "_gid")}
         agg[self.field] = self.separator.join
         out = df.groupby("_gid", sort=True).agg(agg).reset_index(drop=True)
-        return pa.Table.from_pandas(out[[c for c in df.columns if c != "_gid"]], preserve_index=False)
+        return table_from_pandas(out[[c for c in df.columns if c != "_gid"]])
 
 
 def recombine_grouped(ds, group_by: str, field: str = "raw", order_by: str | None = None, separator: str = "\n", num_buckets: int = 64):
@@ -452,7 +454,7 @@ def recombine_grouped(ds, group_by: str, field: str = "raw", order_by: str | Non
     rec = Recombine(group_by, field, order_by, separator)
 
     def per_bucket(df):
-        return rec(pa.Table.from_pandas(df, preserve_index=False)).to_pandas()
+        return rec(table_from_pandas(df)).to_pandas()
 
     return bucketed_group_apply(ds, group_by, per_bucket, num_buckets=num_buckets)
 
@@ -480,7 +482,7 @@ class Recombine:
         agg = {c: "first" for c in df.columns if c != self.group_by}
         agg[self.field] = self.separator.join
         out = df.groupby(self.group_by, sort=False, as_index=False).agg(agg)
-        return pa.Table.from_pandas(out[df.columns.tolist()], preserve_index=False)
+        return table_from_pandas(out[df.columns.tolist()])
 
 
 # k8s container-log file-path metadata (testbed/datasenders/k8s.go:207-219):
@@ -614,9 +616,7 @@ def recombine_lines_grouped(
 
         outs = [
             rl(
-                pa.Table.from_pandas(
-                    g.sort_values(order_col, kind="stable"), preserve_index=False
-                )
+                table_from_pandas(g.sort_values(order_col, kind="stable"))
             ).to_pandas()
             for _, g in df.groupby(file_col, sort=False)
         ]

@@ -23,7 +23,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from .._util import hash_str_u64, splitmix64
+from .._util import hash_str_u64, splitmix64, table_from_pandas
 
 
 class HllSketch:
@@ -146,7 +146,7 @@ def distinct_count(ds, key_cols, value_col: str, *, driver_finalize: bool = True
         df = pd.DataFrame(
             {c: batch[c].to_numpy(zero_copy_only=False) for c in key_cols + [value_col]}
         )
-        return pa.Table.from_pandas(df.drop_duplicates(), preserve_index=False)
+        return table_from_pandas(df.drop_duplicates())
 
     pairs = ds.map_batches(uniq, batch_format="pyarrow")
     if driver_finalize:
@@ -160,7 +160,7 @@ def distinct_count(ds, key_cols, value_col: str, *, driver_finalize: bool = True
             .rename("distinct")
             .reset_index()
         )
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return table_from_pandas(out)
     deduped = pairs.groupby(key_cols + [value_col]).aggregate(Count(alias_name="_n"))
     return deduped.groupby(key_cols).aggregate(Count(alias_name="distinct"))
 
