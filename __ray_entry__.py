@@ -960,32 +960,199 @@ def _q_embedding_neardup(sf_dir: str):
 
 
 def _q_carbon_parse(sf_dir: str):
-    """Render Graphite plaintext lines from events, then parse them back
-    (carbonreceiver plaintext_parser.go) — validates the parser against
-    an independent SQL rendering of the same lines."""
-    from opentelemetry_collector_contrib_ray.sources.lines import parse_carbon_plaintext
+    """Carbon (Graphite plaintext) AND Wavefront render→parse
+    round-trips in one pass, both value-checked against independent SQL
+    renderings (carbonreceiver plaintext_parser.go + wavefrontreceiver;
+    merged former `wavefront_parse` query — driver 50-row window)."""
+    from opentelemetry_collector_contrib_ray.sources.lines import (
+        parse_carbon_plaintext,
+        parse_wavefront,
+    )
 
-    ds = _read(sf_dir, "events", ["event_id", "event_type", "value", "ts"])
+    ds = _read(
+        sf_dir, "events", ["event_id", "event_type", "value", "ts", "user_id"]
+    )
 
     def render_and_parse(t: pa.Table) -> pa.Table:
         val = pc.cast(pc.floor(t["value"]), pa.int64())
         epoch = pc.cast(pc.cast(t["ts"], pa.timestamp("s"), safe=False), pa.int64())
-        raw = pc.binary_join_element_wise(
+        raw_c = pc.binary_join_element_wise(
             pc.binary_join_element_wise("metric.", t["event_type"], ""),
             pc.cast(val, pa.string()),
             pc.cast(epoch, pa.string()),
             " ",
         )
-        parsed = parse_carbon_plaintext(pa.table({"event_id": t["event_id"], "raw": raw}))
+        carbon = parse_carbon_plaintext(
+            pa.table({"event_id": t["event_id"], "raw": raw_c})
+        )
+        raw_w = pc.binary_join_element_wise(
+            pc.binary_join_element_wise("m.", t["event_type"], ""),
+            pc.cast(val, pa.string()),
+            pc.cast(epoch, pa.string()),
+            pc.binary_join_element_wise(
+                "source=u", pc.cast(t["user_id"], pa.string()), ""
+            ),
+            " ",
+        )
+        wf = parse_wavefront(pa.table({"event_id": t["event_id"], "raw": raw_w}))
         return pa.table(
             {
-                "event_id": parsed["event_id"],
-                "metric_name": parsed["metric_name"],
-                "value": pc.cast(parsed["value"], pa.int64()),
+                "event_id": carbon["event_id"],
+                "metric_name": carbon["metric_name"],
+                "value": pc.cast(carbon["value"], pa.int64()),
+                "wf_metric": wf["metric_name"],
+                "wf_value": pc.cast(wf["value"], pa.int64()),
+                "wf_source": wf["source"],
             }
         )
 
     return ds.map_batches(render_and_parse, batch_format="pyarrow")
+
+
+def _q_trace_decoders(sf_dir: str):
+    """Trace-signal decoders (SURVEY.md §2.1 sapm/signalfx/awsxray):
+    deterministic AWS X-Ray segment JSONs and SignalFx protobuf
+    DataPointUploadMessages are RENDERED from the events table, decoded
+    through the real decoders, and aggregated — every expected count
+    and sum has a closed form the oracle derives in SQL.
+
+    X-Ray (translator.go semantics): one segment per event (no parent →
+    server kind; error events carry http 500 + a Cause exception →
+    error status + exception event) plus an aws-namespace subsegment
+    (→ client kind) for event_id % 3 == 0; durations are FLOOR(value)
+    seconds so the float-sec→ns→duration math is exact.
+    SignalFx (signalfxv2_to_metricdata.go): per event one datapoint —
+    gauge for click/view else cumulative counter, int datum for even
+    event ids / double for odd — plus an ENUM-typed datapoint (dropped
+    by the reference's default-case error) for event_id % 97 == 0.
+    """
+    import pandas as pd
+
+    from opentelemetry_collector_contrib_ray.sources.traces import (
+        SFX_CUMULATIVE_COUNTER,
+        SFX_ENUM,
+        SFX_GAUGE,
+        XRaySegmentDecoder,
+        decode_datapoint_upload,
+        encode_datapoint,
+        encode_datapoint_upload,
+        sfx_datapoints_to_rows,
+    )
+    from opentelemetry_collector_contrib_ray.stages.aggregate import two_phase_agg
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "ts", "value"])
+    xray_dec = XRaySegmentDecoder()
+
+    def partial(t: pa.Table) -> pa.Table:
+        import json as _json
+
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        et = t["event_type"].to_pylist()
+        epoch = pc.cast(
+            pc.cast(t["ts"], pa.timestamp("s"), safe=False), pa.int64()
+        ).to_numpy()
+        val = t["value"].to_numpy(zero_copy_only=False)
+        dur = np.floor(val).astype(np.int64)
+        cents = np.rint(val * 100).astype(np.int64)
+
+        # ---- render + decode X-Ray segments ----
+        raws = []
+        for i in range(len(eid)):  # payload synthesis (decoder input)
+            seg = {
+                "name": et[i],
+                "id": f"{eid[i]:016x}",
+                "trace_id": f"1-{epoch[i]:08x}-{eid[i]:024x}",
+                "start_time": float(epoch[i]),
+                "end_time": float(epoch[i] + dur[i]),
+            }
+            if et[i] == "error":
+                seg["http"] = {"response": {"status": 500}}
+                seg["cause"] = {
+                    "exceptions": [
+                        {
+                            "id": f"{eid[i]:016x}",
+                            "message": "boom",
+                            "type": "Error",
+                            "stack": [
+                                {"label": "handler", "path": "/app/main.py", "line": 1}
+                            ],
+                        }
+                    ]
+                }
+            if eid[i] % 3 == 0:
+                seg["subsegments"] = [
+                    {
+                        "name": "DynamoDB",
+                        "id": f"{eid[i] + 7:016x}",
+                        "start_time": float(epoch[i]),
+                        "end_time": float(epoch[i] + dur[i]),
+                        "namespace": "aws",
+                    }
+                ]
+            raws.append(_json.dumps(seg))
+        spans = xray_dec(pa.table({"raw": raws})).to_pandas()
+        spans["dur_s"] = (
+            ((spans["end_ns"] - spans["start_ns"]) / 1e9).round().astype(np.int64)
+        )
+        g = spans.groupby(spans["kind"] + "_" + spans["status_code"], sort=False)
+        xray_rows = [
+            ("xray", key, int(len(grp)), int(grp["dur_s"].sum() * 100))
+            for key, grp in g
+        ]
+        xray_rows.append(
+            ("xray", "exceptions", int(spans["n_exceptions"].sum()), 0)
+        )
+
+        # ---- render + decode SignalFx datapoints ----
+        dps = []
+        for i in range(len(eid)):
+            mt = SFX_GAUGE if et[i] in ("click", "view") else SFX_CUMULATIVE_COUNTER
+            v = int(dur[i]) if eid[i] % 2 == 0 else float(val[i])
+            dps.append(encode_datapoint(et[i], v, timestamp_ms=int(epoch[i]) * 1000, metric_type=mt))
+            if eid[i] % 97 == 0:
+                dps.append(encode_datapoint(et[i], 1, metric_type=SFX_ENUM))
+        rows, dropped = sfx_datapoints_to_rows(
+            decode_datapoint_upload(encode_datapoint_upload(dps))
+        )
+        rdf = pd.DataFrame(rows) if rows else pd.DataFrame(
+            columns=["metric", "dtype", "value_int", "value_double"]
+        )
+        sfx_rows = []
+        for (metric, dtype), grp in rdf.groupby(["metric", "dtype"], sort=False):
+            if dtype.startswith("int"):
+                s100 = int(grp["value_int"].sum()) * 100
+            else:
+                s100 = int(np.rint(grp["value_double"].to_numpy() * 100).sum())
+            sfx_rows.append(("sfx", f"{metric}_{dtype}", int(len(grp)), s100))
+        sfx_rows.append(("sfx", "dropped", dropped, 0))
+
+        allrows = xray_rows + sfx_rows
+        return pa.table(
+            {
+                "signal": pa.array([r[0] for r in allrows], pa.string()),
+                "key": pa.array([r[1] for r in allrows], pa.string()),
+                "n": pa.array([r[2] for r in allrows], pa.int64()),
+                "s100": pa.array([r[3] for r in allrows], pa.int64()),
+            }
+        )
+
+    agg = two_phase_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["signal", "key"],
+        {"n": ["sum"], "s100": ["sum"]},
+        driver_finalize=True,
+    )
+    df = agg.to_pandas() if hasattr(agg, "to_pandas") else agg
+    if isinstance(df, pa.Table):
+        df = df.to_pandas()
+    return pa.table(
+        {
+            "signal": pa.array(df["signal"], pa.string()),
+            "key": pa.array(df["key"], pa.string()),
+            "count": pa.array(df["n_sum"].astype(np.int64)),
+            "value_sum": pa.array(np.round(df["s100_sum"].astype(np.int64) / 100.0, 6)),
+        }
+    )
 
 
 def _q_tail_sampling(sf_dir: str):
@@ -1133,37 +1300,6 @@ def _q_multimodal_features(sf_dir: str):
         )
 
     return out.map_batches(check, batch_format="pyarrow")
-
-
-def _q_wavefront_parse(sf_dir: str):
-    """Wavefront render→parse round-trip vs independent SQL rendering."""
-    from opentelemetry_collector_contrib_ray.sources.lines import parse_wavefront
-
-    ds = _read(sf_dir, "events", ["event_id", "event_type", "value", "ts", "user_id"])
-
-    def rp(t: pa.Table) -> pa.Table:
-        val = pc.cast(pc.floor(t["value"]), pa.int64())
-        epoch = pc.cast(pc.cast(t["ts"], pa.timestamp("s"), safe=False), pa.int64())
-        raw = pc.binary_join_element_wise(
-            pc.binary_join_element_wise("m.", t["event_type"], ""),
-            pc.cast(val, pa.string()),
-            pc.cast(epoch, pa.string()),
-            pc.binary_join_element_wise(
-                "source=u", pc.cast(t["user_id"], pa.string()), ""
-            ),
-            " ",
-        )
-        parsed = parse_wavefront(pa.table({"event_id": t["event_id"], "raw": raw}))
-        return pa.table(
-            {
-                "event_id": parsed["event_id"],
-                "metric_name": parsed["metric_name"],
-                "value": pc.cast(parsed["value"], pa.int64()),
-                "source": parsed["source"],
-            }
-        )
-
-    return ds.map_batches(rp, batch_format="pyarrow")
 
 
 def _q_statsd_parse_agg(sf_dir: str):
@@ -1619,7 +1755,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_windows": _q_session_windows,
         "sliding_window": _q_sliding_window,
         "gauge_last_write": _q_gauge_last_write,
-        "wavefront_parse": _q_wavefront_parse,
+        "trace_decoders": _q_trace_decoders,
         "statsd_parse_agg": _q_statsd_parse_agg,
         "influx_parse": _q_influx_parse,
         "splunk_hec_parse": _q_splunk_hec_parse,
@@ -1908,7 +2044,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "carbon_parse": """
             SELECT event_id, 'metric.' || event_type AS metric_name,
-                   CAST(FLOOR(value) AS BIGINT) AS value
+                   CAST(FLOOR(value) AS BIGINT) AS value,
+                   'm.' || event_type AS wf_metric,
+                   CAST(FLOOR(value) AS BIGINT) AS wf_value,
+                   'u' || CAST(user_id AS VARCHAR) AS wf_source
             FROM events
         """,
         "tail_sampling": """
@@ -1976,11 +2115,57 @@ def oracle_sql() -> dict[str, str]:
                 FROM events
             ) WHERE rn = 1
         """,
-        "wavefront_parse": """
-            SELECT event_id, 'm.' || event_type AS metric_name,
-                   CAST(FLOOR(value) AS BIGINT) AS value,
-                   'u' || CAST(user_id AS VARCHAR) AS source
-            FROM events
+        "trace_decoders": """
+            -- closed forms of the rendered-then-decoded X-Ray segments
+            -- and SignalFx datapoints (see _q_trace_decoders): root
+            -- spans are server kind (error events → error status via
+            -- http 500 + Cause), every event_id % 3 = 0 adds an
+            -- aws-namespace client subsegment, one exception event per
+            -- error; sfx datapoints are gauge for click/view else
+            -- cumulative, int datum on even ids / double on odd, ENUM
+            -- datapoints (event_id % 97 = 0) dropped
+            WITH e AS (
+                SELECT event_id, event_type, FLOOR(value) AS dur, value
+                FROM events
+            ),
+            x AS (
+                SELECT 'xray' AS signal,
+                       'server_' || CASE WHEN event_type = 'error'
+                                         THEN 'error' ELSE 'unset' END AS "key",
+                       COUNT(*) AS cnt,
+                       CAST(SUM(dur) AS DECIMAL(18,2)) AS vsum
+                FROM e GROUP BY 2
+                UNION ALL
+                SELECT 'xray', 'client_unset', COUNT(*),
+                       CAST(SUM(dur) AS DECIMAL(18,2))
+                FROM e WHERE event_id % 3 = 0
+                UNION ALL
+                SELECT 'xray', 'exceptions', COUNT(*), CAST(0 AS DECIMAL(18,2))
+                FROM e WHERE event_type = 'error'
+            ),
+            s AS (
+                SELECT 'sfx' AS signal,
+                       event_type || '_' ||
+                         CASE WHEN event_type IN ('click', 'view') THEN
+                           CASE WHEN event_id % 2 = 0
+                                THEN 'int_gauge' ELSE 'double_gauge' END
+                         ELSE
+                           CASE WHEN event_id % 2 = 0
+                                THEN 'int_sum_cumulative'
+                                ELSE 'double_sum_cumulative' END
+                         END AS "key",
+                       COUNT(*) AS cnt,
+                       SUM(CASE WHEN event_id % 2 = 0
+                                THEN CAST(dur AS DECIMAL(18,2))
+                                ELSE CAST(value AS DECIMAL(18,2)) END) AS vsum
+                FROM e GROUP BY 2
+                UNION ALL
+                SELECT 'sfx', 'dropped', COUNT(*), CAST(0 AS DECIMAL(18,2))
+                FROM e WHERE event_id % 97 = 0
+            )
+            SELECT signal, "key", CAST(cnt AS BIGINT) AS "count",
+                   ROUND(CAST(vsum AS DOUBLE), 6) AS value_sum
+            FROM (SELECT * FROM x UNION ALL SELECT * FROM s)
         """,
         "statsd_parse_agg": """
             SELECT event_type AS name, COUNT(*) AS "count", COUNT(value) AS value_count,
