@@ -1025,17 +1025,30 @@ def _q_trace_decoders(sf_dir: str):
     gauge for click/view else cumulative counter, int datum for even
     event ids / double for odd — plus an ENUM-typed datapoint (dropped
     by the reference's default-case error) for event_id % 97 == 0.
+    SAPM (trace_receiver.go:64-99 + the public jaeger translation): one
+    gzipped PostSpansRequest per batch, one jaeger span per event —
+    span.kind tag client on even ids / server on odd, bool error tag on
+    error events (→ error status), a CHILD_OF reference (→ parent) on
+    event_id % 3 == 0, a FOLLOWS_FROM reference (→ link) on
+    event_id % 5 == 0, one log (→ event) per error event.
     """
     import pandas as pd
 
     from opentelemetry_collector_contrib_ray.sources.traces import (
+        JAEGER_REF_CHILD_OF,
+        JAEGER_REF_FOLLOWS_FROM,
         SFX_CUMULATIVE_COUNTER,
         SFX_ENUM,
         SFX_GAUGE,
         XRaySegmentDecoder,
         decode_datapoint_upload,
+        decode_sapm,
         encode_datapoint,
         encode_datapoint_upload,
+        encode_jaeger_batch,
+        encode_jaeger_span,
+        encode_sapm,
+        jaeger_batches_to_rows,
         sfx_datapoints_to_rows,
     )
     from opentelemetry_collector_contrib_ray.stages.aggregate import two_phase_agg
@@ -1126,7 +1139,54 @@ def _q_trace_decoders(sf_dir: str):
             sfx_rows.append(("sfx", f"{metric}_{dtype}", int(len(grp)), s100))
         sfx_rows.append(("sfx", "dropped", dropped, 0))
 
-        allrows = xray_rows + sfx_rows
+        # ---- render + decode SAPM (jaeger-proto) spans ----
+        jspans = []
+        for i in range(len(eid)):
+            e = int(eid[i])
+            tags = [("span.kind", "client" if e % 2 == 0 else "server")]
+            logs = []
+            if et[i] == "error":
+                tags.append(("error", True))
+                logs.append((int(epoch[i]) * 1_000_000_000, [("event", "exception")]))
+            refs = []
+            tid = e.to_bytes(16, "big")
+            if e % 3 == 0:
+                refs.append(((tid), (e + 7).to_bytes(8, "big"), JAEGER_REF_CHILD_OF))
+            if e % 5 == 0:
+                refs.append(
+                    ((e + 1).to_bytes(16, "big"), (e + 9).to_bytes(8, "big"),
+                     JAEGER_REF_FOLLOWS_FROM)
+                )
+            jspans.append(
+                encode_jaeger_span(
+                    tid,
+                    e.to_bytes(8, "big"),
+                    et[i],
+                    int(epoch[i]) * 1_000_000_000,
+                    int(dur[i]) * 1_000_000_000,
+                    tags=tags,
+                    references=refs,
+                    logs=logs,
+                )
+            )
+        blob = encode_sapm([encode_jaeger_batch("svc", jspans)], compress=True)
+        jrows = pd.DataFrame(jaeger_batches_to_rows(decode_sapm(blob)))
+        sapm_rows = []
+        if len(jrows):
+            jrows["dur_s"] = (jrows["end_ns"] - jrows["start_ns"]) // 1_000_000_000
+            sapm_rows = [
+                ("sapm", key, int(len(grp)), int(grp["dur_s"].sum() * 100))
+                for key, grp in jrows.groupby(
+                    jrows["kind"] + "_" + jrows["status_code"], sort=False
+                )
+            ]
+            sapm_rows.append(
+                ("sapm", "parented", int(jrows["parent_span_id"].notna().sum()), 0)
+            )
+            sapm_rows.append(("sapm", "links", int(jrows["n_links"].sum()), 0))
+            sapm_rows.append(("sapm", "events", int(jrows["n_events"].sum()), 0))
+
+        allrows = xray_rows + sfx_rows + sapm_rows
         return pa.table(
             {
                 "signal": pa.array([r[0] for r in allrows], pa.string()),
@@ -2162,10 +2222,34 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL
                 SELECT 'sfx', 'dropped', COUNT(*), CAST(0 AS DECIMAL(18,2))
                 FROM e WHERE event_id % 97 = 0
+            ),
+            -- sapm jaeger spans: span.kind tag client on even ids /
+            -- server on odd; bool error tag on error events → error
+            -- status; CHILD_OF ref (%3) → parent; FOLLOWS_FROM ref
+            -- (%5) → link; one log per error event → event
+            p AS (
+                SELECT 'sapm' AS signal,
+                       CASE WHEN event_id % 2 = 0
+                            THEN 'client_' ELSE 'server_' END ||
+                       CASE WHEN event_type = 'error'
+                            THEN 'error' ELSE 'unset' END AS "key",
+                       COUNT(*) AS cnt,
+                       CAST(SUM(dur) AS DECIMAL(18,2)) AS vsum
+                FROM e GROUP BY 2
+                UNION ALL
+                SELECT 'sapm', 'parented', COUNT(*), CAST(0 AS DECIMAL(18,2))
+                FROM e WHERE event_id % 3 = 0
+                UNION ALL
+                SELECT 'sapm', 'links', COUNT(*), CAST(0 AS DECIMAL(18,2))
+                FROM e WHERE event_id % 5 = 0
+                UNION ALL
+                SELECT 'sapm', 'events', COUNT(*), CAST(0 AS DECIMAL(18,2))
+                FROM e WHERE event_type = 'error'
             )
             SELECT signal, "key", CAST(cnt AS BIGINT) AS "count",
                    ROUND(CAST(vsum AS DOUBLE), 6) AS value_sum
-            FROM (SELECT * FROM x UNION ALL SELECT * FROM s)
+            FROM (SELECT * FROM x UNION ALL SELECT * FROM s
+                  UNION ALL SELECT * FROM p)
         """,
         "statsd_parse_agg": """
             SELECT event_type AS name, COUNT(*) AS "count", COUNT(value) AS value_count,

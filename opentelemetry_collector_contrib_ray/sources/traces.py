@@ -12,14 +12,23 @@
   metric mapping of `receiver/signalfxreceiver/signalfxv2_to_metricdata
   .go:34-199`: gauge/counter/cumulative × int/double, ms → ns, nil/str
   datum and unknown types dropped, dimension Insert (first wins).
+- SAPM (`receiver/sapmreceiver/trace_receiver.go:64-99`): optionally
+  gzipped protobuf PostSpansRequest{repeated jaeger.Batch batches=1}
+  (sapmprotocol.ParseTraceV2Request), decoded with a pure-Python codec
+  for the public jaeger-idl model.proto, then translated with the
+  public OpenTelemetry jaeger→traces rules (span.kind / error /
+  otel.status_code tag extraction, CHILD_OF parent, FOLLOWS_FROM
+  links, Process → resource, logs → events, binary tags → base64).
 
-Both are per-record FORMAT decoders — the per-document Python loop is
+All are per-record FORMAT decoders — the per-document Python loop is
 inherent to nested JSON / protobuf payloads; everything downstream of
 the decode stays columnar.
 """
 
 from __future__ import annotations
 
+import base64
+import gzip
 import json
 import struct
 
@@ -490,4 +499,335 @@ class SignalFxDecoder:
                 "labels": pa.array([], pa.string()),
                 "_batch_dropped": pa.array([], pa.int64()),
             }
+        return pa.table(cols)
+
+
+# ---------------------------------------------------------------- SAPM
+
+JAEGER_REF_CHILD_OF = 0
+JAEGER_REF_FOLLOWS_FROM = 1
+
+_JV_STRING = 0
+_JV_BOOL = 1
+_JV_INT64 = 2
+_JV_FLOAT64 = 3
+_JV_BINARY = 4
+
+_SPAN_KIND_TAG_MAP = {
+    "client": "client",
+    "server": "server",
+    "producer": "producer",
+    "consumer": "consumer",
+    "internal": "internal",
+}
+
+
+def _encode_jaeger_kv(key: str, value) -> bytes:
+    """jaeger-idl model.proto KeyValue: key=1, v_type=2, v_str=3,
+    v_bool=4, v_int64=5, v_float64=6, v_binary=7."""
+    out = bytearray(_len_delim(1, key.encode()))
+    if isinstance(value, bool):
+        out += _tag(2, _WIRE_VARINT) + _varint(_JV_BOOL)
+        if value:
+            out += _tag(4, _WIRE_VARINT) + _varint(1)
+    elif isinstance(value, str):
+        out += _len_delim(3, value.encode())  # v_type STRING=0 (default)
+    elif isinstance(value, (int, np.integer)):
+        out += _tag(2, _WIRE_VARINT) + _varint(_JV_INT64)
+        out += _tag(5, _WIRE_VARINT) + _varint(int(value))
+    elif isinstance(value, float):
+        out += _tag(2, _WIRE_VARINT) + _varint(_JV_FLOAT64)
+        out += _tag(6, _WIRE_64BIT) + struct.pack("<d", value)
+    elif isinstance(value, bytes):
+        out += _tag(2, _WIRE_VARINT) + _varint(_JV_BINARY)
+        out += _len_delim(7, value)
+    else:
+        raise TypeError(f"unsupported tag value {type(value)}")
+    return bytes(out)
+
+
+def _encode_pb_time(ns: int, field: int) -> bytes:
+    """google.protobuf.Timestamp / Duration: seconds=1, nanos=2."""
+    sec, nanos = divmod(int(ns), 1_000_000_000)
+    payload = bytearray()
+    if sec:
+        payload += _tag(1, _WIRE_VARINT) + _varint(sec)
+    if nanos:
+        payload += _tag(2, _WIRE_VARINT) + _varint(nanos)
+    return _len_delim(field, bytes(payload))
+
+
+def encode_jaeger_span(
+    trace_id: bytes,
+    span_id: bytes,
+    name: str,
+    start_ns: int,
+    duration_ns: int,
+    *,
+    tags: list[tuple] | None = None,
+    references: list[tuple[bytes, bytes, int]] | None = None,
+    logs: list[tuple[int, list[tuple]]] | None = None,
+    flags: int = 0,
+) -> bytes:
+    """jaeger model.Span: trace_id=1, span_id=2, operation_name=3,
+    references=4, flags=5, start_time=6, duration=7, tags=8, logs=9."""
+    out = bytearray()
+    out += _len_delim(1, trace_id)
+    out += _len_delim(2, span_id)
+    out += _len_delim(3, name.encode())
+    for rt, rs, rtype in references or []:
+        ref = bytearray(_len_delim(1, rt) + _len_delim(2, rs))
+        if rtype:
+            ref += _tag(3, _WIRE_VARINT) + _varint(rtype)
+        out += _len_delim(4, bytes(ref))
+    if flags:
+        out += _tag(5, _WIRE_VARINT) + _varint(flags)
+    out += _encode_pb_time(start_ns, 6)
+    out += _encode_pb_time(duration_ns, 7)
+    for k, v in tags or []:
+        out += _len_delim(8, _encode_jaeger_kv(k, v))
+    for ts_ns, fields in logs or []:
+        lg = bytearray(_encode_pb_time(ts_ns, 1))
+        for k, v in fields:
+            lg += _len_delim(2, _encode_jaeger_kv(k, v))
+        out += _len_delim(9, bytes(lg))
+    return bytes(out)
+
+
+def encode_jaeger_batch(
+    service_name: str,
+    spans: list[bytes],
+    process_tags: list[tuple] | None = None,
+) -> bytes:
+    """jaeger model.Batch: process=1 {service_name=1, tags=2}, spans=2."""
+    proc = bytearray(_len_delim(1, service_name.encode()))
+    for k, v in process_tags or []:
+        proc += _len_delim(2, _encode_jaeger_kv(k, v))
+    out = bytearray(_len_delim(1, bytes(proc)))
+    for sp in spans:
+        out += _len_delim(2, sp)
+    return bytes(out)
+
+
+def encode_sapm(batches: list[bytes], compress: bool = True) -> bytes:
+    """sapm PostSpansRequest: repeated jaeger.Batch batches=1;
+    gzip-wrapped like the SAPM HTTP body (trace_receiver.go:64-69)."""
+    out = bytearray()
+    for b in batches:
+        out += _len_delim(1, b)
+    raw = bytes(out)
+    return gzip.compress(raw, mtime=0) if compress else raw
+
+
+def _decode_varint_i64(v: int) -> int:
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def _decode_jaeger_kv(data: bytes) -> tuple[str | None, object]:
+    key = None
+    vtype = _JV_STRING
+    vals: dict = {"str": "", "bool": False, "int": 0, "float": 0.0, "bin": b""}
+    for field, _, val in _decode_fields(data):
+        if field == 1:
+            key = val.decode()
+        elif field == 2:
+            vtype = val
+        elif field == 3:
+            vals["str"] = val.decode()
+        elif field == 4:
+            vals["bool"] = bool(val)
+        elif field == 5:
+            vals["int"] = _decode_varint_i64(val)
+        elif field == 6:
+            vals["float"] = struct.unpack("<d", val)[0]
+        elif field == 7:
+            vals["bin"] = val
+    if vtype == _JV_BOOL:
+        return key, vals["bool"]
+    if vtype == _JV_INT64:
+        return key, vals["int"]
+    if vtype == _JV_FLOAT64:
+        return key, vals["float"]
+    if vtype == _JV_BINARY:
+        # public jaeger translator: binary tag → base64 string attr
+        return key, base64.b64encode(vals["bin"]).decode()
+    return key, vals["str"]
+
+
+def _decode_pb_time(data: bytes) -> int:
+    sec = nanos = 0
+    for field, _, val in _decode_fields(data):
+        if field == 1:
+            sec = _decode_varint_i64(val)
+        elif field == 2:
+            nanos = _decode_varint_i64(val)
+    return sec * 1_000_000_000 + nanos
+
+
+def decode_sapm(data: bytes) -> list[dict]:
+    """PostSpansRequest bytes (gzipped or raw) → list of batch dicts
+    {service_name, process_tags, spans:[span dict]} — raw wire view."""
+    if data[:2] == b"\x1f\x8b":  # sapmprotocol: Content-Encoding gzip
+        data = gzip.decompress(data)
+    batches = []
+    for field, _, val in _decode_fields(data):
+        if field != 1:
+            continue
+        batch: dict = {"service_name": "", "process_tags": [], "spans": []}
+        for f2, _, v2 in _decode_fields(val):
+            if f2 == 1:
+                for f3, _, v3 in _decode_fields(v2):
+                    if f3 == 1:
+                        batch["service_name"] = v3.decode()
+                    elif f3 == 2:
+                        batch["process_tags"].append(_decode_jaeger_kv(v3))
+            elif f2 == 2:
+                span: dict = {
+                    "trace_id": b"",
+                    "span_id": b"",
+                    "name": "",
+                    "references": [],
+                    "flags": 0,
+                    "start_ns": 0,
+                    "duration_ns": 0,
+                    "tags": [],
+                    "logs": [],
+                }
+                for f3, _, v3 in _decode_fields(v2):
+                    if f3 == 1:
+                        span["trace_id"] = v3
+                    elif f3 == 2:
+                        span["span_id"] = v3
+                    elif f3 == 3:
+                        span["name"] = v3.decode()
+                    elif f3 == 4:
+                        ref = {"trace_id": b"", "span_id": b"", "ref_type": 0}
+                        for f4, _, v4 in _decode_fields(v3):
+                            if f4 == 1:
+                                ref["trace_id"] = v4
+                            elif f4 == 2:
+                                ref["span_id"] = v4
+                            elif f4 == 3:
+                                ref["ref_type"] = v4
+                        span["references"].append(ref)
+                    elif f3 == 5:
+                        span["flags"] = v3
+                    elif f3 == 6:
+                        span["start_ns"] = _decode_pb_time(v3)
+                    elif f3 == 7:
+                        span["duration_ns"] = _decode_pb_time(v3)
+                    elif f3 == 8:
+                        span["tags"].append(_decode_jaeger_kv(v3))
+                    elif f3 == 9:
+                        log = {"ts_ns": 0, "fields": []}
+                        for f4, _, v4 in _decode_fields(v3):
+                            if f4 == 1:
+                                log["ts_ns"] = _decode_pb_time(v4)
+                            elif f4 == 2:
+                                log["fields"].append(_decode_jaeger_kv(v4))
+                        span["logs"].append(log)
+                batch["spans"].append(span)
+        batches.append(batch)
+    return batches
+
+
+def jaeger_batches_to_rows(batches: list[dict]) -> list[dict]:
+    """Public OpenTelemetry jaeger→traces translation (the rules the
+    reference delegates to via jaegertranslator.ProtoBatchesToInternal
+    Traces, trace_receiver.go:78): Process.service_name →
+    resource "service.name" + process tags → resource attrs; per span
+    "span.kind" tag → kind, "otel.status_code"/"otel.status_description"
+    → status (removed from attrs), else bool "error" tag → error status;
+    first CHILD_OF reference → parent span id, remaining references →
+    links; logs → events."""
+    rows = []
+    for batch in batches:
+        res_attrs = {"service.name": batch["service_name"]}
+        for k, v in batch["process_tags"]:
+            if k is not None:
+                res_attrs[k] = v
+        res_json = json.dumps(res_attrs, sort_keys=True, default=str)
+        for span in batch["spans"]:
+            attrs = {k: v for k, v in span["tags"] if k is not None}
+            kind = _SPAN_KIND_TAG_MAP.get(attrs.pop("span.kind", None), "unspecified")
+            status_code = "unset"
+            status_message = None
+            if "otel.status_code" in attrs:
+                sc = attrs.pop("otel.status_code")
+                status_code = {
+                    "OK": "ok", "ERROR": "error", "UNSET": "unset",
+                    0: "unset", 1: "ok", 2: "error",
+                }.get(sc, "unset")
+                status_message = attrs.pop("otel.status_description", None)
+            elif attrs.pop("error", False) is True:
+                status_code = "error"
+            parent = None
+            n_links = 0
+            for ref in span["references"]:
+                if (
+                    parent is None
+                    and ref["ref_type"] == JAEGER_REF_CHILD_OF
+                    and ref["trace_id"] == span["trace_id"]
+                ):
+                    parent = ref["span_id"].hex()
+                else:
+                    n_links += 1
+            rows.append(
+                {
+                    "trace_id": span["trace_id"].hex(),
+                    "span_id": span["span_id"].hex(),
+                    "parent_span_id": parent,
+                    "service_name": batch["service_name"],
+                    "name": span["name"],
+                    "kind": kind,
+                    "start_ns": span["start_ns"],
+                    "end_ns": span["start_ns"] + span["duration_ns"],
+                    "status_code": status_code,
+                    "status_message": status_message,
+                    "n_links": n_links,
+                    "n_events": len(span["logs"]),
+                    "attrs": json.dumps(attrs, sort_keys=True, default=str),
+                    "resource_attrs": res_json,
+                }
+            )
+    return rows
+
+
+class SapmDecoder:
+    """Batch stage: a ``payload`` binary column of (optionally gzipped)
+    SAPM PostSpansRequest blobs → one row per translated span, with
+    ``_batch_dropped`` carrying the per-batch bad-payload count."""
+
+    SCHEMA = {
+        "trace_id": pa.string(),
+        "span_id": pa.string(),
+        "parent_span_id": pa.string(),
+        "service_name": pa.string(),
+        "name": pa.string(),
+        "kind": pa.string(),
+        "start_ns": pa.int64(),
+        "end_ns": pa.int64(),
+        "status_code": pa.string(),
+        "status_message": pa.string(),
+        "n_links": pa.int64(),
+        "n_events": pa.int64(),
+        "attrs": pa.string(),
+        "resource_attrs": pa.string(),
+    }
+
+    def __init__(self, payload_col: str = "payload"):
+        self.payload_col = payload_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows: list[dict] = []
+        dropped = 0
+        for blob in batch[self.payload_col].to_pylist():
+            try:
+                rows.extend(jaeger_batches_to_rows(decode_sapm(blob)))
+            except (ValueError, IndexError, struct.error, OSError, EOFError):
+                dropped += 1
+        cols = {
+            c: pa.array([r.get(c) for r in rows], t) for c, t in self.SCHEMA.items()
+        }
+        cols["_batch_dropped"] = pa.array(np.full(len(rows), dropped, np.int64))
         return pa.table(cols)

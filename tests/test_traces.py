@@ -209,3 +209,107 @@ def test_trace_decoder_stages_on_dataset():
     out2 = ds2.map_batches(SignalFxDecoder(), batch_format="pyarrow").to_pandas()
     assert len(out2) == 50
     assert set(out2["dtype"]) == {"int_sum_delta"}
+
+
+# ---------------------------------------------------------------- SAPM
+
+from opentelemetry_collector_contrib_ray.sources.traces import (  # noqa: E402
+    JAEGER_REF_CHILD_OF,
+    JAEGER_REF_FOLLOWS_FROM,
+    SapmDecoder,
+    decode_sapm,
+    encode_jaeger_batch,
+    encode_jaeger_span,
+    encode_sapm,
+    jaeger_batches_to_rows,
+)
+
+_TID = bytes(range(16))
+_SID = b"\x01" * 8
+_PSID = b"\x02" * 8
+
+
+def _sample_batch() -> bytes:
+    sp1 = encode_jaeger_span(
+        _TID,
+        _SID,
+        "op-a",
+        1_600_000_000_000_000_000,
+        2_500_000_000,
+        tags=[
+            ("span.kind", "client"),
+            ("http.status_code", 200),
+            ("error", True),
+            ("pi", 3.5),
+            ("blob", b"\x00\xff"),
+        ],
+        references=[
+            (_TID, _PSID, JAEGER_REF_CHILD_OF),
+            (b"\x09" * 16, b"\x03" * 8, JAEGER_REF_FOLLOWS_FROM),
+        ],
+        logs=[(1_600_000_000_100_000_000, [("event", "retry"), ("attempt", 2)])],
+    )
+    sp2 = encode_jaeger_span(
+        _TID,
+        b"\x04" * 8,
+        "op-b",
+        1_600_000_000_000_000_000,
+        1,
+        tags=[
+            ("otel.status_code", "ERROR"),
+            ("otel.status_description", "boom"),
+            ("neg", -5),
+        ],
+    )
+    return encode_jaeger_batch(
+        "svc-x", [sp1, sp2], process_tags=[("host", "h1"), ("num", 7)]
+    )
+
+
+@pytest.mark.parametrize("compress", [True, False])
+def test_sapm_round_trip_gzip_and_raw(compress):
+    rows = jaeger_batches_to_rows(
+        decode_sapm(encode_sapm([_sample_batch()], compress=compress))
+    )
+    assert len(rows) == 2
+    r1, r2 = rows
+    # CHILD_OF ref -> parent, FOLLOWS_FROM -> link; span.kind tag -> kind
+    assert r1["trace_id"] == _TID.hex()
+    assert r1["parent_span_id"] == _PSID.hex()
+    assert r1["kind"] == "client"
+    assert r1["n_links"] == 1 and r1["n_events"] == 1
+    # "error" bool tag promotes status, is removed from attrs;
+    # binary tag renders as base64; int/float survive typed
+    assert r1["status_code"] == "error"
+    assert json.loads(r1["attrs"]) == {
+        "http.status_code": 200,
+        "pi": 3.5,
+        "blob": "AP8=",
+    }
+    assert r1["end_ns"] == 1_600_000_002_500_000_000
+    # Process -> resource attrs on every span of the batch
+    assert json.loads(r1["resource_attrs"]) == {
+        "service.name": "svc-x",
+        "host": "h1",
+        "num": 7,
+    }
+    # otel.status_code/-description tags take precedence and are removed
+    assert r2["status_code"] == "error" and r2["status_message"] == "boom"
+    assert json.loads(r2["attrs"]) == {"neg": -5}
+    assert r2["parent_span_id"] is None and r2["kind"] == "unspecified"
+
+
+def test_sapm_decoder_stage_drops_bad_payloads():
+    dec = SapmDecoder()
+    out = dec(
+        pa.table(
+            {
+                "payload": pa.array(
+                    [encode_sapm([_sample_batch()]), b"\x1f\x8bgarbage", b"\xff\xff"],
+                    pa.binary(),
+                )
+            }
+        )
+    )
+    assert out.num_rows == 2
+    assert out["_batch_dropped"][0].as_py() == 2
