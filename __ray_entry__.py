@@ -1230,10 +1230,140 @@ def _q_tail_sampling(sf_dir: str):
 
 
 def _q_loki_streams(sf_dir: str):
+    """Loki label-stream sink AND CloudWatch EMF render→parse
+    round-trips in one union query (driver 50-row window, same merge
+    pattern as `carbon_parse`). The EMF legs exercise the awsemf
+    translation (exporter/awsemfexporter/metric_translator.go):
+    a wide (service, shard, minute) metric table renders through
+    `EmfRenderer` twice — once bare (dimension-rollup path: full set +
+    zero-dim + per-label rollups = 4 sets) and once under a
+    `MetricDeclaration` with a label matcher (declared-dims path:
+    [service] + rollups deduped = 3 sets, click/view only, `requests`
+    dropped from the measurement by the name selector) — then the
+    emitted JSON events are parsed back and every field (labels,
+    metric values, dimension-set count, translated unit, namespace
+    presence) is value-checked against closed forms in SQL."""
+    import json as _json
+
+    from opentelemetry_collector_contrib_ray.stages.aggregate import two_phase_agg
+    from opentelemetry_collector_contrib_ray.stages.emf import (
+        EmfRenderer,
+        LabelMatcher,
+        MetricDeclaration,
+    )
     from opentelemetry_collector_contrib_ray.stages.sinks import loki_streams
 
-    ds = _read(sf_dir, "documents", ["lang", "source"])
-    return loki_streams(ds, {"lang": "lang", "source": "source"})
+    docs = _read(sf_dir, "documents", ["lang", "source"])
+    loki = loki_streams(docs, {"lang": "lang", "source": "source"})
+
+    def loki_align(t: pa.Table) -> pa.Table:
+        n = len(t)
+        return pa.table(
+            {
+                "sink": pa.array(["loki"] * n, pa.string()),
+                "key": t["labels"],
+                "n_dims": pa.array(np.zeros(n, np.int64)),
+                "latency": pa.array(np.zeros(n, np.int64)),
+                "requests": pc.cast(t["count"], pa.int64()),
+                "unit": pa.array([""] * n, pa.string()),
+            }
+        )
+
+    loki = loki.map_batches(loki_align, batch_format="pyarrow")
+
+    ev = _read(sf_dir, "events", ["event_type", "user_id", "ts", "value"])
+
+    def widen(t: pa.Table) -> pa.Table:
+        epoch = pc.cast(
+            pc.cast(t["ts"], pa.timestamp("s"), safe=False), pa.int64()
+        ).to_numpy()
+        shard = pc.binary_join_element_wise(
+            "s", pc.cast(pc.bit_wise_and(t["user_id"], 3), pa.string()), ""
+        )
+        return pa.table(
+            {
+                "service": t["event_type"],
+                "shard": shard,
+                "ts_ms": pa.array((epoch // 60) * 60000),
+                "lat": pc.cast(pc.floor(t["value"]), pa.int64()),
+            }
+        )
+
+    wide = two_phase_agg(
+        ev.map_batches(widen, batch_format="pyarrow"),
+        ["service", "shard", "ts_ms"],
+        {"lat": ["sum"], "*": ["count"]},
+    )
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "service": t["service"],
+                "shard": t["shard"],
+                "ts_ms": t["ts_ms"],
+                "latency": t["lat_sum"],
+                "requests": pc.cast(t["count"], pa.int64()),
+            }
+        )
+
+    wide = wide.map_batches(rename, batch_format="pyarrow")
+    render_bare = EmfRenderer(
+        ["service", "shard"],
+        {"latency": "ms", "requests": ""},
+        namespace="otelray",
+        timestamp_col="ts_ms",
+    )
+    decl = MetricDeclaration(
+        ["^latency$"],
+        dimensions=[["service"]],
+        label_matchers=[LabelMatcher(["service"], "^(click|view)$")],
+    )
+    render_decl = EmfRenderer(
+        ["service", "shard"],
+        {"latency": "ms", "requests": ""},
+        namespace="otelray",
+        timestamp_col="ts_ms",
+        metric_declarations=[decl],
+    )
+
+    def parse_back(sink: str):
+        def _p(t: pa.Table) -> pa.Table:
+            keys, nds, lats, reqs, units = [], [], [], [], []
+            for msg in t["message"].to_pylist():
+                obj = _json.loads(msg)
+                aws = obj.get("_aws")
+                if aws is None:  # declarations dropped every measurement
+                    continue
+                cwm = aws["CloudWatchMetrics"][0]
+                assert cwm["Namespace"] == "otelray"
+                mu = {m["Name"]: m.get("Unit", "") for m in cwm["Metrics"]}
+                keys.append(
+                    f"{obj['service']}@{obj['shard']}@{aws['Timestamp']}"
+                )
+                nds.append(len(cwm["Dimensions"]))
+                lats.append(int(obj["latency"]))
+                reqs.append(int(obj["requests"]))
+                units.append(mu.get("latency", ""))
+            return pa.table(
+                {
+                    "sink": pa.array([sink] * len(keys), pa.string()),
+                    "key": pa.array(keys, pa.string()),
+                    "n_dims": pa.array(nds, pa.int64()),
+                    "latency": pa.array(lats, pa.int64()),
+                    "requests": pa.array(reqs, pa.int64()),
+                    "unit": pa.array(units, pa.string()),
+                }
+            )
+
+        return _p
+
+    emf = wide.map_batches(render_bare, batch_format="pyarrow").map_batches(
+        parse_back("emf"), batch_format="pyarrow"
+    )
+    emf_decl = wide.map_batches(render_decl, batch_format="pyarrow").map_batches(
+        parse_back("emf_decl"), batch_format="pyarrow"
+    )
+    return loki.union(emf).union(emf_decl)
 
 
 def _q_mt_aggregate_label_values(sf_dir: str):
@@ -2118,9 +2248,36 @@ def oracle_sql() -> dict[str, str]:
             )
         """,
         "loki_streams": """
-            SELECT '{"lang": "' || lang || '", "source": "' || source || '"}' AS labels,
-                   COUNT(*) AS "count"
-            FROM documents GROUP BY 1
+            -- union of the Loki stream counts and the two EMF legs'
+            -- closed forms (see _q_loki_streams): bare render → 4
+            -- dimension sets ([service,shard] + zero-dim + 2 single
+            -- rollups), declaration render → 3 ([service] + zero-dim +
+            -- [shard] after dedup), click/view only, 'ms'→'Milliseconds'
+            WITH emf_wide AS (
+                SELECT event_type AS service,
+                       's' || CAST(user_id % 4 AS VARCHAR) AS shard,
+                       (CAST(epoch(date_trunc('minute', ts)) AS BIGINT)) * 1000
+                           AS ts_ms,
+                       CAST(SUM(CAST(FLOOR(value) AS BIGINT)) AS BIGINT)
+                           AS latency,
+                       COUNT(*) AS requests
+                FROM events GROUP BY 1, 2, 3
+            )
+            SELECT 'loki' AS sink,
+                   '{"lang": "' || lang || '", "source": "' || source || '"}'
+                       AS "key",
+                   CAST(0 AS BIGINT) AS n_dims, CAST(0 AS BIGINT) AS latency,
+                   COUNT(*) AS requests, '' AS unit
+            FROM documents GROUP BY 2
+            UNION ALL
+            SELECT 'emf', service || '@' || shard || '@' || CAST(ts_ms AS VARCHAR),
+                   CAST(4 AS BIGINT), latency, requests, 'Milliseconds'
+            FROM emf_wide
+            UNION ALL
+            SELECT 'emf_decl',
+                   service || '@' || shard || '@' || CAST(ts_ms AS VARCHAR),
+                   CAST(3 AS BIGINT), latency, requests, 'Milliseconds'
+            FROM emf_wide WHERE service IN ('click', 'view')
         """,
         "mt_aggregate_label_values": """
             SELECT CASE WHEN event_type IN ('click', 'view') THEN 'engagement'
