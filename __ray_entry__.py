@@ -1052,9 +1052,15 @@ def _q_trace_decoders(sf_dir: str):
         sfx_datapoints_to_rows,
     )
     from opentelemetry_collector_contrib_ray.stages.aggregate import two_phase_agg
+    from opentelemetry_collector_contrib_ray.stages.xray_export import (
+        ORIGIN_EC2,
+        XRaySegmentEncoder,
+    )
 
     ds = _read(sf_dir, "events", ["event_id", "event_type", "ts", "value"])
     xray_dec = XRaySegmentDecoder()
+    _XEPOCH = 1_600_000_000  # fixed base so trace ids sit in the 28-day window
+    xray_enc = XRaySegmentEncoder(epoch_now=_XEPOCH)
 
     def partial(t: pa.Table) -> pa.Table:
         import json as _json
@@ -1186,7 +1192,81 @@ def _q_trace_decoders(sf_dir: str):
             sapm_rows.append(("sapm", "links", int(jrows["n_links"].sum()), 0))
             sapm_rows.append(("sapm", "events", int(jrows["n_events"].sum()), 0))
 
-        allrows = xray_rows + sfx_rows + sapm_rows
+        # ---- render spans → X-Ray segments (exporter side) → decode back ----
+        # segment.go semantics under test: subsegment typing (client with
+        # parent), fault/error/throttle from http.status_code, EC2 origin,
+        # remote namespace, peer.service name override, and a lossless
+        # encode→decode round trip through the receiver-side translator.
+        res_json = _json.dumps(
+            {"cloud.provider": "aws", "cloud.platform": "EC2",
+             "service.name": "svc"}
+        )
+        xattrs = []
+        for i in range(len(eid)):
+            a = {"http.method": "GET"}
+            a["http.status_code"] = (
+                (429 if eid[i] % 5 == 0 else 500) if et[i] == "error" else 200
+            )
+            if eid[i] % 7 == 0:
+                a["peer.service"] = "peer-svc"
+            xattrs.append(_json.dumps(a))
+        xin = pa.table(
+            {
+                "trace_id": pa.array(
+                    [f"{_XEPOCH:08x}{e:024x}" for e in eid], pa.string()
+                ),
+                "span_id": pa.array([f"{e:016x}" for e in eid], pa.string()),
+                "parent_span_id": pa.array(
+                    [f"{e + 13:016x}" if e % 3 == 0 else None for e in eid],
+                    pa.string(),
+                ),
+                "name": pa.array(et, pa.string()),
+                "kind": pa.array(
+                    ["server" if e % 2 == 0 else "client" for e in eid],
+                    pa.string(),
+                ),
+                "start_ns": pa.array(epoch * 1_000_000_000, pa.int64()),
+                "end_ns": pa.array((epoch + dur) * 1_000_000_000, pa.int64()),
+                "status_code": pa.array(
+                    ["error" if t == "error" else "unset" for t in et],
+                    pa.string(),
+                ),
+                "status_message": pa.array(
+                    ["boom" if t == "error" else None for t in et], pa.string()
+                ),
+                "attrs": pa.array(xattrs, pa.string()),
+                "events": pa.array([None] * len(eid), pa.string()),
+                "resource_attrs": pa.array([res_json] * len(eid), pa.string()),
+            }
+        )
+        xt = xray_enc(xin)
+        seg_type = np.asarray(xt["seg_type"].to_pylist())
+        back = xray_dec(pa.table({"raw": xt["segment_json"]})).to_pandas()
+        back_dur = ((back["end_ns"] - back["start_ns"]) / 1e9).round()
+        rt_ok = int(
+            (
+                (back["trace_id"].to_numpy() == np.asarray(
+                    xin["trace_id"].to_pylist()))
+                & ((back["start_ns"] / 1e9).round().to_numpy() == epoch)
+                & (back_dur.to_numpy() == dur)
+            ).sum()
+        )
+        xrayx_rows = [
+            ("xrayx", "n", len(xt), int(dur.sum()) * 100),
+            ("xrayx", "subsegment", int((seg_type == "subsegment").sum()), 0),
+            ("xrayx", "fault", int(pc.sum(xt["fault"]).as_py() or 0), 0),
+            ("xrayx", "error", int(pc.sum(xt["error"]).as_py() or 0), 0),
+            ("xrayx", "throttle", int(pc.sum(xt["throttle"]).as_py() or 0), 0),
+            ("xrayx", "origin_ec2",
+             int((np.asarray(xt["origin"].to_pylist()) == ORIGIN_EC2).sum()), 0),
+            ("xrayx", "ns_remote",
+             int((np.asarray(xt["namespace"].to_pylist()) == "remote").sum()), 0),
+            ("xrayx", "name_peer",
+             int((np.asarray(xt["seg_name"].to_pylist()) == "peer-svc").sum()), 0),
+            ("xrayx", "roundtrip", rt_ok, 0),
+        ]
+
+        allrows = xray_rows + sfx_rows + sapm_rows + xrayx_rows
         return pa.table(
             {
                 "signal": pa.array([r[0] for r in allrows], pa.string()),
@@ -2402,11 +2482,46 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL
                 SELECT 'sapm', 'events', COUNT(*), CAST(0 AS DECIMAL(18,2))
                 FROM e WHERE event_type = 'error'
+            ),
+            -- X-Ray EXPORTER leg (stages/xray_export.py, segment.go
+            -- semantics): subsegment = client (odd id) with parent (%3);
+            -- error events carry http 429 on %5 (error+throttle) else
+            -- 500 (fault); resource cloud.platform EC2 → EC2 origin on
+            -- every span; client spans → remote namespace; peer.service
+            -- (%7) overrides the name; roundtrip counts spans whose
+            -- encode→decode preserves trace id + start + duration
+            xx AS (
+                SELECT 'xrayx' AS signal, 'n' AS "key", COUNT(*) AS cnt,
+                       CAST(SUM(dur) AS DECIMAL(18,2)) AS vsum FROM e
+                UNION ALL
+                SELECT 'xrayx', 'subsegment', COUNT(*), CAST(0 AS DECIMAL(18,2))
+                FROM e WHERE event_id % 3 = 0 AND event_id % 2 = 1
+                UNION ALL
+                SELECT 'xrayx', 'fault', COUNT(*), CAST(0 AS DECIMAL(18,2))
+                FROM e WHERE event_type = 'error' AND event_id % 5 <> 0
+                UNION ALL
+                SELECT 'xrayx', 'error', COUNT(*), CAST(0 AS DECIMAL(18,2))
+                FROM e WHERE event_type = 'error' AND event_id % 5 = 0
+                UNION ALL
+                SELECT 'xrayx', 'throttle', COUNT(*), CAST(0 AS DECIMAL(18,2))
+                FROM e WHERE event_type = 'error' AND event_id % 5 = 0
+                UNION ALL
+                SELECT 'xrayx', 'origin_ec2', COUNT(*), CAST(0 AS DECIMAL(18,2))
+                FROM e
+                UNION ALL
+                SELECT 'xrayx', 'ns_remote', COUNT(*), CAST(0 AS DECIMAL(18,2))
+                FROM e WHERE event_id % 2 = 1
+                UNION ALL
+                SELECT 'xrayx', 'name_peer', COUNT(*), CAST(0 AS DECIMAL(18,2))
+                FROM e WHERE event_id % 7 = 0
+                UNION ALL
+                SELECT 'xrayx', 'roundtrip', COUNT(*), CAST(0 AS DECIMAL(18,2))
+                FROM e
             )
             SELECT signal, "key", CAST(cnt AS BIGINT) AS "count",
                    ROUND(CAST(vsum AS DOUBLE), 6) AS value_sum
             FROM (SELECT * FROM x UNION ALL SELECT * FROM s
-                  UNION ALL SELECT * FROM p)
+                  UNION ALL SELECT * FROM p UNION ALL SELECT * FROM xx)
         """,
         "statsd_parse_agg": """
             SELECT event_type AS name, COUNT(*) AS "count", COUNT(value) AS value_count,
