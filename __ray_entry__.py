@@ -537,8 +537,7 @@ def _q_time_window_agg(sf_dir: str):
 
 
 def _q_exact_dedup(sf_dir: str):
-    from ray.data.aggregate import Count, Min
-
+    from opentelemetry_collector_contrib_ray.stages.aggregate import bucketed_aggregate
     from opentelemetry_collector_contrib_ray.stages.dedup import add_content_hash
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -546,8 +545,12 @@ def _q_exact_dedup(sf_dir: str):
         lambda b: add_content_hash(b, "text").select(["content_hash", "doc_id"]),
         batch_format="pyarrow",
     )
-    agg = hashed.groupby("content_hash").aggregate(
-        Min("doc_id", alias_name="doc_id"), Count(alias_name="n")
+    # group count ~ corpus size → bucketed merge (doc_id is non-null,
+    # so its arrow "count" equals the per-hash row count)
+    agg = bucketed_aggregate(
+        hashed,
+        ["content_hash"],
+        [("doc_id", "min", "doc_id"), ("doc_id", "count", "n")],
     )
     return agg.select_columns(["doc_id", "n"])
 
@@ -783,10 +786,12 @@ def _q_minhash_dedup(sf_dir: str):
         lsh_candidate_pairs,
         verify_pairs_ds,
     )
-    from opentelemetry_collector_contrib_ray.stages.join import bucketed_hash_join
-
     aug = _augment_docs(sf_dir)
-    exploded = _lsh_explode(aug, "text", "doc_id", k=5, num_perm=64, bands=16)
+    # 16 bands × 8 rows: injected pairs (J ≥ ~0.98 char-5-gram) collide
+    # with probability ~1-3e-7 per corpus doc while templated-boilerplate
+    # random collisions stay rare (4-row bands blew up to 292k candidate
+    # pairs from 5.2k docs — see near_dedup docstring)
+    exploded = _lsh_explode(aug, "text", "doc_id", k=5, num_perm=128, bands=16)
     pairs = lsh_candidate_pairs(exploded, "doc_id")
     edges = verify_pairs_ds(aug, pairs, threshold=0.8)
 
@@ -801,50 +806,79 @@ def _q_minhash_dedup(sf_dir: str):
     n_injected = _count_injected(sf_dir)
 
     # --- SimHash contract: near pairs close, unrelated pairs far ---
+    # One pass emits each relevant doc's simhash under its ROLE column
+    # (orig / injected-dup / unrelated-neighbor) keyed by the shared
+    # pair key; ONE bucketed merge co-locates the roles per key (arrow
+    # max over exactly-one-non-null = pivot) — replaces the former
+    # two-join (4-shuffle) plan.
+    from opentelemetry_collector_contrib_ray.stages.aggregate import (
+        bucketed_aggregate,
+    )
+
     sh = aug.map_batches(SimHasher(), batch_format="pyarrow")
 
-    def side(name, pred, keyf):
-        def f(t: pa.Table) -> pa.Table:
-            ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-            m = pred(ids)
-            sub = t.filter(pa.array(m))
-            sids = sub["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-            return pa.table(
-                {
-                    "pair_key": pa.array(keyf(sids), pa.int64()),
-                    name: sub["simhash"],
-                }
-            )
+    def roles(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sim = t["simhash"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m_o = (ids % _DUP_MOD == 0) & (ids < _DUP_OFFSET)
+        m_d = ids >= _DUP_OFFSET
+        m_f = (ids % _DUP_MOD == 1) & (ids < _DUP_OFFSET)
+        keys = np.concatenate([ids[m_o], ids[m_d] - _DUP_OFFSET, ids[m_f] - 1])
+        n_o, n_d, n_f = int(m_o.sum()), int(m_d.sum()), int(m_f.sum())
 
-        return sh.map_batches(f, batch_format="pyarrow")
+        n_tot = n_o + n_d + n_f
 
-    orig = side("sim_o", lambda i: (i % _DUP_MOD == 0) & (i < _DUP_OFFSET), lambda i: i)
-    dup = side("sim_d", lambda i: i >= _DUP_OFFSET, lambda i: i - _DUP_OFFSET)
-    far = side("sim_f", lambda i: (i % _DUP_MOD == 1) & (i < _DUP_OFFSET), lambda i: i - 1)
-    j = bucketed_hash_join(orig, dup, "pair_key", num_buckets=8)
-    j = bucketed_hash_join(j, far, "pair_key", num_buckets=8)
+        def sparse(vals, lo, hi):
+            col = np.zeros(n_tot, np.int64)
+            nulls = np.ones(n_tot, bool)
+            col[lo:hi] = vals
+            nulls[lo:hi] = False
+            return pa.array(col, mask=nulls)
 
-    def ham_part(df: pd.DataFrame) -> pd.DataFrame:
-        key = df["pair_key"].to_numpy(dtype=np.int64)
-        so = df["sim_o"].to_numpy(dtype=np.int64)
-        sd = df["sim_d"].to_numpy(dtype=np.int64)
-        sf_ = df["sim_f"].to_numpy(dtype=np.int64)
+        return pa.table(
+            {
+                "pair_key": pa.array(keys, pa.int64()),
+                "sim_o": sparse(sim[m_o], 0, n_o),
+                "sim_d": sparse(sim[m_d], n_o, n_o + n_d),
+                "sim_f": sparse(sim[m_f], n_o + n_d, n_o + n_d + n_f),
+            }
+        )
+
+    j = bucketed_aggregate(
+        sh.map_batches(roles, batch_format="pyarrow"),
+        ["pair_key"],
+        [(c, "max", c) for c in ("sim_o", "sim_d", "sim_f")],
+    )
+
+    def ham_part(t: pa.Table) -> pa.Table:
+        # keep keys with all three roles (inner-join semantics); stay
+        # in ARROW — a pandas conversion of nullable int64 goes through
+        # float64 and corrupts 64-bit simhash values
+        valid = pc.and_(
+            pc.and_(pc.is_valid(t["sim_o"]), pc.is_valid(t["sim_d"])),
+            pc.is_valid(t["sim_f"]),
+        )
+        t = t.filter(valid)
+        key = t["pair_key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        so = t["sim_o"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sd = t["sim_d"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sf_ = t["sim_f"].to_numpy(zero_copy_only=False).astype(np.int64)
         near_m = key % (2 * _DUP_MOD) != 0
         exact_m = ~near_m
         hn = _popcount64(so ^ sd)
         hf = _popcount64(so ^ sf_)
-        return pd.DataFrame(
+        return pa.table(
             {
-                "near_sum": [int(hn[near_m].sum())],
-                "near_n": [int(near_m.sum())],
-                "far_sum": [int(hf.sum())],
-                "far_n": [len(hf)],
-                "exact_bad": [int((hn[exact_m] != 0).sum())],
-                "exact_n": [int(exact_m.sum())],
+                "near_sum": pa.array([int(hn[near_m].sum())], pa.int64()),
+                "near_n": pa.array([int(near_m.sum())], pa.int64()),
+                "far_sum": pa.array([int(hf.sum())], pa.int64()),
+                "far_n": pa.array([len(hf)], pa.int64()),
+                "exact_bad": pa.array([int((hn[exact_m] != 0).sum())], pa.int64()),
+                "exact_n": pa.array([int(exact_m.sum())], pa.int64()),
             }
         )
 
-    parts = j.map_batches(ham_part, batch_format="pandas").to_pandas()
+    parts = j.map_batches(ham_part, batch_format="pyarrow").to_pandas()
     near_mean = parts["near_sum"].sum() / max(1, parts["near_n"].sum())
     far_mean = parts["far_sum"].sum() / max(1, parts["far_n"].sum())
     return pd.DataFrame(
@@ -1386,7 +1420,16 @@ def _q_loki_streams(sf_dir: str):
             }
         )
 
-    wide = wide.map_batches(rename, batch_format="pyarrow")
+    # the agg leaves few blocks; spread the per-event JSON render/parse
+    # across the cluster (rows are unique per (labels, ts) after the
+    # agg, so splitting blocks cannot break first-wins merging)
+    from opentelemetry_collector_contrib_ray.stages.join import (
+        derived_num_partitions,
+    )
+
+    wide = wide.map_batches(rename, batch_format="pyarrow").repartition(
+        derived_num_partitions()
+    )
     render_bare = EmfRenderer(
         ["service", "shard"],
         {"latency": "ms", "requests": ""},

@@ -53,13 +53,14 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
 
     Returns a Dataset of surviving ids: columns (content_hash, doc_id).
     """
-    from ray.data.aggregate import Min
+    from .aggregate import bucketed_aggregate
 
     hashed = ds.map_batches(
         lambda b: add_content_hash(b, text_col).select(["content_hash", id_col]),
         batch_format="pyarrow",
     )
-    return hashed.groupby("content_hash").aggregate(Min(id_col, alias_name=id_col))
+    # group count ~ corpus size → bucketed merge, not Ray native agg
+    return bucketed_aggregate(hashed, ["content_hash"], [(id_col, "min", id_col)])
 
 
 # ------------------------------------------------------- shingle kernel
@@ -161,9 +162,9 @@ class MinHasher:
             vals = (self.a[None, :] * sh[:, None] + self.b[None, :]) % np.uint64(_MERSENNE)
         return vals.min(axis=0)
 
-    # max shingles per (shingles × num_perm) matrix: bounds the temp
-    # allocation to ~ _CHUNK × num_perm × 8B (≈128 MB at 256k × 64)
-    _CHUNK = 256 * 1024
+    # max shingles per (num_perm × shingles) matrix: bounds the temp
+    # allocation to ~ num_perm × _CHUNK × 8B (≈128 MB at 128 × 128k)
+    _CHUNK = 128 * 1024
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         flat_sh, counts = _shingle_hashes_flat(batch[self.text_col], self.k)
@@ -176,12 +177,19 @@ class MinHasher:
             hi = max(hi, lo + 1)
             hi = min(hi, n)
             chunk = flat_sh[doc_off[lo] : doc_off[hi]]
+            # (perm, shingle) layout with per-permutation SCALAR ops:
+            # numpy's uint64 BROADCAST multiply takes a ~70x-slower
+            # non-SIMD inner loop (measured 13.5 s vs 0.19 s on 1.5M x
+            # 64), while scalar-operand multiplies into a preallocated
+            # row hit the fast path; values are bit-identical
+            vals = np.empty((self.num_perm, len(chunk)), dtype=np.uint64)
             with np.errstate(over="ignore"):
-                vals = (
-                    self.a[None, :] * chunk[:, None] + self.b[None, :]
-                ) % np.uint64(_MERSENNE)
+                for j in range(self.num_perm):
+                    np.multiply(chunk, self.a[j], out=vals[j])
+                    vals[j] += self.b[j]
+                vals %= np.uint64(_MERSENNE)
             starts = (doc_off[lo:hi] - doc_off[lo]).astype(np.int64)
-            sigs[lo:hi] = np.minimum.reduceat(vals, starts, axis=0)
+            sigs[lo:hi] = np.minimum.reduceat(vals, starts, axis=1).T
             lo = hi
         flat = pa.array(sigs.reshape(-1).astype(np.int64))
         offs = pa.array(
@@ -851,9 +859,9 @@ def connected_components_ds(edges_ds, *, max_iters: int = 20):
     Returns a Dataset (id, root) covering every node that appears in
     an edge. Scale shape: each round shuffles |edges| label messages.
     """
-    from ray.data.aggregate import Min
-
     import pyarrow.compute as pc
+
+    from .aggregate import bucketed_aggregate
 
     def _min_ew(a, b):
         # element-wise min that also works for string ids
@@ -870,12 +878,13 @@ def connected_components_ds(edges_ds, *, max_iters: int = 20):
             }
         )
 
-    labels = (
-        edges_ds.map_batches(to_msgs, batch_format="pyarrow")
-        .groupby("id")
-        .aggregate(Min("label", alias_name="label"))
-        .materialize()
-    )
+    # node count ~ dup-graph size → bucketed merge each round, not Ray
+    # native agg (per-group Python at the sort boundary)
+    labels = bucketed_aggregate(
+        edges_ds.map_batches(to_msgs, batch_format="pyarrow"),
+        ["id"],
+        [("label", "min", "label")],
+    ).materialize()
     edges = edges_ds.materialize()
     prev_sig = None
     for _ in range(max_iters):
@@ -902,12 +911,11 @@ def connected_components_ds(edges_ds, *, max_iters: int = 20):
                 }
             )
 
-        new_labels = (
-            j.map_batches(msgs, batch_format="pandas")
-            .groupby("id")
-            .aggregate(Min("label", alias_name="label"))
-            .materialize()
-        )
+        new_labels = bucketed_aggregate(
+            j.map_batches(msgs, batch_format="pandas"),
+            ["id"],
+            [("label", "min", "label")],
+        ).materialize()
         # convergence: order-insensitive checksum of (id, label)
         def sig_batch(t: pa.Table) -> pa.Table:
             h = _text_hash64(
@@ -936,7 +944,7 @@ def near_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 5,
-    num_perm: int = 64,
+    num_perm: int = 128,
     bands: int = 16,
     jaccard_threshold: float = 0.8,
     num_buckets: int = 64,
@@ -949,6 +957,16 @@ def near_dedup(
     table) → exact n-gram-Jaccard verification (distributed join of
     pairs × texts) → connected components over the verified edges →
     survivors = min id per duplicate cluster + all unclustered docs.
+
+    Default LSH shape is 16 bands × 8 rows (num_perm=128): at the 0.8
+    default threshold a true pair collides with p ≈ 0.95 while the
+    random-collision rate per band is J^8 — on corpora with templated
+    boilerplate (baseline J ≈ 0.2-0.4) this keeps the candidate set
+    ~linear in n, where 4-row bands degenerate toward all-pairs
+    (measured 292k candidates from 5.2k docs). Candidate count, not
+    hashing, is the scale cost: every candidate crosses the verify
+    join. Lower ``bands`` (wider rows) further for higher thresholds;
+    raise it for recall at low thresholds.
 
     ``cc_mode``: 'driver' = union-find over collected edges (O(edges)
     on the driver); 'distributed' = min-label propagation

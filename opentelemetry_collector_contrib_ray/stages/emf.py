@@ -288,14 +288,21 @@ class EmfRenderer:
         out_ts: list[int] = []
         out_msg: list[str] = []
         group_cols = self.label_cols + ["_ts_ms"]
-        for key, grp in df.groupby(group_cols, sort=False, dropna=False):
-            key = key if isinstance(key, tuple) else (key,)
-            labels = {c: str(v) for c, v in zip(self.label_cols, key[:-1])}
-            ts_ms = int(key[-1])
-            first = grp.iloc[0]  # first datapoint wins per metric name
+        # first datapoint wins per (labels, ts) group (grouped_metric.go:
+        # 68-77 warn-and-keep) — a vectorized keep="first" dedupe is
+        # equivalent to taking each group's first row and far cheaper
+        # than a pandas groupby + iloc per group
+        firsts = df.drop_duplicates(group_cols, keep="first")
+        metric_names = list(self.metric_cols)
+        lab_arrs = {c: firsts[c].to_numpy() for c in self.label_cols}
+        met_arrs = {c: firsts[c].to_numpy() for c in metric_names}
+        ts_arr = firsts["_ts_ms"].to_numpy()
+        for i in range(len(firsts)):
+            labels = {c: str(a[i]) for c, a in lab_arrs.items()}
+            ts_ms = int(ts_arr[i])
             metrics = {}
-            for name in self.metric_cols:
-                v = first[name]
+            for name in metric_names:
+                v = met_arrs[name][i]
                 if v is None or (isinstance(v, float) and np.isnan(v)):
                     continue
                 if isinstance(v, np.integer):

@@ -138,7 +138,7 @@ def distinct_count(ds, key_cols, value_col: str, *, driver_finalize: bool = True
     only rows entering the shuffle. Stage 2: global pair dedupe +
     per-key count (groupby on the pair, then driver/groupby count).
     """
-    from ray.data.aggregate import Count
+    from .aggregate import bucketed_aggregate
 
     key_cols = list(key_cols)
 
@@ -161,8 +161,18 @@ def distinct_count(ds, key_cols, value_col: str, *, driver_finalize: bool = True
             .reset_index()
         )
         return table_from_pandas(out)
-    deduped = pairs.groupby(key_cols + [value_col]).aggregate(Count(alias_name="_n"))
-    return deduped.groupby(key_cols).aggregate(Count(alias_name="distinct"))
+    # both groupbys have ~distinct-pair cardinality → bucketed merges
+    # (empty plan = distinct key tuples), not Ray native agg
+    deduped = bucketed_aggregate(pairs, key_cols + [value_col], [])
+
+    def add_one(t: pa.Table) -> pa.Table:
+        return t.append_column("_one", pa.array(np.ones(len(t), np.int64)))
+
+    return bucketed_aggregate(
+        deduped.map_batches(add_one, batch_format="pyarrow"),
+        key_cols,
+        [("_one", "sum", "distinct")],
+    )
 
 
 class QuantileSketch:
