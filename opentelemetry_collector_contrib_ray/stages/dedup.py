@@ -511,102 +511,154 @@ def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
 # ------------------------------------------------------ embedding near-dup
 
 
+def _vec_matrix(col: pa.ChunkedArray | pa.Array, n: int) -> np.ndarray:
+    """list<float> (or Ray tensor-extension) column → (n, d) float32
+    matrix, zero-copy when the lists are contiguous and equal-length
+    (the common Parquet case)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if hasattr(col, "flatten"):  # plain ListArray
+        flat = np.asarray(col.flatten(), dtype=np.float32)
+        if n and flat.size % n == 0:
+            return flat.reshape(n, -1)
+        return np.stack([np.asarray(v, dtype=np.float32) for v in col.to_pylist()])
+    # ArrowTensorArray / other extension types: to_numpy gives (n, d)
+    arr = col.to_numpy(zero_copy_only=False)
+    if arr.dtype == object:
+        return np.stack([np.asarray(v, dtype=np.float32) for v in arr])
+    return np.asarray(arr, dtype=np.float32).reshape(n, -1)
+
+
+def normalized_vec_ds(ds, id_col="vec_id", emb_col="embedding", out_col="vec"):
+    """(id, embedding) → (id, unit-norm vec) as a Dataset stage."""
+
+    def norm_batch(t: pa.Table) -> pa.Table:
+        m = _vec_matrix(t[emb_col], len(t))
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                out_col: pa.array(list(m), type=pa.list_(pa.float32())),
+            }
+        )
+
+    return ds.map_batches(norm_batch, batch_format="pyarrow")
+
+
+def verify_cos_pairs_ds(
+    ds,
+    pairs_ds,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    threshold: float = 0.95,
+    num_buckets: int = 32,
+):
+    """Exact-cosine verification of candidate id pairs: join the pair
+    list against the (normalized) embeddings — two distributed joins,
+    nothing collected to the driver — then one vectorized dot per pair.
+    Returns (id_a, id_b, cos) with cos ≥ threshold; the embedding-side
+    twin of the text path's ``verify_pairs_ds``."""
+    from .join import bucketed_hash_join
+
+    vecs = normalized_vec_ds(ds, id_col=id_col, emb_col=emb_col)
+    va = vecs.map_batches(
+        lambda t: t.rename_columns(["id_a", "vec_a"]), batch_format="pyarrow"
+    )
+    vb = vecs.map_batches(
+        lambda t: t.rename_columns(["id_b", "vec_b"]), batch_format="pyarrow"
+    )
+    # always the bucketed (pandas-merge) join: Arrow's acero hash join —
+    # the engine under Dataset.join — rejects list<float> non-key fields
+    j = bucketed_hash_join(pairs_ds, va, "id_a", num_buckets=num_buckets)
+    j = bucketed_hash_join(j, vb, "id_b", num_buckets=num_buckets)
+
+    def score(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "id_a": t["id_a"],
+                    "id_b": t["id_b"],
+                    "cos": pa.array([], pa.float64()),
+                }
+            )
+        a = _vec_matrix(t["vec_a"], len(t))
+        b = _vec_matrix(t["vec_b"], len(t))
+        cos = np.einsum("ij,ij->i", a, b).astype(np.float64)
+        out = pa.table({"id_a": t["id_a"], "id_b": t["id_b"], "cos": pa.array(cos)})
+        return out.filter(pa.array(cos >= threshold))
+
+    return j.map_batches(score, batch_format="pyarrow")
+
+
 def embedding_neardup_pairs(
     ds,
     *,
     id_col="vec_id",
     emb_col="embedding",
     threshold=0.95,
-    nbits=8,
+    nbits=None,
     num_tables=8,
     seed=3,
+    target_bucket=64,
 ):
     """Embedding-cosine near-dup: MULTI-TABLE random-hyperplane LSH.
 
-    ``num_tables`` independent hyperplane sets each bucket every vector
-    (one shuffle of (table, bucket, id, vec) rows), exact cosine runs
-    within buckets, and pairs union across tables with a bucketed
-    dedup. Recall for a pair at cosine c is
-    ``1 − (1 − p^nbits)^num_tables`` with ``p = 1 − acos(c)/π`` — at
-    the defaults (8 bits × 8 tables) ≈ 0.93 for c = 0.9, vs 0.16 for a
-    single 12-bit table. Candidates are verified exactly, so the output
-    NEVER contains false positives; returns pairs
+    Recall for a pair at cosine c is ``1 − (1 − p^nbits)^num_tables``
+    with ``p = 1 − acos(c)/π``; candidates are exact-cosine verified so
+    the output NEVER contains false positives. Returns pairs
     (id_a, id_b, cos ≥ threshold, id_a < id_b).
+
+    Scale shape (round-3 rework of the two round-2 watch-items):
+    - the LSH shuffle moves (table, bucket, id) TRIPLES only — vectors
+      are no longer replicated ×num_tables through the shuffle (256 B
+      × 8 per vector at d=64 → 24 B × 8);
+    - ``nbits`` auto-scales as ~log2(n / target_bucket) (clipped 4-24)
+      so the expected bucket size — and with it the in-bucket pair
+      expansion — stays CONSTANT as the corpus grows, instead of
+      O(bucket²) at a fixed bit count;
+    - pair generation + cross-table dedup reuse the MinHash path's
+      distributed ``lsh_candidate_pairs`` (bucketed groupby, pairs
+      deduped by single-int-key shuffle), and verification is the
+      distributed pairs × vectors join ``verify_cos_pairs_ds`` — the
+      same shapes already proven on the text near-dup path.
     """
+    if nbits is None:
+        n = ds.count()
+        nbits = int(np.clip(round(np.log2(max(n, 2) / target_bucket)), 4, 24))
 
     class Bucketer:
         def __init__(self):
             self.planes = None
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            vecs = np.stack(
-                [np.asarray(v, dtype=np.float32) for v in batch[emb_col].to_pylist()]
-            )
+            vecs = _vec_matrix(batch[emb_col], len(batch))
             if self.planes is None:
                 rng = np.random.default_rng(seed)
                 self.planes = rng.standard_normal(
                     (num_tables, vecs.shape[1], nbits)
                 ).astype(np.float32)
-            norm = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
             n = len(vecs)
-            tabs, buckets, idxs = [], [], []
             ids = batch[id_col].to_numpy(zero_copy_only=False)
+            tabs, buckets = [], []
             for t in range(num_tables):
                 proj = vecs @ self.planes[t]
                 bits = (proj > 0).astype(np.uint64)
                 b = (bits << np.arange(nbits, dtype=np.uint64)[None, :]).sum(axis=1)
                 tabs.append(np.full(n, t, dtype=np.int32))
                 buckets.append(b.astype(np.int64))
-                idxs.append(np.arange(n))
-            rep = np.concatenate(idxs)
             return pa.table(
                 {
-                    "table_id": pa.array(np.concatenate(tabs)),
-                    "bucket": pa.array(np.concatenate(buckets)),
-                    id_col: pa.array(ids[rep]),
-                    "vec": pa.array(list(norm[rep]), type=pa.list_(pa.float32())),
+                    "band_id": pa.array(np.concatenate(tabs)),
+                    "band_hash": pa.array(np.concatenate(buckets)),
+                    id_col: pa.array(np.tile(ids, num_tables)),
                 }
             )
 
-    bucketed = ds.map_batches(Bucketer(), batch_format="pyarrow")
-
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        # one (table, bucket) group per call; exact cosine verification
-        g = g.drop_duplicates(id_col)
-        if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cos": []})
-        ids = g[id_col].to_numpy()
-        mat = np.stack([np.asarray(v, dtype=np.float32) for v in g["vec"]])
-        sims = mat @ mat.T
-        ia, ib = np.triu_indices(len(g), k=1)
-        m = sims[ia, ib] >= threshold
-        return pd.DataFrame(
-            {
-                "id_a": np.minimum(ids[ia[m]], ids[ib[m]]),
-                "id_b": np.maximum(ids[ia[m]], ids[ib[m]]),
-                "cos": sims[ia, ib][m].astype(np.float64),
-            }
-        )
-
-    raw = bucketed.groupby(["table_id", "bucket"]).map_groups(
-        pairs, batch_format="pandas"
-    )
-
-    # same pair found by several tables → one bucketed dedup pass
-    def add_pb(batch: pa.Table) -> pa.Table:
-        a = batch["id_a"].to_numpy(zero_copy_only=False)
-        h = splitmix64(np.asarray(pd.util.hash_array(a), dtype=np.uint64))
-        return batch.append_column(
-            "_pb", pa.array((h % np.uint64(16)).astype(np.int64))
-        )
-
-    def dedupe(df: pd.DataFrame) -> pd.DataFrame:
-        return df.drop_duplicates(["id_a", "id_b"])[["id_a", "id_b", "cos"]]
-
-    return (
-        raw.map_batches(add_pb, batch_format="pyarrow")
-        .groupby("_pb")
-        .map_groups(dedupe, batch_format="pandas")
+    exploded = ds.map_batches(Bucketer(), batch_format="pyarrow")
+    pairs = lsh_candidate_pairs(exploded, id_col)
+    return verify_cos_pairs_ds(
+        ds, pairs, id_col=id_col, emb_col=emb_col, threshold=threshold
     )
 
 
