@@ -106,7 +106,9 @@ def _flagship_routed(sf_dir: str):
 
     from opentelemetry_collector_contrib_ray.pipelines import log_pipeline as lp
 
-    ds = ray.data.read_parquet(_corpus_dir(sf_dir))
+    from opentelemetry_collector_contrib_ray.sources.parquet import read_corpus
+
+    ds = read_corpus(_corpus_dir(sf_dir))
     return lp.build_pipeline(ds)
 
 

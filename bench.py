@@ -90,13 +90,14 @@ def run_headline(corpus_path: str, n_rows: int) -> dict:
     out_dir = "/dev/shm/otelray_bench_out"
     shutil.rmtree(out_dir, ignore_errors=True)
     t0 = time.perf_counter()
-    ds = ray.data.read_parquet(corpus_path)
+    from opentelemetry_collector_contrib_ray.sources.parquet import read_corpus
+    ds = read_corpus(corpus_path)
     routed = lp.build_pipeline(ds)
     routed.write_parquet(out_dir, partition_cols=["sink"])
     # aggregate re-reads only the grouping keys, not the token payload;
     # final merge on the driver (25 groups) — no shuffle
     agg = lp.aggregate_sinks(
-        ray.data.read_parquet(out_dir, columns=["sink", "source", "severity_text", "doc_id"]),
+        read_corpus(out_dir, columns=["sink", "source", "severity_text", "doc_id"]),
         driver_finalize=True,
     )
     n_groups = len(agg)
@@ -197,10 +198,11 @@ def run_headline_steady(ncpu: int) -> dict:
     out_dir = "/dev/shm/otelray_scaling_out"
 
     def one_pass():
-        ds = ray.data.read_parquet(corpus)
+        from opentelemetry_collector_contrib_ray.sources.parquet import read_corpus
+        ds = read_corpus(corpus)
         lp.build_pipeline(ds).write_parquet(out_dir, partition_cols=["sink"])
         return lp.aggregate_sinks(
-            ray.data.read_parquet(
+            read_corpus(
                 out_dir, columns=["sink", "source", "severity_text", "doc_id"]
             ),
             driver_finalize=True,

@@ -228,10 +228,12 @@ def _process_shard(
     import pyarrow.parquet as pq
     import ray.data
 
-    ds = ray.data.read_parquet(src)
+    from ..sources.parquet import read_corpus
+
+    ds = read_corpus(src)
     in_digest = None
     if verify_tokens:
-        in_rows, in_xor, in_ntok = corpus_checksum(ray.data.read_parquet(src))
+        in_rows, in_xor, in_ntok = corpus_checksum(read_corpus(src))
         in_digest = {"rows": in_rows, "xor": in_xor, "ntok": in_ntok}
 
     routed = build_pipeline(ds, lookup_ref=lookup_ref, routing=routing)
@@ -244,7 +246,7 @@ def _process_shard(
     routed.write_parquet(tmp_dir, partition_cols=["sink"])
     os.replace(tmp_dir, sink_dir)
 
-    written = ray.data.read_parquet(
+    written = read_corpus(
         sink_dir, columns=["sink", "source", "severity_text", "doc_id"]
     )
     agg_tbl = agg.two_phase_agg(
@@ -276,7 +278,7 @@ def _process_shard(
         dup_sinks = set()
         for sinks in list(rt["table"].values()) + [rt["default"]]:
             dup_sinks.update(sinks[1:])
-        out_ds = ray.data.read_parquet(sink_dir)
+        out_ds = read_corpus(sink_dir)
         for s in dup_sinks:
             out_ds = out_ds.filter(expr=f"sink != '{s}'")
         o_rows, o_xor, o_ntok = corpus_checksum(out_ds)
