@@ -1573,17 +1573,30 @@ def _q_ivf_knn(sf_dir: str):
 
 
 def _q_multimodal_features(sf_dir: str):
-    """REAL image decode end-to-end: deterministic BMP payloads →
-    actor-pool decode (pure-numpy BMP codec; PIL when present) →
-    channel stats. The red channel of each synthetic image is an exact
-    x-gradient, so the query recomputes the expected mean from the
-    image dimensions and emits an equality boolean the oracle asserts
-    — pixel-exact decode is driver-checked, not rows-only."""
+    """REAL multimodal decode end-to-end, three legs in one union:
+
+    - image: deterministic BMPs → actor-pool decode (pure-numpy codec;
+      PIL when present) → channel stats; the red channel is an exact
+      x-gradient so the expected mean is recomputed per row.
+    - audio: deterministic square-wave WAVs → pure-numpy RIFF/PCM16
+      decode → RMS/peak/duration/zero-crossing features; a square
+      wave's RMS equals its amplitude EXACTLY regardless of
+      truncation, so every feature has a closed form.
+    - video: length-prefixed frame containers → frame-sampling stage
+      (every 2nd frame decoded through the real BMP codec); sampled
+      frame set, per-frame constant channels, and frame counts all
+      closed-form.
+
+    Each leg emits per-item equality booleans the oracle asserts."""
     import ray.data
 
     from opentelemetry_collector_contrib_ray.stages.multimodal import (
+        AudioFeatures,
         ImageDecoder,
+        VideoFrameSampler,
         synth_bmp_table,
+        synth_video_table,
+        synth_wav_table,
     )
 
     ds = ray.data.from_arrow(synth_bmp_table(512))
@@ -1606,15 +1619,87 @@ def _q_multimodal_features(sf_dir: str):
                 for wi in w.tolist()
             ]
         )
+        n = len(t)
         return pa.table(
             {
+                "kind": pa.array(["image"] * n, pa.string()),
                 "item_idx": idx,
                 "decoded": t["decoded"],
-                "mean_r_exact": pa.array(np.abs(mr - exact) < 1e-9),
+                "feat_exact": pa.array(np.abs(mr - exact) < 1e-9),
             }
         )
 
-    return out.map_batches(check, batch_format="pyarrow")
+    img = out.map_batches(check, batch_format="pyarrow")
+
+    # ---- audio leg: every feature equals its square-wave closed form
+    aud_ds = ray.data.from_arrow(synth_wav_table(256))
+    feats = aud_ds.map_batches(
+        AudioFeatures, batch_format="pyarrow", batch_size=64, concurrency=(1, 2)
+    )
+
+    def acheck(t: pa.Table) -> pa.Table:
+        idx = pc.cast(pc.utf8_slice_codeunits(t["item_id"], 4, 99), pa.int64())
+        amp = t["amp"].to_numpy(zero_copy_only=False).astype(np.float64)
+        half = t["half_period"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n_in = t["n_samples_in"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ok = (
+            (t["rms"].to_numpy(zero_copy_only=False) == amp)
+            & (t["peak"].to_numpy(zero_copy_only=False).astype(np.float64) == amp)
+            & (t["n_samples"].to_numpy(zero_copy_only=False) == n_in)
+            & (t["duration_ms"].to_numpy(zero_copy_only=False) == n_in * 1000 // 8000)
+            & (t["zero_crossings"].to_numpy(zero_copy_only=False) == (n_in - 1) // half)
+            & (t["sample_rate"].to_numpy(zero_copy_only=False) == 8000)
+        )
+        return pa.table(
+            {
+                "kind": pa.array(["audio"] * len(t), pa.string()),
+                "item_idx": idx,
+                "decoded": t["decoded"],
+                "feat_exact": pa.array(ok),
+            }
+        )
+
+    aud = feats.map_batches(acheck, batch_format="pyarrow")
+
+    # ---- video leg: sampled-frame set + per-frame constant channels
+    vid_ds = ray.data.from_arrow(synth_video_table(64))
+    frames = vid_ds.map_batches(
+        VideoFrameSampler,
+        fn_constructor_kwargs={"every_n": 2},
+        batch_format="pyarrow",
+        batch_size=16,
+        concurrency=(1, 2),
+    )
+
+    def vcheck(t: pa.Table) -> pa.Table:
+        # an item's sampled frames stay within one sampler output block
+        # (batch_size=None below processes whole blocks)
+        import pandas as pd
+
+        df = t.to_pandas()
+        df["item_idx"] = df["item_id"].str.slice(4).astype(np.int64)
+        rows = []
+        for i, grp in df.groupby("item_idx", sort=False):
+            nf = 4 + int(i) % 6
+            f = grp["frame_idx"].to_numpy()
+            ok = (
+                set(f.tolist()) == set(range(0, nf, 2))
+                and (grp["n_frames"].to_numpy() == nf).all()
+                and (grp["mean_g"].to_numpy() == (f * 29 + int(i)) % 256).all()
+                and (grp["mean_b"].to_numpy() == f % 256).all()
+            )
+            rows.append(("video", int(i), True, bool(ok)))
+        return pa.table(
+            {
+                "kind": pa.array([r[0] for r in rows], pa.string()),
+                "item_idx": pa.array([r[1] for r in rows], pa.int64()),
+                "decoded": pa.array([r[2] for r in rows]),
+                "feat_exact": pa.array([r[3] for r in rows]),
+            }
+        )
+
+    vid = frames.map_batches(vcheck, batch_format="pyarrow", batch_size=None)
+    return img.union(aud).union(vid)
 
 
 def _q_statsd_parse_agg(sf_dir: str):
@@ -2288,11 +2373,17 @@ def oracle_sql() -> dict[str, str]:
             FROM events LEFT JOIN customer ON user_id = c_custkey
         """,
         "multimodal_features": """
-            -- every synthetic BMP must decode with a pixel-exact red
-            -- gradient mean (query emits the equality booleans)
-            SELECT CAST(i AS BIGINT) AS item_idx, TRUE AS decoded,
-                   TRUE AS mean_r_exact
+            -- image: pixel-exact red-gradient means; audio: square-wave
+            -- RMS/peak/duration/zero-crossing closed forms; video:
+            -- sampled-frame sets + constant channels (the query emits
+            -- per-item equality booleans for each leg)
+            SELECT 'image' AS kind, CAST(i AS BIGINT) AS item_idx,
+                   TRUE AS decoded, TRUE AS feat_exact
             FROM range(512) t(i)
+            UNION ALL
+            SELECT 'audio', CAST(i AS BIGINT), TRUE, TRUE FROM range(256) t(i)
+            UNION ALL
+            SELECT 'video', CAST(i AS BIGINT), TRUE, TRUE FROM range(64) t(i)
         """,
         "metrics_generation": """
             SELECT event_id,

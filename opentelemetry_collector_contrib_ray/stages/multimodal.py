@@ -269,3 +269,236 @@ def frame_sample(batch: pa.Table, every_n: int = 10) -> pa.Table:
     frames-as-rows table (plumbing for a real frame extractor)."""
     idx = np.arange(0, len(batch), every_n)
     return batch.take(pa.array(idx))
+
+
+# ---------------------------------------------------------------- audio (WAV)
+#
+# REAL audio decode without external libraries: a pure-numpy RIFF/WAVE
+# PCM16 codec. Chunk-walking (not fixed offsets) so files with extra
+# chunks (LIST/fact/cue) decode like the canonical 44-byte-header case.
+
+
+def encode_wav(pcm: np.ndarray, sample_rate: int) -> bytes:
+    """Mono PCM16 samples → RIFF/WAVE bytes."""
+    data = np.ascontiguousarray(pcm.astype("<i2")).tobytes()
+    byte_rate = sample_rate * 2
+    hdr = b"".join(
+        [
+            b"RIFF",
+            struct.pack("<I", 36 + len(data)),
+            b"WAVE",
+            b"fmt ",
+            struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, byte_rate, 2, 16),
+            b"data",
+            struct.pack("<I", len(data)),
+        ]
+    )
+    return hdr + data
+
+
+def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE bytes → (mono int16 samples, sample_rate). Walks the
+    chunk list; accepts any chunk order / extra chunks; PCM16 mono or
+    interleaved multi-channel (averaged to mono) only."""
+    if len(buf) < 12 or buf[0:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(buf):
+        cid = buf[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", buf, pos + 4)
+        body = buf[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt, channels, rate, _brate, _align, bits = fmt
+    if audio_fmt != 1 or bits != 16:
+        raise ValueError(f"unsupported WAV format {audio_fmt}/{bits}bit")
+    pcm = np.frombuffer(data, dtype="<i2")
+    if channels > 1:
+        pcm = pcm[: len(pcm) - len(pcm) % channels]
+        pcm = pcm.reshape(-1, channels).mean(axis=1).astype(np.int16)
+    return pcm.astype(np.int16), int(rate)
+
+
+class AudioFeatures:
+    """Actor-pool map_batches stage: WAV payload column → per-item audio
+    features (sample_rate, n_samples, duration_ms, rms, peak,
+    zero_crossings). Per-item decode loop is inherent (variable-size
+    opaque blobs); all math inside is numpy.
+    """
+
+    def __init__(self, payload_col: str = "payload", on_error: str = "raise"):
+        self.payload_col = payload_col
+        self.on_error = on_error
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        ok = np.zeros(n, dtype=bool)
+        rate = np.zeros(n, dtype=np.int32)
+        nsamp = np.zeros(n, dtype=np.int64)
+        dur = np.zeros(n, dtype=np.int64)
+        rms = np.full(n, np.nan, dtype=np.float64)
+        peak = np.zeros(n, dtype=np.int32)
+        zc = np.zeros(n, dtype=np.int64)
+        for i, payload in enumerate(batch[self.payload_col].to_pylist()):
+            try:
+                pcm, sr = decode_wav(payload)
+            except (ValueError, struct.error):
+                if self.on_error == "raise":
+                    raise
+                continue
+            f = pcm.astype(np.float64)
+            rate[i] = sr
+            nsamp[i] = len(pcm)
+            dur[i] = (len(pcm) * 1000) // max(1, sr)
+            rms[i] = float(np.sqrt(np.mean(f * f))) if len(pcm) else 0.0
+            peak[i] = int(np.abs(f).max()) if len(pcm) else 0
+            s = np.sign(f)
+            zc[i] = int((s[1:] != s[:-1]).sum()) if len(pcm) > 1 else 0
+            ok[i] = True
+        out = batch.append_column("decoded", pa.array(ok))
+        out = out.append_column("sample_rate", pa.array(rate))
+        out = out.append_column("n_samples", pa.array(nsamp))
+        out = out.append_column("duration_ms", pa.array(dur))
+        out = out.append_column("rms", pa.array(rms))
+        out = out.append_column("peak", pa.array(peak))
+        return out.append_column("zero_crossings", pa.array(zc))
+
+
+def synth_wav_table(n: int, seed: int = 0) -> pa.Table:
+    """Deterministic REAL audio: square waves (RMS == amplitude exactly,
+    independent of truncation — unlike sines) with per-item amplitude,
+    half-period, and length derived from the id, so every feature the
+    decoder emits has a closed form."""
+    rows_id, payloads = [], []
+    amps = np.zeros(n, np.int32)
+    halves = np.zeros(n, np.int32)
+    lens = np.zeros(n, np.int64)
+    for i in range(n):
+        a = 1000 + ((i + seed) % 8) * 3000
+        half = 10 + (i % 10) * 4  # half-period in samples
+        ln = 800 + (i % 5) * 400
+        t = np.arange(ln)
+        pcm = np.where((t // half) % 2 == 0, a, -a).astype(np.int16)
+        payloads.append(encode_wav(pcm, 8000))
+        amps[i], halves[i], lens[i] = a, half, ln
+    return pa.table(
+        {
+            "item_id": pa.array([f"wav-{i:06d}" for i in range(n)]),
+            "payload": pa.array(payloads, pa.binary()),
+            "mime": pa.array(["audio/wav"] * n),
+            "amp": pa.array(amps),
+            "half_period": pa.array(halves),
+            "n_samples_in": pa.array(lens),
+        }
+    )
+
+
+# ------------------------------------------------------------- video (frames)
+#
+# A minimal length-prefixed frame container (real video codecs need
+# external libs): magic + frame count + per-frame length-prefixed BMP
+# payloads. The SAMPLER is the operator under test — parse the
+# container, decode only every k-th frame through the real BMP codec,
+# emit one row per sampled frame.
+
+_VIDEO_MAGIC = b"VID0"
+
+
+def encode_video(frames: list[bytes]) -> bytes:
+    """List of encoded frame payloads (e.g. BMP) → container bytes."""
+    parts = [_VIDEO_MAGIC, struct.pack("<I", len(frames))]
+    for f in frames:
+        parts.append(struct.pack("<I", len(f)))
+        parts.append(f)
+    return b"".join(parts)
+
+
+def decode_video(buf: bytes) -> list[bytes]:
+    """Container bytes → list of frame payloads (no frame decode)."""
+    if len(buf) < 8 or buf[:4] != _VIDEO_MAGIC:
+        raise ValueError("not a VID0 container")
+    (count,) = struct.unpack_from("<I", buf, 4)
+    pos = 8
+    frames = []
+    for _ in range(count):
+        (ln,) = struct.unpack_from("<I", buf, pos)
+        frames.append(buf[pos + 4 : pos + 4 + ln])
+        pos += 4 + ln
+    return frames
+
+
+class VideoFrameSampler:
+    """Actor-pool map_batches stage: video container column → one row
+    per SAMPLED frame (every ``every_n``-th, frame 0 always included),
+    each decoded through the real image codec with per-channel means.
+    Only sampled frames are decoded — the container scan skips the
+    rest, the point of frame-sampling at scale."""
+
+    def __init__(self, every_n: int = 2, payload_col: str = "payload"):
+        self.every_n = max(1, every_n)
+        self.payload_col = payload_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        item_ids, fidx, nframes = [], [], []
+        means = []
+        for item, payload in zip(
+            batch["item_id"].to_pylist(), batch[self.payload_col].to_pylist()
+        ):
+            frames = decode_video(payload)
+            for k in range(0, len(frames), self.every_n):
+                img = decode_image(frames[k])
+                item_ids.append(item)
+                fidx.append(k)
+                nframes.append(len(frames))
+                means.append(img.reshape(-1, 3).mean(axis=0))
+        m = (
+            np.stack(means)
+            if means
+            else np.zeros((0, 3), dtype=np.float64)
+        )
+        return pa.table(
+            {
+                "item_id": pa.array(item_ids, pa.string()),
+                "frame_idx": pa.array(fidx, pa.int64()),
+                "n_frames": pa.array(nframes, pa.int64()),
+                "mean_r": pa.array(m[:, 0]),
+                "mean_g": pa.array(m[:, 1]),
+                "mean_b": pa.array(m[:, 2]),
+            }
+        )
+
+
+def synth_video_table(n: int, seed: int = 0) -> pa.Table:
+    """Deterministic REAL videos: per item 4-9 BMP frames where frame f
+    carries a constant green channel of value (f * 29 + item) % 256 and
+    the standard x-gradient red channel — the sampler's per-frame means
+    have closed forms."""
+    payloads = []
+    counts = np.zeros(n, np.int32)
+    for i in range(n):
+        nf = 4 + (i + seed) % 6
+        w, h = 8 + i % 9, 8 + (i // 2) % 7
+        frames = []
+        for f in range(nf):
+            yy, xx = np.mgrid[0:h, 0:w]
+            r = ((xx * 255) // max(1, w - 1)).astype(np.uint8)
+            g = np.full((h, w), (f * 29 + i) % 256, np.uint8)
+            b = np.full((h, w), f % 256, np.uint8)
+            frames.append(encode_bmp(np.stack([r, g, b], axis=2)))
+        payloads.append(encode_video(frames))
+        counts[i] = nf
+    return pa.table(
+        {
+            "item_id": pa.array([f"vid-{i:06d}" for i in range(n)]),
+            "payload": pa.array(payloads, pa.binary()),
+            "mime": pa.array(["video/x-frames"] * n),
+            "n_frames_in": pa.array(counts),
+        }
+    )
