@@ -224,16 +224,6 @@ def _q_json_parse_props(sf_dir: str):
     return parsed.map_batches(fin, batch_format="pyarrow")
 
 
-def _q_statsd_agg(sf_dir: str):
-    from opentelemetry_collector_contrib_ray.stages.aggregate import statsd_agg
-
-    ds = _read(sf_dir, "events", ["event_type", "value"])
-    # value_scale=100: events.value is cent-precision; exact int sums make
-    # the merged double independent of Ray's partial-merge order.
-    out = statsd_agg(ds, ["event_type"], "value", value_scale=100)
-    return _round_cols(out, {"value_sum": 6, "value_mean": 6})
-
-
 def _q_statsd_timer_summary(sf_dir: str):
     """statsd timer → Summary: count, sum, nearest-rank percentiles at
     the reference's default quantile set (metric_translator.go:63-88)."""
@@ -1703,12 +1693,27 @@ def _q_multimodal_features(sf_dir: str):
 
 
 def _q_statsd_parse_agg(sf_dir: str):
-    """statsd render→parse→rollup: counters at sample rate 0.5 upscale
-    2x (statsd_parser.go:296-314); aggregate per metric name."""
+    """Two statsd legs in one query (round-3 merge of the former
+    `statsd_agg` entry): leg 'agg' aggregates pre-parsed events with
+    the statsd counter rollup (sum/min/max/mean, int64-scaled exact
+    sums); leg 'parse' renders raw statsd lines at sample rate 0.5,
+    parses them (statsd_parser.go:224-343) and checks the 2x upscale
+    (:296-314). Columns unused by a leg are 0-filled on both sides."""
+    import pandas as pd
+
     from opentelemetry_collector_contrib_ray.sources.lines import parse_statsd
-    from opentelemetry_collector_contrib_ray.stages.aggregate import two_phase_agg
+    from opentelemetry_collector_contrib_ray.stages.aggregate import (
+        statsd_agg,
+        two_phase_agg,
+    )
 
     ds = _read(sf_dir, "events", ["event_type", "value"])
+    agg = _round_cols(
+        statsd_agg(ds, ["event_type"], "value", value_scale=100),
+        {"value_sum": 6, "value_mean": 6},
+    ).to_pandas()
+    agg = agg.rename(columns={"event_type": "name"})
+    agg.insert(0, "leg", "agg")
 
     def rp(t: pa.Table) -> pa.Table:
         val = pc.cast(pc.cast(pc.floor(t["value"]), pa.int64()), pa.string())
@@ -1716,8 +1721,153 @@ def _q_statsd_parse_agg(sf_dir: str):
         return parse_statsd(pa.table({"raw": raw})).select(["name", "value"])
 
     parsed = ds.map_batches(rp, batch_format="pyarrow")
-    out = two_phase_agg(parsed, ["name"], {"value": ["count", "sum"]})
-    return _round_cols(out, {"value_sum": 6})
+    par = _round_cols(
+        two_phase_agg(parsed, ["name"], {"value": ["count", "sum"]}),
+        {"value_sum": 6},
+    ).to_pandas()
+    par.insert(0, "leg", "parse")
+    for c in ("value_min", "value_max", "value_mean"):
+        par[c] = 0.0
+    cols = ["leg", "name", "count", "value_count", "value_sum", "value_min", "value_max", "value_mean"]
+    return pd.concat([agg[cols], par[cols]], ignore_index=True)
+
+
+def _q_scraper_parse(sf_dir: str):
+    """Interval-scraper payload translation (the scrapers' parse half —
+    receiver/redisreceiver/info.go:32-74 + metric_functions.go,
+    zookeeperreceiver/scraper.go:144-181, memcachedreceiver/
+    scraper.go:75-92, nginxreceiver/scraper.go:81-93): render one
+    synthetic scrape payload per event row for each protocol, parse
+    with the vectorized parsers, aggregate per (leg, name, label) —
+    every count/sum is a closed form of event_id the oracle derives in
+    SQL. Exercises the skip rules: missing INFO keys, empty values,
+    int-metric float rejection, keyspace break-on-missing-db, unknown
+    mntr keys, non-integer mntr values, unmapped memcached stats."""
+    import pandas as pd
+
+    from opentelemetry_collector_contrib_ray.sources.scrapers import (
+        parse_memcached_stats,
+        parse_nginx_stub_status,
+        parse_redis_info,
+        parse_zk_mntr,
+    )
+    from opentelemetry_collector_contrib_ray.stages.aggregate import two_phase_agg
+
+    ds = _read(sf_dir, "events", ["event_id"])
+
+    def render_and_parse(t: pa.Table) -> pa.Table:
+        e = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = pd.Series(e).astype(str)
+
+        def when(cond, lines):
+            return np.where(cond, lines, "")
+
+        redis = (
+            "# Server\n"
+            + "uptime_in_seconds:" + s + "\n"
+            + "used_cpu_sys:" + (pd.Series(e % 100).astype(str) + ".25") + "\n"
+            + "used_memory:" + pd.Series(e * 10).astype(str) + "\n"
+            + "mem_fragmentation_ratio:1.5\n"
+            + "connected_clients:" + pd.Series(e % 100).astype(str) + "\n"
+            + "keyspace_hits:" + pd.Series(e * 2).astype(str) + "\n"
+            + when(e % 3 != 0, "keyspace_misses:" + pd.Series(e % 50).astype(str) + "\n")
+            + "evicted_keys:" + when(e % 4 != 0, pd.Series(e % 9).astype(str)) + "\n"
+            + "db0:keys=" + pd.Series(e % 7).astype(str)
+            + ",expires=" + pd.Series(e % 5).astype(str)
+            + ",avg_ttl=" + pd.Series(e % 11).astype(str) + "\n"
+            + when(
+                e % 3 >= 1,
+                "db1:keys=" + pd.Series((e + 1) % 7).astype(str)
+                + ",expires=" + pd.Series((e + 1) % 5).astype(str)
+                + ",avg_ttl=" + pd.Series((e + 1) % 11).astype(str) + "\n",
+            )
+            + when(
+                e % 3 == 2,
+                "db2:keys=" + pd.Series((e + 2) % 7).astype(str)
+                + ",expires=" + pd.Series((e + 2) % 5).astype(str)
+                + ",avg_ttl=" + pd.Series((e + 2) % 11).astype(str) + "\n",
+            )
+            # beyond the gap: MUST be ignored by the break-on-missing loop
+            + "db9:keys=999,expires=999,avg_ttl=999\n"
+        )
+        zk = (
+            "zk_version\t3.4.14\n"
+            + "zk_server_state\t" + pd.Series(np.where(e % 2 == 0, "follower", "leader")) + "\n"
+            + "zk_znode_count\t" + s + "\n"
+            + "zk_packets_received\t" + pd.Series(e * 2).astype(str) + "\n"
+            + "zk_avg_latency\t" + pd.Series(e % 50).astype(str) + "\n"
+            + "zk_outstanding_requests\tabc\n"  # non-int → dropped
+            + "zk_bogus_metric\t" + s + "\n"  # no descriptor → dropped
+        )
+        mc = (
+            "STAT pid 123\n"
+            + "STAT bytes " + pd.Series(e * 3).astype(str) + "\n"
+            + "STAT curr_connections " + pd.Series(e % 10).astype(str) + "\n"
+            + "STAT total_connections " + pd.Series(e + 1).astype(str) + "\n"
+            + "STAT get_hits " + pd.Series(e % 13).astype(str) + "\n"
+            + "STAT get_misses " + pd.Series(e % 17).astype(str) + "\n"
+            + "STAT uptime " + s + "\nEND\n"  # unmapped → ignored
+        )
+        ng = (
+            "Active connections: " + pd.Series(e % 100).astype(str) + "\n"
+            + "server accepts handled requests\n "
+            + s + " " + pd.Series(e - e % 7).astype(str) + " "
+            + pd.Series(e * 3).astype(str) + "\n"
+            + "Reading: " + pd.Series(e % 3).astype(str)
+            + " Writing: " + pd.Series(e % 5).astype(str)
+            + " Waiting: " + pd.Series(e % 11).astype(str) + "\n"
+        )
+
+        ids = pa.array(e, pa.int64())
+        parts = []
+        for leg, parser, payload in (
+            ("redis", parse_redis_info, redis),
+            ("zk", parse_zk_mntr, zk),
+            ("memcached", parse_memcached_stats, mc),
+            ("nginx", parse_nginx_stub_status, ng),
+        ):
+            parsed = parser(
+                pa.table({"server_id": ids, "payload": pa.array(payload.to_numpy(dtype=object), pa.string())})
+            )
+            name = pc.coalesce(
+                parsed["name"],
+                pc.binary_join_element_wise(
+                    "resource/", pc.cast(parsed["label_key"], pa.string()), ""
+                ),
+            )
+            parts.append(
+                pa.table(
+                    {
+                        "leg": pa.array([leg] * parsed.num_rows, pa.string()),
+                        "name": name,
+                        "label_value": pc.coalesce(parsed["label_value"], pa.scalar("", pa.string())),
+                        "value_int": pc.coalesce(parsed["value_int"], pa.scalar(0, pa.int64())),
+                        "value_double": pc.coalesce(parsed["value_double"], pa.scalar(0.0, pa.float64())),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    parsed = ds.map_batches(render_and_parse, batch_format="pyarrow")
+    out = two_phase_agg(
+        parsed,
+        ["leg", "name", "label_value"],
+        {"value_int": ["sum"], "value_double": ["sum"]},
+    )
+
+    def clean(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "leg": t["leg"],
+                "name": t["name"],
+                "label_value": t["label_value"],
+                "count": pc.cast(t["count"], pa.int64()),
+                "sum_int": pc.cast(t["value_int_sum"], pa.int64()),
+                "sum_double": t["value_double_sum"],
+            }
+        )
+
+    return _round_cols(out.map_batches(clean, batch_format="pyarrow"), {"sum_double": 6})
 
 
 def _q_influx_parse(sf_dir: str):
@@ -2112,6 +2262,60 @@ def _q_q1_pricing(sf_dir: str):
     return _round_cols(out, {"qty_sum": 4, "base_sum": 4, "disc_price_sum": 4, "qty_mean": 6})
 
 
+def _scraper_parse_oracle() -> str:
+    """Closed-form SQL mirror of _q_scraper_parse: one UNION ALL leg
+    per expected (leg, name, label_value) aggregate row, each derived
+    from event_id with the same modular forms the renderer used."""
+    e = "event_id"
+    legs: list[tuple[str, str, str, str, str, str]] = [
+        # (leg, name, label_value, where, sum_int expr, sum_double expr)
+        ("redis", "redis/uptime", "", "TRUE", f"SUM({e})", "0"),
+        ("redis", "redis/cpu/time", "sys", "TRUE", "0", f"SUM(({e} % 100) + 0.25)"),
+        ("redis", "redis/memory/used", "", "TRUE", f"SUM({e} * 10)", "0"),
+        ("redis", "redis/memory/fragmentation_ratio", "", "TRUE", "0", "SUM(1.5)"),
+        ("redis", "redis/clients/connected", "", "TRUE", f"SUM({e} % 100)", "0"),
+        ("redis", "redis/keyspace/hits", "", "TRUE", f"SUM({e} * 2)", "0"),
+        ("redis", "redis/keyspace/misses", "", f"{e} % 3 <> 0", f"SUM({e} % 50)", "0"),
+        ("redis", "redis/keys/evicted", "", f"{e} % 4 <> 0", f"SUM({e} % 9)", "0"),
+    ]
+    for nm, mod in (("keys", 7), ("expires", 5), ("avg_ttl", 11)):
+        legs.append(("redis", f"redis/db/{nm}", "0", "TRUE", f"SUM({e} % {mod})", "0"))
+        legs.append(
+            ("redis", f"redis/db/{nm}", "1", f"{e} % 3 >= 1", f"SUM(({e} + 1) % {mod})", "0")
+        )
+        legs.append(
+            ("redis", f"redis/db/{nm}", "2", f"{e} % 3 = 2", f"SUM(({e} + 2) % {mod})", "0")
+        )
+    legs += [
+        ("zk", "zookeeper.znodes", "", "TRUE", f"SUM({e})", "0"),
+        ("zk", "zookeeper.packets.received", "", "TRUE", f"SUM({e} * 2)", "0"),
+        ("zk", "zookeeper.latency.avg", "", "TRUE", f"SUM({e} % 50)", "0"),
+        ("zk", "resource/server.state", "follower", f"{e} % 2 = 0", "0", "0"),
+        ("zk", "resource/server.state", "leader", f"{e} % 2 = 1", "0", "0"),
+        ("zk", "resource/zk.version", "3.4.14", "TRUE", "0", "0"),
+        ("memcached", "memcached.bytes", "", "TRUE", f"SUM({e} * 3)", "0"),
+        ("memcached", "memcached.current_connections", "", "TRUE", f"SUM({e} % 10)", "0"),
+        ("memcached", "memcached.total_connections", "", "TRUE", f"SUM({e} + 1)", "0"),
+        ("memcached", "memcached.get_hits", "", "TRUE", f"SUM({e} % 13)", "0"),
+        ("memcached", "memcached.get_misses", "", "TRUE", f"SUM({e} % 17)", "0"),
+        ("nginx", "nginx.requests", "", "TRUE", f"SUM({e} * 3)", "0"),
+        ("nginx", "nginx.connections_accepted", "", "TRUE", f"SUM({e})", "0"),
+        ("nginx", "nginx.connections_handled", "", "TRUE", f"SUM({e} - ({e} % 7))", "0"),
+        ("nginx", "nginx.connections_current", "active", "TRUE", f"SUM({e} % 100)", "0"),
+        ("nginx", "nginx.connections_current", "reading", "TRUE", f"SUM({e} % 3)", "0"),
+        ("nginx", "nginx.connections_current", "writing", "TRUE", f"SUM({e} % 5)", "0"),
+        ("nginx", "nginx.connections_current", "waiting", "TRUE", f"SUM({e} % 11)", "0"),
+    ]
+    parts = [
+        f"SELECT '{leg}' AS leg, '{name}' AS name, '{lv}' AS label_value, "
+        f'COUNT(*) AS "count", CAST(COALESCE({si}, 0) AS BIGINT) AS sum_int, '
+        f"ROUND(CAST(COALESCE({sd}, 0) AS DOUBLE), 6) AS sum_double "
+        f"FROM events WHERE {where}"
+        for leg, name, lv, where, si, sd in legs
+    ]
+    return " UNION ALL ".join(parts)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Exactly 50 entries, every one oracle-backed (value oracle or
     # contract-boolean oracle) — the driver checks the FIRST 50 dict
@@ -2126,7 +2330,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "severity_map": _q_severity_map,
         "route_events": _q_route_events,
         "json_parse_props": _q_json_parse_props,
-        "statsd_agg": _q_statsd_agg,
+        "scraper_parse": _q_scraper_parse,
         "spanmetrics_hist": _q_spanmetrics_hist,
         "statsd_timer_summary": _q_statsd_timer_summary,
         "groupby_attrs": _q_groupby_attrs,
@@ -2304,15 +2508,6 @@ def oracle_sql() -> dict[str, str]:
         """,
         "json_parse_props": """
             SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events
-        """,
-        "statsd_agg": """
-            -- DECIMAL sum = exact integer arithmetic, matching the engine's
-            -- int64-scaled deterministic sum (aggregate.py exact_sums)
-            SELECT event_type, COUNT(*) AS "count", COUNT(value) AS value_count,
-                   ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 6) AS value_sum,
-                   MIN(value) AS value_min, MAX(value) AS value_max,
-                   ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*), 6) AS value_mean
-            FROM events GROUP BY 1
         """,
         "spanmetrics_hist": """
             SELECT event_type, COUNT(*) AS call_count,
@@ -2660,10 +2855,22 @@ def oracle_sql() -> dict[str, str]:
                   UNION ALL SELECT * FROM p UNION ALL SELECT * FROM xx)
         """,
         "statsd_parse_agg": """
-            SELECT event_type AS name, COUNT(*) AS "count", COUNT(value) AS value_count,
-                   ROUND(SUM(FLOOR(value) / 0.5), 6) AS value_sum
-            FROM events GROUP BY 1
+            -- leg 'agg': DECIMAL sum = exact integer arithmetic matching
+            -- the engine's int64-scaled deterministic sum; leg 'parse':
+            -- sample-rate 0.5 upscale of floored counter values
+            SELECT 'agg' AS leg, event_type AS name, COUNT(*) AS "count",
+                   COUNT(value) AS value_count,
+                   ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 6) AS value_sum,
+                   MIN(value) AS value_min, MAX(value) AS value_max,
+                   ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*), 6) AS value_mean
+            FROM events GROUP BY 2
+            UNION ALL
+            SELECT 'parse', event_type, COUNT(*), COUNT(value),
+                   ROUND(SUM(FLOOR(value) / 0.5), 6),
+                   0.0, 0.0, 0.0
+            FROM events GROUP BY 2
         """,
+        "scraper_parse": _scraper_parse_oracle(),
         "influx_parse": """
             SELECT 'host=h' || CAST(user_id AS VARCHAR) AS tags,
                    COUNT(*) AS "count", COUNT(value) AS field_value_count,

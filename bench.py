@@ -25,7 +25,7 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
 # queries() entries timed alongside the headline (representative set)
 BENCH_QUERIES = [
-    "statsd_agg",
+    "scraper_parse",
     "spanmetrics_hist",
     "groupby_attrs",
     "enrich_users",

@@ -1,0 +1,392 @@
+"""Batch parse stages for the interval scrapers' wire payloads.
+
+The reference's interval scrapers (redisreceiver, zookeeperreceiver,
+memcachedreceiver, nginxreceiver, ...) poll an endpoint every N seconds
+and convert the response into metrics.  The POLLING half is out of
+batch-engine scope (a source here is a Parquet scan); the PARSING half
+is pure per-payload logic and is re-expressed in this module as
+vectorized ``map_batches`` stages over a ``payload: string`` column —
+one scrape response per row, many servers/scrapes per batch.
+
+Reference semantics per parser (file:line under /root/reference):
+
+* Redis INFO    — receiver/redisreceiver/info.go:32-74 (fixed metric
+  table: missing key → warning+skip, empty value → skip, parse failure
+  → skip; keyspace dbs probed db0..db15 with BREAK on first missing),
+  keyspace.go:35-66 (``keys=1,expires=2,avg_ttl=3`` pair parse),
+  metric_functions.go:23-352 (the 28-metric key→(name, units, type,
+  monotonic, labels) table), pdata.go:33-80 (``redis/db/*`` triplet
+  with a ``db`` label).
+* ZooKeeper mntr — receiver/zookeeperreceiver/scraper.go:34 (line
+  regex ``(^zk_\\w+)\\s+([\\w\\.\\-]+)``), :144-181 (zk_version /
+  zk_server_state become resource attributes; keys without a metric
+  descriptor and non-integer values are skipped), metrics.go:24-92
+  (the 17-key name map; packets and fsync-threshold-exceeds are sums,
+  the rest gauges).
+* memcached stats — receiver/memcachedreceiver/scraper.go:75-92 (only
+  five stats mapped: bytes / curr_connections as gauges,
+  total_connections / get_hits / get_misses as sums).
+* nginx stub_status — receiver/nginxreceiver/scraper.go:81-93 over the
+  classic stub_status text (requests / accepted / handled sums plus a
+  state-labelled current-connections gauge).
+
+Output schema is shared by all four parsers so their outputs union:
+``(<id passthrough>, name, units, mtype, monotonic, label_key,
+label_value, value_int, value_double)`` where ``mtype`` is ``gauge`` /
+``sum`` / ``resource`` (resource rows carry the attribute in
+label_key/label_value and NULL values).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+# ---------------------------------------------------------------------------
+# Redis INFO (metric_functions.go:23-352)
+# ---------------------------------------------------------------------------
+
+# key -> (name, units, value kind, metric type, monotonic, label_key, label_value)
+_REDIS_METRICS = [
+    ("uptime_in_seconds", "redis/uptime", "s", "int", "sum", True, None, None),
+    ("used_cpu_sys", "redis/cpu/time", "s", "double", "sum", True, "state", "sys"),
+    ("used_cpu_sys_children", "redis/cpu/time", "s", "double", "sum", True, "state", "children"),
+    ("used_cpu_user", "redis/cpu/time", "s", "double", "sum", True, "state", "user"),
+    ("connected_clients", "redis/clients/connected", None, "int", "sum", False, None, None),
+    ("client_recent_max_input_buffer", "redis/clients/max_input_buffer", None, "int", "gauge", False, None, None),
+    ("client_recent_max_output_buffer", "redis/clients/max_output_buffer", None, "int", "gauge", False, None, None),
+    ("blocked_clients", "redis/clients/blocked", None, "int", "sum", False, None, None),
+    ("expired_keys", "redis/keys/expired", None, "int", "sum", True, None, None),
+    ("evicted_keys", "redis/keys/evicted", None, "int", "sum", True, None, None),
+    ("rejected_connections", "redis/connections/rejected", None, "int", "sum", True, None, None),
+    ("used_memory", "redis/memory/used", "By", "int", "gauge", False, None, None),
+    ("used_memory_rss", "redis/memory/rss", "By", "int", "gauge", False, None, None),
+    ("used_memory_peak", "redis/memory/peak", "By", "int", "gauge", False, None, None),
+    ("used_memory_lua", "redis/memory/lua", "By", "int", "gauge", False, None, None),
+    ("mem_fragmentation_ratio", "redis/memory/fragmentation_ratio", None, "double", "gauge", False, None, None),
+    ("rdb_changes_since_last_save", "redis/rdb/changes_since_last_save", None, "int", "sum", False, None, None),
+    ("instantaneous_ops_per_sec", "redis/commands", "{ops}/s", "int", "gauge", False, None, None),
+    ("total_connections_received", "redis/connections/received", None, "int", "sum", True, None, None),
+    ("total_commands_processed", "redis/commands/processed", None, "int", "sum", True, None, None),
+    ("total_net_input_bytes", "redis/net/input", "By", "int", "sum", True, None, None),
+    ("total_net_output_bytes", "redis/net/output", "By", "int", "sum", True, None, None),
+    ("keyspace_hits", "redis/keyspace/hits", None, "int", "sum", True, None, None),
+    ("keyspace_misses", "redis/keyspace/misses", None, "int", "sum", True, None, None),
+    ("latest_fork_usec", "redis/latest_fork", "us", "int", "gauge", False, None, None),
+    ("connected_slaves", "redis/slaves/connected", None, "int", "sum", False, None, None),
+    ("repl_backlog_first_byte_offset", "redis/replication/backlog_first_byte_offset", None, "int", "gauge", False, None, None),
+    ("master_repl_offset", "redis/replication/offset", None, "int", "gauge", False, None, None),
+]
+
+_REDIS_TABLE = pd.DataFrame(
+    _REDIS_METRICS,
+    columns=["key", "name", "units", "vkind", "mtype", "monotonic", "label_key", "label_value"],
+)
+
+_REDIS_MAX_DBS = 16  # info.go:58 RedisMaxDbs
+
+_OUT_SCHEMA_TYPES = {
+    "name": pa.string(),
+    "units": pa.string(),
+    "mtype": pa.string(),
+    "monotonic": pa.bool_(),
+    "label_key": pa.string(),
+    "label_value": pa.string(),
+    "value_int": pa.int64(),
+    "value_double": pa.float64(),
+}
+
+
+def _explode_lines(t: pa.Table, id_col: str, payload_col: str) -> pd.DataFrame:
+    """payload rows -> one DataFrame row per line, keyed by id_col."""
+    ids = t[id_col].to_numpy(zero_copy_only=False)
+    pay = pd.Series(t[payload_col].to_numpy(zero_copy_only=False), dtype=object).fillna("")
+    lines = pay.str.split("\n")
+    counts = lines.str.len().to_numpy(dtype=np.int64)
+    flat = pd.DataFrame(
+        {
+            "_id": np.repeat(ids, counts),
+            "line": np.concatenate([np.asarray(v, dtype=object) for v in lines.to_numpy()])
+            if len(lines)
+            else np.array([], dtype=object),
+        }
+    )
+    return flat
+
+
+def _finish(out: pd.DataFrame, id_col: str, id_type: pa.DataType) -> pa.Table:
+    cols = {id_col: pa.array(out["_id"].to_numpy(), type=id_type)}
+    for c, typ in _OUT_SCHEMA_TYPES.items():
+        if typ == pa.int64():
+            vals = out[c].to_numpy(dtype=object)
+            cols[c] = pa.array([None if v is None or (isinstance(v, float) and np.isnan(v)) else int(v) for v in vals], type=typ)
+        elif typ == pa.float64():
+            cols[c] = pa.array(pd.to_numeric(out[c], errors="coerce").to_numpy(dtype=np.float64), type=typ, from_pandas=True)
+        elif typ == pa.bool_():
+            cols[c] = pa.array(out[c].fillna(False).to_numpy(dtype=bool), type=typ)
+        else:
+            cols[c] = pa.array(out[c].to_numpy(dtype=object), type=typ)
+    return pa.table(cols)
+
+
+def _num_split(vals: pd.Series, vkind: pd.Series):
+    """Split a string value series into (value_int, value_double, ok)
+    following redis_metric.parseMetric (redis_metric.go:20-80): int
+    metrics use ParseInt, double metrics ParseFloat; failures skip."""
+    as_int = pd.to_numeric(vals.where(vkind == "int"), errors="coerce")
+    # ParseInt rejects floats like "1.5" — require integral strings
+    int_ok = as_int.notna() & vals.str.fullmatch(r"[+-]?\d+").fillna(False)
+    as_dbl = pd.to_numeric(vals.where(vkind == "double"), errors="coerce")
+    dbl_ok = as_dbl.notna()
+    ok = np.where(vkind == "int", int_ok, dbl_ok)
+    value_int = as_int.where(int_ok & (vkind == "int"))
+    value_double = as_dbl.where(dbl_ok & (vkind == "double"))
+    return value_int, value_double, ok
+
+
+def parse_redis_info(
+    t: pa.Table, id_col: str = "server_id", payload_col: str = "payload"
+) -> pa.Table:
+    """Vectorized INFO-text → metric rows (info.go:32-74 fixed table +
+    :53-74 keyspace loop with break-on-first-missing-db)."""
+    id_type = t.schema.field(id_col).type
+    flat = _explode_lines(t, id_col, payload_col)
+    kv = flat["line"].str.rstrip("\r").str.extract(r"^([^:#\s][^:]*):(.*)$")
+    flat = flat.assign(key=kv[0], val=kv[1])
+    flat = flat[flat["key"].notna()]
+
+    # --- fixed metrics: inner-merge against the startup table ---
+    fixed = flat.merge(_REDIS_TABLE, on="key", how="inner")
+    # empty string value → skipped entirely (info.go:40-42)
+    fixed = fixed[fixed["val"] != ""]
+    vi, vd, ok = _num_split(fixed["val"], fixed["vkind"])
+    fixed = fixed.assign(value_int=vi, value_double=vd)[ok]
+
+    # --- keyspace: db0..db15, break at first missing db per server ---
+    ks = flat[flat["key"].str.fullmatch(r"db\d+").fillna(False)].copy()
+    rows = [
+        fixed[["_id", "name", "units", "mtype", "monotonic", "label_key", "label_value", "value_int", "value_double"]]
+    ]
+    if len(ks):
+        ks["db"] = ks["key"].str[2:].astype(np.int64)
+        ks = ks[ks["db"] < _REDIS_MAX_DBS]
+        # contiguous-prefix mask: db N survives only if db0..N all present
+        present = ks.pivot_table(index="_id", columns="db", aggfunc="size", fill_value=0)
+        present = present.reindex(columns=range(_REDIS_MAX_DBS), fill_value=0)
+        keep = present.gt(0).cumprod(axis=1).astype(bool)
+        keep_long = keep.stack().rename("keep").reset_index()
+        ks = ks.merge(keep_long, on=["_id", "db"], how="left")
+        ks = ks[ks["keep"].fillna(False)]
+        if len(ks):
+            # "keys=1,expires=2,avg_ttl=3" → wide columns (keyspace.go:35-66)
+            pairs = ks["val"].str.extractall(r"(?:^|,)(\w+)=(\d+)")
+            pairs = pairs.rename(columns={0: "pk", 1: "pv"}).reset_index(level=1, drop=True)
+            # a pair without '=' anywhere fails the whole db string; approximate
+            # the error path by requiring every comma-piece to match k=v
+            n_pieces = ks["val"].str.count(",") + 1
+            n_matched = pairs.groupby(level=0).size().reindex(ks.index, fill_value=0)
+            valid = n_matched >= n_pieces
+            ks = ks[valid]
+            pairs = pairs[pairs.index.isin(ks.index)]
+            triplet = []
+            for pk, nm, units in (
+                ("keys", "redis/db/keys", None),
+                ("expires", "redis/db/expires", None),
+                ("avg_ttl", "redis/db/avg_ttl", "ms"),
+            ):
+                sub = pairs[pairs["pk"] == pk]
+                vals = sub["pv"].astype(np.int64)
+                got = ks.loc[ks.index.isin(sub.index)]
+                # default 0 when the pair key is absent (keyspace struct zero value)
+                full = pd.Series(0, index=ks.index, dtype=np.int64)
+                full.loc[vals.index] = vals
+                triplet.append(
+                    pd.DataFrame(
+                        {
+                            "_id": ks["_id"],
+                            "name": nm,
+                            "units": units,
+                            "mtype": "gauge",
+                            "monotonic": False,
+                            "label_key": "db",
+                            "label_value": ks["db"].astype(str),
+                            "value_int": full,
+                            "value_double": np.nan,
+                        }
+                    )
+                )
+            rows.extend(triplet)
+    out = pd.concat(rows, ignore_index=True)
+    return _finish(out, id_col, id_type)
+
+
+# ---------------------------------------------------------------------------
+# ZooKeeper mntr (scraper.go:34,144-181; metrics.go:24-92)
+# ---------------------------------------------------------------------------
+
+_ZK_GAUGES = {
+    "zk_avg_latency": ("zookeeper.latency.avg", "ms"),
+    "zk_max_latency": ("zookeeper.latency.max", "ms"),
+    "zk_min_latency": ("zookeeper.latency.min", None),
+    "zk_num_alive_connections": ("zookeeper.connections_alive", None),
+    "zk_outstanding_requests": ("zookeeper.outstanding_requests", None),
+    "zk_znode_count": ("zookeeper.znodes", None),
+    "zk_watch_count": ("zookeeper.watches", None),
+    "zk_ephemerals_count": ("zookeeper.ephemeral_nodes", None),
+    "zk_approximate_data_size": ("zookeeper.approximate_date_size", "By"),
+    "zk_open_file_descriptor_count": ("zookeeper.open_file_descriptors", None),
+    "zk_max_file_descriptor_count": ("zookeeper.max_file_descriptors", None),
+    "zk_followers": ("zookeeper.followers", None),
+    "zk_synced_followers": ("zookeeper.synced_followers", None),
+    "zk_pending_syncs": ("zookeeper.pending_syncs", None),
+}
+_ZK_SUMS = {
+    "zk_packets_received": ("zookeeper.packets.received", None),
+    "zk_packets_sent": ("zookeeper.packets.sent", None),
+    "zk_fsync_threshold_exceed_count": ("zookeeper.fsync_threshold_exceeds", None),
+}
+_ZK_RESOURCE = {"zk_version": "zk.version", "zk_server_state": "server.state"}
+
+_ZK_TABLE = pd.DataFrame(
+    [(k, n, u, "gauge", False) for k, (n, u) in _ZK_GAUGES.items()]
+    + [(k, n, u, "sum", True) for k, (n, u) in _ZK_SUMS.items()],
+    columns=["key", "name", "units", "mtype", "monotonic"],
+)
+
+
+def parse_zk_mntr(
+    t: pa.Table, id_col: str = "server_id", payload_col: str = "payload"
+) -> pa.Table:
+    """Vectorized mntr-response → metric + resource rows."""
+    id_type = t.schema.field(id_col).type
+    flat = _explode_lines(t, id_col, payload_col)
+    kv = flat["line"].str.extract(r"^(zk_\w+)\s+([\w\.\-]+)")
+    flat = flat.assign(key=kv[0], val=kv[1])
+    flat = flat[flat["key"].notna()]
+
+    res = flat[flat["key"].isin(_ZK_RESOURCE)]
+    res_out = pd.DataFrame(
+        {
+            "_id": res["_id"],
+            "name": None,
+            "units": None,
+            "mtype": "resource",
+            "monotonic": False,
+            "label_key": res["key"].map(_ZK_RESOURCE),
+            "label_value": res["val"],
+            "value_int": np.nan,
+            "value_double": np.nan,
+        }
+    )
+
+    met = flat.merge(_ZK_TABLE, on="key", how="inner")
+    ival = pd.to_numeric(met["val"], errors="coerce")
+    # non-integer values skipped (scraper.go:170-177)
+    ok = ival.notna() & met["val"].str.fullmatch(r"-?\d+").fillna(False)
+    met = met[ok]
+    met_out = pd.DataFrame(
+        {
+            "_id": met["_id"],
+            "name": met["name"],
+            "units": met["units"],
+            "mtype": met["mtype"],
+            "monotonic": met["monotonic"],
+            "label_key": None,
+            "label_value": None,
+            "value_int": ival[ok].astype(np.int64),
+            "value_double": np.nan,
+        }
+    )
+    return _finish(pd.concat([met_out, res_out], ignore_index=True), id_col, id_type)
+
+
+# ---------------------------------------------------------------------------
+# memcached stats (scraper.go:75-92)
+# ---------------------------------------------------------------------------
+
+_MEMCACHED_TABLE = pd.DataFrame(
+    [
+        ("bytes", "memcached.bytes", "By", "gauge", False),
+        ("curr_connections", "memcached.current_connections", None, "gauge", False),
+        ("total_connections", "memcached.total_connections", None, "sum", True),
+        ("get_hits", "memcached.get_hits", None, "sum", True),
+        ("get_misses", "memcached.get_misses", None, "sum", True),
+    ],
+    columns=["key", "name", "units", "mtype", "monotonic"],
+)
+
+
+def parse_memcached_stats(
+    t: pa.Table, id_col: str = "server_id", payload_col: str = "payload"
+) -> pa.Table:
+    """Vectorized ``STAT <key> <value>`` text → the five mapped metrics."""
+    id_type = t.schema.field(id_col).type
+    flat = _explode_lines(t, id_col, payload_col)
+    kv = flat["line"].str.extract(r"^STAT\s+(\S+)\s+(\S+)\s*$")
+    flat = flat.assign(key=kv[0], val=kv[1])
+    met = flat[flat["key"].notna()].merge(_MEMCACHED_TABLE, on="key", how="inner")
+    ival = pd.to_numeric(met["val"], errors="coerce")
+    ok = ival.notna() & met["val"].str.fullmatch(r"-?\d+").fillna(False)
+    met = met[ok]
+    out = pd.DataFrame(
+        {
+            "_id": met["_id"],
+            "name": met["name"],
+            "units": met["units"],
+            "mtype": met["mtype"],
+            "monotonic": met["monotonic"],
+            "label_key": None,
+            "label_value": None,
+            "value_int": ival[ok].astype(np.int64),
+            "value_double": np.nan,
+        }
+    )
+    return _finish(out, id_col, id_type)
+
+
+# ---------------------------------------------------------------------------
+# nginx stub_status (scraper.go:81-93)
+# ---------------------------------------------------------------------------
+
+_NGINX_RE = (
+    r"Active connections:\s+(\d+)\s*\n"
+    r"server accepts handled requests\s*\n"
+    r"\s*(\d+)\s+(\d+)\s+(\d+)\s*\n"
+    r"Reading:\s*(\d+)\s*Writing:\s*(\d+)\s*Waiting:\s*(\d+)"
+)
+
+
+def parse_nginx_stub_status(
+    t: pa.Table, id_col: str = "server_id", payload_col: str = "payload"
+) -> pa.Table:
+    """Vectorized stub_status text → sums (requests / accepted /
+    handled) + state-labelled current-connections gauges. Payloads that
+    don't match the stub_status shape produce no rows (the reference
+    client errors the scrape)."""
+    id_type = t.schema.field(id_col).type
+    ids = t[id_col].to_numpy(zero_copy_only=False)
+    pay = pd.Series(t[payload_col].to_numpy(zero_copy_only=False), dtype=object).fillna("")
+    ext = pay.str.extract(_NGINX_RE)
+    ok = ext.notna().all(axis=1)
+    ext = ext[ok].astype(np.int64)
+    ids = ids[ok.to_numpy()]
+    active, accepts, handled, requests = (ext[i] for i in range(4))
+    reading, writing, waiting = ext[4], ext[5], ext[6]
+
+    frames = [
+        pd.DataFrame({"_id": ids, "name": "nginx.requests", "units": "requests", "mtype": "sum", "monotonic": True, "label_key": None, "label_value": None, "value_int": requests.to_numpy(), "value_double": np.nan}),
+        pd.DataFrame({"_id": ids, "name": "nginx.connections_accepted", "units": "connections", "mtype": "sum", "monotonic": True, "label_key": None, "label_value": None, "value_int": accepts.to_numpy(), "value_double": np.nan}),
+        pd.DataFrame({"_id": ids, "name": "nginx.connections_handled", "units": "connections", "mtype": "sum", "monotonic": True, "label_key": None, "label_value": None, "value_int": handled.to_numpy(), "value_double": np.nan}),
+    ]
+    for state, vals in (
+        ("active", active),
+        ("reading", reading),
+        ("writing", writing),
+        ("waiting", waiting),
+    ):
+        frames.append(
+            pd.DataFrame({"_id": ids, "name": "nginx.connections_current", "units": "connections", "mtype": "gauge", "monotonic": False, "label_key": "state", "label_value": state, "value_int": vals.to_numpy(), "value_double": np.nan})
+        )
+    out = pd.concat(frames, ignore_index=True)
+    return _finish(out, id_col, id_type)

@@ -1,0 +1,211 @@
+"""Golden tests for the interval-scraper payload parsers
+(sources/scrapers.py) against the reference semantics:
+receiver/redisreceiver/info.go:32-74, keyspace.go:35-66,
+metric_functions.go:23-352; receiver/zookeeperreceiver/scraper.go:144-181,
+metrics.go:24-92; receiver/memcachedreceiver/scraper.go:75-92;
+receiver/nginxreceiver/scraper.go:81-93."""
+
+import pyarrow as pa
+import pytest
+
+from opentelemetry_collector_contrib_ray.sources.scrapers import (
+    parse_memcached_stats,
+    parse_nginx_stub_status,
+    parse_redis_info,
+    parse_zk_mntr,
+)
+
+
+def _rows(t: pa.Table):
+    return t.to_pylist()
+
+
+def _by_name(t: pa.Table, name: str):
+    return [r for r in t.to_pylist() if r["name"] == name]
+
+
+class TestRedisInfo:
+    def _parse(self, payload: str) -> pa.Table:
+        return parse_redis_info(
+            pa.table({"server_id": pa.array([1], pa.int64()), "payload": [payload]})
+        )
+
+    def test_fixed_metric_table(self):
+        payload = "\n".join(
+            [
+                "# Server",
+                "uptime_in_seconds:100",
+                "used_cpu_sys:12.5",
+                "used_memory:2048",
+                "mem_fragmentation_ratio:1.25",
+                "keyspace_hits:7",
+            ]
+        )
+        out = self._parse(payload)
+        up = _by_name(out, "redis/uptime")[0]
+        assert up["value_int"] == 100 and up["mtype"] == "sum" and up["monotonic"]
+        assert up["units"] == "s"
+        cpu = _by_name(out, "redis/cpu/time")[0]
+        assert cpu["value_double"] == 12.5 and cpu["label_key"] == "state"
+        assert cpu["label_value"] == "sys"
+        mem = _by_name(out, "redis/memory/used")[0]
+        assert mem["value_int"] == 2048 and mem["mtype"] == "gauge"
+        frag = _by_name(out, "redis/memory/fragmentation_ratio")[0]
+        assert frag["value_double"] == 1.25
+        hits = _by_name(out, "redis/keyspace/hits")[0]
+        assert hits["value_int"] == 7 and hits["monotonic"]
+
+    def test_missing_and_empty_and_invalid_skipped(self):
+        # missing key → skip (info.go:36-39); empty value → skip (:40-42);
+        # parse failure → skip (:43-47)
+        payload = "uptime_in_seconds:\nevicted_keys:notanumber\nused_memory:10"
+        out = self._parse(payload)
+        assert not _by_name(out, "redis/uptime")
+        assert not _by_name(out, "redis/keys/evicted")
+        assert _by_name(out, "redis/memory/used")[0]["value_int"] == 10
+
+    def test_int_metric_rejects_float_string(self):
+        # ParseInt("1.5") errors in Go → metric skipped
+        out = self._parse("used_memory:1.5")
+        assert not _by_name(out, "redis/memory/used")
+
+    def test_keyspace_triplet(self):
+        out = self._parse("db0:keys=10,expires=2,avg_ttl=300")
+        keys = _by_name(out, "redis/db/keys")[0]
+        assert keys["value_int"] == 10 and keys["label_key"] == "db"
+        assert keys["label_value"] == "0"
+        assert _by_name(out, "redis/db/expires")[0]["value_int"] == 2
+        ttl = _by_name(out, "redis/db/avg_ttl")[0]
+        assert ttl["value_int"] == 300 and ttl["units"] == "ms"
+
+    def test_keyspace_break_on_missing_db(self):
+        # info.go:59-63: loop breaks at first missing dbN — db3 after a
+        # gap at db2 must be IGNORED
+        payload = "db0:keys=1,expires=0,avg_ttl=0\ndb1:keys=2,expires=0,avg_ttl=0\ndb3:keys=99,expires=0,avg_ttl=0"
+        out = self._parse(payload)
+        keys = sorted(r["value_int"] for r in _by_name(out, "redis/db/keys"))
+        assert keys == [1, 2]
+
+    def test_keyspace_missing_pair_defaults_zero(self):
+        out = self._parse("db0:keys=5")
+        assert _by_name(out, "redis/db/expires")[0]["value_int"] == 0
+        assert _by_name(out, "redis/db/avg_ttl")[0]["value_int"] == 0
+
+    def test_multiple_servers(self):
+        t = pa.table(
+            {
+                "server_id": pa.array([1, 2], pa.int64()),
+                "payload": ["used_memory:10", "used_memory:20"],
+            }
+        )
+        out = parse_redis_info(t)
+        vals = {r["server_id"]: r["value_int"] for r in _rows(out)}
+        assert vals == {1: 10, 2: 20}
+
+
+class TestZkMntr:
+    def _parse(self, payload: str) -> pa.Table:
+        return parse_zk_mntr(
+            pa.table({"server_id": pa.array([1], pa.int64()), "payload": [payload]})
+        )
+
+    def test_metrics_and_resource_attrs(self):
+        payload = "\n".join(
+            [
+                "zk_version\t3.4.14-4c25d480e66aadd371de8bd2fd8da255ac140bcf",
+                "zk_server_state\tleader",
+                "zk_znode_count\t5",
+                "zk_packets_received\t101",
+                "zk_avg_latency\t100",
+            ]
+        )
+        out = self._parse(payload)
+        zn = _by_name(out, "zookeeper.znodes")[0]
+        assert zn["value_int"] == 5 and zn["mtype"] == "gauge"
+        pr = _by_name(out, "zookeeper.packets.received")[0]
+        assert pr["value_int"] == 101 and pr["mtype"] == "sum" and pr["monotonic"]
+        lat = _by_name(out, "zookeeper.latency.avg")[0]
+        assert lat["value_int"] == 100 and lat["units"] == "ms"
+        res = {r["label_key"]: r["label_value"] for r in _rows(out) if r["mtype"] == "resource"}
+        assert res["server.state"] == "leader"
+        assert res["zk.version"].startswith("3.4.14")
+
+    def test_unknown_and_noninteger_skipped(self):
+        # scraper.go:166-178: no descriptor → skipped; non-int → skipped
+        out = self._parse("zk_bogus_metric\t7\nzk_znode_count\tabc")
+        assert len([r for r in _rows(out) if r["mtype"] != "resource"]) == 0
+
+    def test_malformed_line_skipped(self):
+        out = self._parse("this is not a zk line\nzk_watch_count\t3")
+        assert _by_name(out, "zookeeper.watches")[0]["value_int"] == 3
+        assert len(_rows(out)) == 1
+
+
+class TestMemcached:
+    def test_five_mapped_stats_only(self):
+        payload = "\n".join(
+            [
+                "STAT pid 12345",
+                "STAT bytes 1024",
+                "STAT curr_connections 3",
+                "STAT total_connections 17",
+                "STAT get_hits 9",
+                "STAT get_misses 4",
+                "END",
+            ]
+        )
+        out = parse_memcached_stats(
+            pa.table({"server_id": pa.array([1], pa.int64()), "payload": [payload]})
+        )
+        by = {r["name"]: r for r in _rows(out)}
+        assert set(by) == {
+            "memcached.bytes",
+            "memcached.current_connections",
+            "memcached.total_connections",
+            "memcached.get_hits",
+            "memcached.get_misses",
+        }
+        assert by["memcached.bytes"]["value_int"] == 1024
+        assert by["memcached.bytes"]["mtype"] == "gauge"
+        assert by["memcached.total_connections"]["mtype"] == "sum"
+        assert by["memcached.get_misses"]["value_int"] == 4
+
+
+class TestNginx:
+    PAYLOAD = (
+        "Active connections: 291\n"
+        "server accepts handled requests\n"
+        " 16630948 16630946 31070465\n"
+        "Reading: 6 Writing: 179 Waiting: 106\n"
+    )
+
+    def test_stub_status(self):
+        out = parse_nginx_stub_status(
+            pa.table({"server_id": pa.array([1], pa.int64()), "payload": [self.PAYLOAD]})
+        )
+        by_state = {
+            r["label_value"]: r["value_int"]
+            for r in _by_name(out, "nginx.connections_current")
+        }
+        assert by_state == {"active": 291, "reading": 6, "writing": 179, "waiting": 106}
+        assert _by_name(out, "nginx.requests")[0]["value_int"] == 31070465
+        assert _by_name(out, "nginx.connections_accepted")[0]["value_int"] == 16630948
+        assert _by_name(out, "nginx.connections_handled")[0]["value_int"] == 16630946
+
+    def test_malformed_payload_produces_no_rows(self):
+        out = parse_nginx_stub_status(
+            pa.table({"server_id": pa.array([1], pa.int64()), "payload": ["<html>error</html>"]})
+        )
+        assert out.num_rows == 0
+
+
+def test_union_compatible_schemas():
+    """All four parsers share one output schema so results union."""
+    t = pa.table({"server_id": pa.array([1], pa.int64()), "payload": ["used_memory:10"]})
+    r = parse_redis_info(t)
+    z = parse_zk_mntr(pa.table({"server_id": pa.array([1], pa.int64()), "payload": ["zk_znode_count\t1"]}))
+    m = parse_memcached_stats(pa.table({"server_id": pa.array([1], pa.int64()), "payload": ["STAT bytes 1"]}))
+    n = parse_nginx_stub_status(pa.table({"server_id": pa.array([1], pa.int64()), "payload": [TestNginx.PAYLOAD]}))
+    assert r.schema == z.schema == m.schema == n.schema
+    combined = pa.concat_tables([r, z, m, n])
+    assert combined.num_rows == r.num_rows + z.num_rows + m.num_rows + n.num_rows
