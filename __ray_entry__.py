@@ -522,7 +522,26 @@ def _q_time_window_agg(sf_dir: str):
         driver_finalize=True,  # few thousand groups — skip the shuffle
         exact_sums={"value": 100},
     )
-    return _round_cols(out, {"value_sum": 6})
+    tw = _round_cols(out, {"value_sum": 6}).to_pandas()
+    tw.insert(0, "leg", "tumbling")
+
+    # round-3 merge of the former `sliding_window` entry: 60-min windows
+    # stepping 30 min as a second leg (value_sum 0-filled on both sides)
+    from opentelemetry_collector_contrib_ray.stages.window import sliding
+
+    sl = sliding(
+        _read(sf_dir, "events", ["event_type", "ts"]),
+        ["event_type"],
+        "ts",
+        size_minutes=60,
+        step_minutes=30,
+    ).to_pandas()
+    sl.insert(0, "leg", "sliding")
+    sl["value_sum"] = 0.0
+    cols = ["leg", "event_type", "window_start", "count", "value_sum"]
+    import pandas as pd
+
+    return pd.concat([tw[cols], sl[cols]], ignore_index=True)
 
 
 # ------------------------------------------------------- documents / dedup
@@ -1732,6 +1751,133 @@ def _q_statsd_parse_agg(sf_dir: str):
     return pd.concat([agg[cols], par[cols]], ignore_index=True)
 
 
+def _q_sfx_translation(sf_dir: str):
+    """SignalFx exporter translation-rule engine end-to-end
+    (translation/translator.go): render four synthetic datapoint
+    families from events, push them through an 8-rule chain covering
+    rename_dimension_keys, multiply_int, split_metric, drop_metrics,
+    copy_metrics, aggregate_metric (sum, distributed),
+    calculate_new_metric (distributed join, /256 keeps float sums
+    exact/order-free) and delta_metric (distributed per-series diff),
+    then aggregate per final metric — all counts/sums closed forms the
+    oracle derives in SQL."""
+    from opentelemetry_collector_contrib_ray.stages.aggregate import two_phase_agg
+    from opentelemetry_collector_contrib_ray.stages.signalfx_translation import (
+        translate_datapoints,
+    )
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type", "value"])
+    DIMS = ["host", "state", "dir"]
+
+    def mk(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        e = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        et = pd.Series(t["event_type"].to_numpy(zero_copy_only=False), dtype=object)
+        v = np.floor(t["value"].to_numpy(zero_copy_only=False)).astype(np.int64)
+        hour = (
+            t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+            // 3_600_000_000
+        )
+        host = "h" + pd.Series(u % 50).astype(str)
+        n = len(e)
+
+        def fam(metric, mtype, ts, vi, hostv, statev, dirv):
+            return pd.DataFrame(
+                {
+                    "metric": metric,
+                    "metric_type": mtype,
+                    "ts": ts,
+                    "value_int": vi,
+                    "value_double": np.nan,
+                    "host": hostv,
+                    "state": statev,
+                    "dir": dirv,
+                }
+            )
+
+        rows = pd.concat(
+            [
+                fam("disk.ops", "counter", hour, v, host, et, np.where(e % 2 == 0, "read", "write")),
+                fam("noise", "gauge", hour, np.ones(n, np.int64), host, et, None),
+                fam("mem.used", "gauge", e, v, host, None, None),
+                fam("mem.total", "gauge", e, np.full(n, 256, np.int64), host, None, None),
+                fam("seq.cnt", "cumulative_counter", e, e, "u" + pd.Series(u).astype(str), None, None),
+            ],
+            ignore_index=True,
+        )
+        cols = {
+            "metric": pa.array(rows["metric"], pa.string()),
+            "metric_type": pa.array(rows["metric_type"], pa.string()),
+            "ts": pa.array(rows["ts"].astype(np.int64), pa.int64()),
+            "value_int": pa.array(rows["value_int"].astype(np.int64), pa.int64()),
+            "value_double": pa.array(rows["value_double"], pa.float64(), from_pandas=True),
+            "host": pa.array(rows["host"].where(rows["host"].notna(), None), pa.string()),
+            "state": pa.array(rows["state"].where(rows["state"].notna(), None), pa.string()),
+            "dir": pa.array(rows["dir"].where(rows["dir"].notna(), None), pa.string()),
+        }
+        return pa.table(cols)
+
+    dps = ds.map_batches(mk, batch_format="pyarrow")
+    rules = [
+        {"action": "rename_dimension_keys", "mapping": {"host": "host_id"}},
+        {"action": "multiply_int", "scale_factors_int": {"disk.ops": 2}},
+        {
+            "action": "split_metric",
+            "metric_name": "disk.ops",
+            "dimension_key": "dir",
+            "mapping": {"read": "disk.ops.read", "write": "disk.ops.write"},
+        },
+        {"action": "drop_metrics", "metric_names": ["noise"]},
+        {
+            "action": "copy_metrics",
+            "mapping": {"disk.ops.read": "disk.ops.read.copy"},
+            "dimension_key": "state",
+            "dimension_values": ["click", "view"],
+        },
+        {
+            "action": "aggregate_metric",
+            "metric_name": "disk.ops.write",
+            "aggregation_method": "sum",
+            "without_dimensions": ["host_id"],
+        },
+        {
+            "action": "calculate_new_metric",
+            "metric_name": "util",
+            "operand1_metric": "mem.used",
+            "operand2_metric": "mem.total",
+            "operator": "/",
+        },
+        {"action": "delta_metric", "mapping": {"seq.cnt": "seq.cnt.delta"}},
+    ]
+    out, _dims = translate_datapoints(dps, rules, DIMS)
+    agg = two_phase_agg(
+        out,
+        ["metric"],
+        {"value_int": ["count", "sum"], "value_double": ["count", "sum"]},
+    )
+
+    def clean(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "metric": t["metric"],
+                "count": pc.cast(t["count"], pa.int64()),
+                "n_int": pc.cast(pc.coalesce(t["value_int_count"], pa.scalar(0)), pa.int64()),
+                "sum_int": pc.cast(
+                    pc.coalesce(pc.cast(t["value_int_sum"], pa.float64()), pa.scalar(0.0)),
+                    pa.int64(),
+                ),
+                "n_double": pc.cast(pc.coalesce(t["value_double_count"], pa.scalar(0)), pa.int64()),
+                "sum_double": pc.coalesce(
+                    pc.cast(t["value_double_sum"], pa.float64()), pa.scalar(0.0)
+                ),
+            }
+        )
+
+    return _round_cols(agg.map_batches(clean, batch_format="pyarrow"), {"sum_double": 6})
+
+
 def _q_scraper_parse(sf_dir: str):
     """Interval-scraper payload translation (the scrapers' parse half —
     receiver/redisreceiver/info.go:32-74 + metric_functions.go,
@@ -2072,14 +2218,6 @@ def _q_session_windows(sf_dir: str):
     return sessionize(ds, "user_id", "ts", gap_seconds=1800.0)
 
 
-def _q_sliding_window(sf_dir: str):
-    """Sliding 60-min windows stepping 30 min, counts per event_type."""
-    from opentelemetry_collector_contrib_ray.stages.window import sliding
-
-    ds = _read(sf_dir, "events", ["event_type", "ts"])
-    return sliding(ds, ["event_type"], "ts", size_minutes=60, step_minutes=30)
-
-
 def _q_gauge_last_write(sf_dir: str):
     """statsd gauge last-write-wins per user (statsd_parser.go:170-189)."""
     from opentelemetry_collector_contrib_ray.stages.window import last_write_wins
@@ -2357,7 +2495,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_knn": _q_ivf_knn,
         "multimodal_features": _q_multimodal_features,
         "session_windows": _q_session_windows,
-        "sliding_window": _q_sliding_window,
+        "sfx_translation": _q_sfx_translation,
         "gauge_last_write": _q_gauge_last_write,
         "trace_decoders": _q_trace_decoders,
         "statsd_parse_agg": _q_statsd_parse_agg,
@@ -2591,10 +2729,20 @@ def oracle_sql() -> dict[str, str]:
             FROM events
         """,
         "time_window_agg": """
-            SELECT event_type, date_trunc('hour', ts) AS window_start,
+            SELECT 'tumbling' AS leg, event_type, date_trunc('hour', ts) AS window_start,
                    COUNT(*) AS "count",
                    ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 6) AS value_sum
-            FROM events GROUP BY 1, 2
+            FROM events GROUP BY 2, 3
+            UNION ALL
+            SELECT 'sliding', event_type, window_start, COUNT(*), 0.0 FROM (
+                SELECT event_type,
+                       to_timestamp(floor(epoch(ts) / 1800) * 1800)::TIMESTAMP AS window_start
+                FROM events
+                UNION ALL
+                SELECT event_type,
+                       to_timestamp(floor(epoch(ts) / 1800) * 1800 - 1800)::TIMESTAMP AS window_start
+                FROM events
+            ) GROUP BY 2, 3
         """,
         "exact_dedup": """
             SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n FROM documents GROUP BY text
@@ -2724,17 +2872,6 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
                    COUNT(*) AS n_events, MIN(ts) AS session_start, MAX(ts) AS session_end
             FROM sess GROUP BY 1, 2
-        """,
-        "sliding_window": """
-            SELECT event_type, window_start, COUNT(*) AS "count" FROM (
-                SELECT event_type,
-                       to_timestamp(floor(epoch(ts) / 1800) * 1800)::TIMESTAMP AS window_start
-                FROM events
-                UNION ALL
-                SELECT event_type,
-                       to_timestamp(floor(epoch(ts) / 1800) * 1800 - 1800)::TIMESTAMP AS window_start
-                FROM events
-            ) GROUP BY 1, 2
         """,
         "gauge_last_write": """
             SELECT user_id, value AS value_last FROM (
@@ -2871,6 +3008,54 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 2
         """,
         "scraper_parse": _scraper_parse_oracle(),
+        "sfx_translation": """
+            -- closed forms of the 8-rule chain in _q_sfx_translation:
+            -- read/write split with x2 scaling, write aggregated per
+            -- (hour, event_type), copies filtered to click/view,
+            -- util = floor(value)/256 (exact dyadic => order-free sum),
+            -- per-user delta of consecutive event_ids
+            WITH e AS (
+                SELECT event_id AS e, user_id AS u, event_type AS et,
+                       CAST(FLOOR(value) AS BIGINT) AS fv,
+                       CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS hr
+                FROM events
+            ),
+            per_user AS (
+                SELECT u, COUNT(*) AS c, MIN(e) AS mn, MAX(e) AS mx
+                FROM e GROUP BY u
+            )
+            SELECT 'disk.ops.read' AS metric, COUNT(*) AS "count",
+                   COUNT(*) AS n_int, CAST(SUM(2 * fv) AS BIGINT) AS sum_int,
+                   CAST(0 AS BIGINT) AS n_double, 0.0 AS sum_double
+            FROM e WHERE e % 2 = 0
+            UNION ALL
+            SELECT 'disk.ops.write',
+                   (SELECT COUNT(*) FROM (SELECT DISTINCT hr, et FROM e WHERE e % 2 = 1)),
+                   (SELECT COUNT(*) FROM (SELECT DISTINCT hr, et FROM e WHERE e % 2 = 1)),
+                   CAST((SELECT SUM(2 * fv) FROM e WHERE e % 2 = 1) AS BIGINT),
+                   CAST(0 AS BIGINT), 0.0
+            UNION ALL
+            SELECT 'disk.ops.read.copy', COUNT(*), COUNT(*),
+                   CAST(SUM(2 * fv) AS BIGINT), CAST(0 AS BIGINT), 0.0
+            FROM e WHERE e % 2 = 0 AND et IN ('click', 'view')
+            UNION ALL
+            SELECT 'mem.used', COUNT(*), COUNT(*), CAST(SUM(fv) AS BIGINT),
+                   CAST(0 AS BIGINT), 0.0 FROM e
+            UNION ALL
+            SELECT 'mem.total', COUNT(*), COUNT(*), CAST(256 * COUNT(*) AS BIGINT),
+                   CAST(0 AS BIGINT), 0.0 FROM e
+            UNION ALL
+            SELECT 'util', COUNT(*), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+                   COUNT(*), ROUND(SUM(fv / 256.0), 6) FROM e
+            UNION ALL
+            SELECT 'seq.cnt', COUNT(*), COUNT(*), CAST(SUM(e) AS BIGINT),
+                   CAST(0 AS BIGINT), 0.0 FROM e
+            UNION ALL
+            SELECT 'seq.cnt.delta', CAST(SUM(c - 1) AS BIGINT),
+                   CAST(SUM(c - 1) AS BIGINT), CAST(SUM(mx - mn) AS BIGINT),
+                   CAST(0 AS BIGINT), 0.0
+            FROM per_user
+        """,
         "influx_parse": """
             SELECT 'host=h' || CAST(user_id AS VARCHAR) AS tags,
                    COUNT(*) AS "count", COUNT(value) AS field_value_count,

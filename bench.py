@@ -26,6 +26,7 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # queries() entries timed alongside the headline (representative set)
 BENCH_QUERIES = [
     "scraper_parse",
+    "sfx_translation",
     "spanmetrics_hist",
     "groupby_attrs",
     "enrich_users",
