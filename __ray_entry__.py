@@ -606,14 +606,38 @@ def _q_fingerprint(sf_dir: str):
 
 
 def _q_quality(sf_dir: str):
+    """Quality features + (round 3) the Gopher repetition rules
+    (stages/llmdata.gopher_stats): duplicate-word fraction,
+    alphabetic-word fraction, symbol-to-word ratio and the combined
+    passes_gopher gate — every column mirrored in DuckDB list/regexp
+    kernels."""
+    from opentelemetry_collector_contrib_ray.stages.llmdata import gopher_stats
     from opentelemetry_collector_contrib_ray.stages.textstats import quality_score
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     out = ds.map_batches(
-        lambda b: quality_score(b).select(["doc_id", "n_words", "mean_word_len"]),
+        lambda b: gopher_stats(quality_score(b)).select(
+            [
+                "doc_id",
+                "n_words",
+                "mean_word_len",
+                "dup_word_frac",
+                "alpha_word_frac",
+                "symbol_word_ratio",
+                "passes_gopher",
+            ]
+        ),
         batch_format="pyarrow",
     )
-    return _round_cols(out, {"mean_word_len": 6})
+    return _round_cols(
+        out,
+        {
+            "mean_word_len": 6,
+            "dup_word_frac": 6,
+            "alpha_word_frac": 6,
+            "symbol_word_ratio": 6,
+        },
+    )
 
 
 def _q_sketch_contracts(sf_dir: str):
@@ -2040,6 +2064,71 @@ def _q_influx_parse(sf_dir: str):
     return _round_cols(out, {"field_value_sum": 6})
 
 
+def _q_llm_ops(sf_dir: str):
+    """Training-data ops (stages/llmdata.py) as two oracle-checked
+    legs: 'pii' injects deterministic PII into every document and
+    value-checks the full redacted string + per-kind counts against
+    DuckDB's chained regexp_replace; 'pack' runs the distributed
+    concat-and-chunk sequence packer (seq_len=64, per-source) and
+    checks chunk counts, full/tail split and the first/last packed
+    token per source against SQL closed forms."""
+    import pandas as pd
+
+    from opentelemetry_collector_contrib_ray.stages.llmdata import (
+        pack_sequences,
+        redact_pii,
+    )
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def inj_redact(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = pd.Series(t["text"].to_numpy(zero_copy_only=False), dtype=object).fillna("")
+        injected = (
+            s
+            + " contact user" + pd.Series(d).astype(str) + "@example.com at 10."
+            + pd.Series(d % 200).astype(str) + ".3.4 call 555-"
+            + pd.Series(100 + d % 900).astype(str) + "-"
+            + pd.Series(1000 + d % 9000).astype(str)
+        )
+        red = redact_pii(
+            pa.table(
+                {
+                    "doc_id": t["doc_id"],
+                    "text": pa.array(injected.to_numpy(dtype=object), pa.string()),
+                }
+            )
+        )
+        return pa.table(
+            {
+                "leg": pa.array(["pii"] * len(d), pa.string()),
+                "key": pc.cast(red["doc_id"], pa.string()),
+                "n": pc.cast(red["n_email"], pa.int64()),
+                "n2": pc.cast(red["n_ip"], pa.int64()),
+                "n3": pc.cast(red["n_phone"], pa.int64()),
+                "v_str": red["redacted"],
+            }
+        )
+
+    pii = docs.map_batches(inj_redact, batch_format="pyarrow").to_pandas()
+
+    chunks = pack_sequences(docs, "source", "doc_id", "text", seq_len=64).to_pandas()
+    grp = []
+    for src, sub in chunks.groupby("source", sort=False):
+        sub = sub.sort_values("chunk_id")
+        grp.append(
+            {
+                "leg": "pack",
+                "key": src,
+                "n": len(sub),
+                "n2": int((sub["chunk_len"] == 64).sum()),
+                "n3": int(sub["chunk_len"][sub["chunk_len"] < 64].sum()),
+                "v_str": f"{sub.iloc[0]['first_tok']}:{sub.iloc[-1]['last_tok']}",
+            }
+        )
+    return pd.concat([pii, pd.DataFrame(grp)], ignore_index=True)
+
+
 def _q_splunk_hec_parse(sf_dir: str):
     """Splunk HEC event JSON render→parse field mapping
     (splunk_to_logdata.go:33-84)."""
@@ -2112,13 +2201,25 @@ def _q_fluentforward_parse(sf_dir: str):
     def fin(t: pa.Table) -> pa.Table:
         return pa.table(
             {
-                "tag": t["tag"],
+                "leg": pa.array(["fluent"] * t.num_rows, pa.string()),
                 "eid": pc.cast(t["eid"], pa.int64()),
-                "user": t["user"],
+                "s1": t["tag"],
+                "s2": t["user"],
+                "s3": pa.array([""] * t.num_rows, pa.string()),
             }
         )
 
-    return parsed.map_batches(fin, batch_format="pyarrow")
+    fluent = parsed.map_batches(fin, batch_format="pyarrow").to_pandas()
+
+    # round-3 merge of the former `splunk_hec_parse` entry as a second
+    # leg (splunk_to_logdata.go:33-84 field mapping round-trip)
+    splunk_t = _q_splunk_hec_parse(sf_dir).to_pandas()
+    splunk = splunk_t.rename(columns={"event_id": "eid", "body": "s1", "host": "s2", "idx": "s3"})
+    splunk.insert(0, "leg", "splunk")
+    import pandas as pd
+
+    cols = ["leg", "eid", "s1", "s2", "s3"]
+    return pd.concat([fluent[cols], splunk[cols]], ignore_index=True)
 
 
 def _q_collectd_parse(sf_dir: str):
@@ -2500,7 +2601,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trace_decoders": _q_trace_decoders,
         "statsd_parse_agg": _q_statsd_parse_agg,
         "influx_parse": _q_influx_parse,
-        "splunk_hec_parse": _q_splunk_hec_parse,
+        "llm_ops": _q_llm_ops,
         "fluentforward_parse": _q_fluentforward_parse,
         "collectd_parse": _q_collectd_parse,
         "join_orders_customers": _q_join_orders_customers,
@@ -2780,10 +2881,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, md5(text) AS fingerprint FROM documents
         """,
         "quality": """
-            SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
-                   ROUND((length(text) - (len(string_split(text, ' ')) - 1))
-                         / CAST(GREATEST(len(string_split(text, ' ')), 1) AS DOUBLE), 6) AS mean_word_len
-            FROM documents
+            WITH q AS (
+                SELECT doc_id,
+                       string_split(text, ' ') AS ws,
+                       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+                       CAST(GREATEST(len(string_split(text, ' ')), 1) AS DOUBLE) AS nz,
+                       (length(text) - (len(string_split(text, ' ')) - 1)) AS n_letters,
+                       CAST(len(regexp_extract_all(text, '#')) +
+                            len(regexp_extract_all(text, '\\.\\.\\.')) AS DOUBLE) AS syms
+                FROM documents
+            ),
+            f AS (
+                SELECT doc_id, n_words, n_letters / nz AS mwl,
+                       1.0 - len(list_distinct(ws)) / nz AS dwf,
+                       len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) / nz AS awf,
+                       syms / nz AS swr
+                FROM q
+            )
+            SELECT doc_id, n_words, ROUND(mwl, 6) AS mean_word_len,
+                   ROUND(dwf, 6) AS dup_word_frac,
+                   ROUND(awf, 6) AS alpha_word_frac,
+                   ROUND(swr, 6) AS symbol_word_ratio,
+                   (n_words >= 5 AND mwl >= 3.0 AND mwl <= 10.0
+                    AND dwf < 0.5 AND awf > 0.8 AND swr < 0.1) AS passes_gopher
+            FROM f
         """,
         "embedding_knn": """
             SELECT vec_id FROM embeddings
@@ -3008,6 +3129,61 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 2
         """,
         "scraper_parse": _scraper_parse_oracle(),
+        "llm_ops": """
+            -- pii leg: DuckDB chains the same RE2 patterns in the same
+            -- order (counts taken on the progressively redacted text);
+            -- pack leg: closed-form chunk math per source + arg_min/max
+            -- first/last packed token
+            WITH t0 AS (
+                SELECT doc_id,
+                       text || ' contact user' || CAST(doc_id AS VARCHAR)
+                            || '@example.com at 10.' || CAST(doc_id % 200 AS VARCHAR)
+                            || '.3.4 call 555-' || CAST(100 + doc_id % 900 AS VARCHAR)
+                            || '-' || CAST(1000 + doc_id % 9000 AS VARCHAR) AS txt
+                FROM documents
+            ),
+            t1 AS (
+                SELECT doc_id,
+                       CAST(len(regexp_extract_all(txt,
+                            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+                       regexp_replace(txt,
+                            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                            '<EMAIL>', 'g') AS txt
+                FROM t0
+            ),
+            t2 AS (
+                SELECT doc_id, n_email,
+                       CAST(len(regexp_extract_all(txt,
+                            '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_ip,
+                       regexp_replace(txt,
+                            '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                            '<IP>', 'g') AS txt
+                FROM t1
+            ),
+            t3 AS (
+                SELECT doc_id, n_email, n_ip,
+                       CAST(len(regexp_extract_all(txt,
+                            '\\+?\\d{3}[-.]\\d{3}[-.]\\d{4}')) AS BIGINT) AS n_phone,
+                       regexp_replace(txt, '\\+?\\d{3}[-.]\\d{3}[-.]\\d{4}',
+                            '<PHONE>', 'g') AS txt
+                FROM t2
+            ),
+            pk AS (
+                SELECT source,
+                       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS s,
+                       arg_min(string_split(text, ' ')[1], doc_id) AS fw,
+                       arg_max(string_split(text, ' ')[-1], doc_id) AS lw
+                FROM documents GROUP BY source
+            )
+            SELECT 'pii' AS leg, CAST(doc_id AS VARCHAR) AS "key",
+                   n_email AS n, n_ip AS n2, n_phone AS n3, txt AS v_str
+            FROM t3
+            UNION ALL
+            SELECT 'pack', source, CAST(CEIL(s / 64.0) AS BIGINT),
+                   CAST(s // 64 AS BIGINT), CAST(s % 64 AS BIGINT),
+                   fw || ':' || lw
+            FROM pk
+        """,
         "sfx_translation": """
             -- closed forms of the 8-rule chain in _q_sfx_translation:
             -- read/write split with x2 scaling, write aggregated per
@@ -3062,14 +3238,14 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(FLOOR(value)), 6) AS field_value_sum
             FROM events GROUP BY 1
         """,
-        "splunk_hec_parse": """
-            SELECT event_id, event_type AS body,
-                   'h' || CAST(user_id AS VARCHAR) AS host, 'main' AS idx
-            FROM events
-        """,
         "fluentforward_parse": """
-            SELECT 'app.' || event_type AS tag, event_id AS eid,
-                   'u' || CAST(user_id AS VARCHAR) AS "user"
+            SELECT 'fluent' AS leg, event_id AS eid,
+                   'app.' || event_type AS s1,
+                   'u' || CAST(user_id AS VARCHAR) AS s2, '' AS s3
+            FROM events
+            UNION ALL
+            SELECT 'splunk', event_id, event_type,
+                   'h' || CAST(user_id AS VARCHAR), 'main'
             FROM events
         """,
         "collectd_parse": """

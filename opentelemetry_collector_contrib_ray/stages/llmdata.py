@@ -1,0 +1,159 @@
+"""Training-data pipeline operators: PII redaction, Gopher-style
+repetition/quality filters, and sequence packing.
+
+These are engine additions beyond the reference's telemetry operators
+(build mandate: "the operations a large-scale training-data pipeline
+would need"). Public-knowledge semantics:
+
+* PII redaction — the standard pre-training scrub (emails / IPv4s /
+  phone numbers replaced by typed placeholder tokens), as popularized
+  by public corpus pipelines (e.g. BigScience ROOTS, RefinedWeb).
+  Pure vectorized regex over a text column; patterns are RE2-safe so a
+  SQL oracle can mirror them with ``regexp_replace(..., 'g')``.
+* Gopher repetition rules — the repetition/quality signals from the
+  Gopher paper's data pipeline (Rae et al. 2021, table A1): duplicate
+  word fraction, alphabetic-word fraction, symbol-to-word ratio, mean
+  word length window, minimum word count. Computed per document with
+  explode + hash-groupby kernels (no per-row Python).
+* Sequence packing — GPT-style "concatenate documents and cut into
+  fixed-length training sequences": within each ``group_col``
+  partition, documents are concatenated in ``order_col`` order and the
+  flat token stream is sliced into chunks of ``seq_len`` (the final
+  partial chunk is kept). Distributed as ONE bucketed shuffle on the
+  group key; each group's pack is a numpy concatenate + stride slice.
+  Partitioning assumption: one group's tokens fit one task (bound
+  seq_len × chunks per group; hot groups land in one bucket — salt
+  upstream if a single source dominates).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .._util import table_from_pandas
+
+# RE2-compatible (no lookaround/backrefs) so DuckDB regexp_replace
+# mirrors them exactly.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d{3}[-.]\d{3}[-.]\d{4}", "<PHONE>"),
+]
+
+
+def redact_pii(batch: pa.Table, text_col: str = "text", out_col: str = "redacted") -> pa.Table:
+    """Replace PII spans with typed placeholders; adds ``n_<kind>``
+    count columns and the redacted text. Patterns apply in PII_PATTERNS
+    order (email before ip before phone) — an oracle must chain its
+    regexp_replace calls in the same order."""
+    s = pd.Series(batch[text_col].to_numpy(zero_copy_only=False), dtype=object).fillna("")
+    for kind, pattern, repl in PII_PATTERNS:
+        n = s.str.count(pattern).astype(np.int64)
+        s = s.str.replace(pattern, repl, regex=True)
+        batch = batch.append_column(f"n_{kind}", pa.array(n.to_numpy(), pa.int64()))
+    return batch.append_column(out_col, pa.array(s.to_numpy(dtype=object), pa.string()))
+
+
+def gopher_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Gopher-style repetition/quality signals per document:
+    ``dup_word_frac`` (1 - distinct/total words), ``alpha_word_frac``
+    (words containing a latin letter), ``symbol_word_ratio``
+    (#/ellipsis occurrences per word), plus ``passes_gopher``
+    combining them with the mean-word-length window [3, 10] and a
+    minimum word count. Explode + groupby kernels, no per-row loops."""
+    s = pd.Series(batch[text_col].to_numpy(zero_copy_only=False), dtype=object).fillna("")
+    words = s.str.split(" ")
+    lens = words.str.len().fillna(0).astype(np.int64)
+    n = len(s)
+    flat = (
+        np.concatenate([np.asarray(w, dtype=object) for w in words.to_numpy()])
+        if n and lens.sum() > 0
+        else np.array([], dtype=object)
+    )
+    ids = np.repeat(np.arange(n), lens.to_numpy())
+    dfw = pd.DataFrame({"i": ids, "w": flat})
+    g = dfw.groupby("i", sort=False)
+    nuniq = g["w"].nunique().reindex(range(n), fill_value=0).to_numpy()
+    alpha = (
+        dfw.assign(a=dfw["w"].str.contains("[A-Za-z]", regex=True, na=False))
+        .groupby("i", sort=False)["a"]
+        .sum()
+        .reindex(range(n), fill_value=0)
+        .to_numpy()
+    )
+    n_words = lens.to_numpy()
+    nz = np.maximum(n_words, 1)
+    dup_word_frac = 1.0 - nuniq / nz
+    alpha_word_frac = alpha / nz
+    n_chars = s.str.len().astype(np.int64).to_numpy()
+    mean_word_len = (n_chars - (n_words - 1)) / nz
+    symbols = (s.str.count("#") + s.str.count(r"\.\.\.")).astype(np.int64).to_numpy()
+    symbol_word_ratio = symbols / nz
+    passes = (
+        (n_words >= 5)
+        & (mean_word_len >= 3.0)
+        & (mean_word_len <= 10.0)
+        & (dup_word_frac < 0.5)
+        & (alpha_word_frac > 0.8)
+        & (symbol_word_ratio < 0.1)
+    )
+    for name, arr, typ in [
+        ("dup_word_frac", dup_word_frac, pa.float64()),
+        ("alpha_word_frac", alpha_word_frac, pa.float64()),
+        ("symbol_word_ratio", symbol_word_ratio, pa.float64()),
+        ("passes_gopher", passes, pa.bool_()),
+    ]:
+        batch = batch.append_column(name, pa.array(arr, typ))
+    return batch
+
+
+def pack_sequences(
+    ds,
+    group_col: str = "source",
+    order_col: str = "doc_id",
+    text_col: str = "text",
+    seq_len: int = 2048,
+    emit_tokens: bool = False,
+    num_buckets: int = 64,
+):
+    """Concat-and-chunk sequence packing per group (see module doc).
+
+    Returns a Dataset of chunk rows: ``(group, chunk_id, chunk_len,
+    first_tok, last_tok[, tokens])``. Tokens here are whitespace words
+    of ``text_col`` (swap in a tokenizer stage upstream to pack real
+    BPE ids — the packing kernel is token-type-agnostic)."""
+    from .aggregate import bucketed_group_apply
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for grp, sub in df.groupby(group_col, sort=False):
+            sub = sub.sort_values(order_col, kind="stable")
+            words = sub[text_col].fillna("").str.split(" ")
+            flat = np.concatenate(
+                [np.asarray(w, dtype=object) for w in words.to_numpy()]
+            ) if len(sub) else np.array([], dtype=object)
+            total = len(flat)
+            n_chunks = (total + seq_len - 1) // seq_len
+            starts = np.arange(n_chunks, dtype=np.int64) * seq_len
+            ends = np.minimum(starts + seq_len, total)
+            rec = {
+                group_col: grp,
+                "chunk_id": np.arange(n_chunks, dtype=np.int64),
+                "chunk_len": (ends - starts).astype(np.int64),
+                "first_tok": flat[starts] if n_chunks else np.array([], dtype=object),
+                "last_tok": flat[ends - 1] if n_chunks else np.array([], dtype=object),
+            }
+            if emit_tokens:
+                rec["tokens"] = [flat[a:b].tolist() for a, b in zip(starts, ends)]
+            out.append(pd.DataFrame(rec))
+        return (
+            pd.concat(out, ignore_index=True)
+            if out
+            else pd.DataFrame(
+                columns=[group_col, "chunk_id", "chunk_len", "first_tok", "last_tok"]
+            )
+        )
+
+    return bucketed_group_apply(ds, group_col, per_bucket, num_buckets=num_buckets)

@@ -1,0 +1,117 @@
+"""Tests for stages/llmdata.py (PII redaction, Gopher repetition
+filters, sequence packing)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray
+
+from opentelemetry_collector_contrib_ray.stages.llmdata import (
+    gopher_stats,
+    pack_sequences,
+    redact_pii,
+)
+
+
+class TestRedactPii:
+    def test_all_kinds(self):
+        t = pa.table(
+            {
+                "text": [
+                    "mail a@b.com from 10.1.2.3 call 555-123-4567",
+                    "clean text with no pii",
+                    "two mails x@y.io and q.r+z@dom.co.uk",
+                ]
+            }
+        )
+        out = redact_pii(t).to_pylist()
+        assert out[0]["redacted"] == "mail <EMAIL> from <IP> call <PHONE>"
+        assert out[0]["n_email"] == 1 and out[0]["n_ip"] == 1 and out[0]["n_phone"] == 1
+        assert out[1]["redacted"] == "clean text with no pii"
+        assert out[1]["n_email"] == 0
+        assert out[2]["n_email"] == 2 and "<EMAIL>" in out[2]["redacted"]
+
+    def test_order_email_before_ip(self):
+        # an address like 1.2.3.4@x.com must be eaten by the email rule
+        t = pa.table({"text": ["ping 1.2.3.4@x.com"]})
+        out = redact_pii(t).to_pylist()[0]
+        assert out["redacted"] == "ping <EMAIL>"
+        assert out["n_ip"] == 0
+
+
+class TestGopherStats:
+    def test_dup_and_alpha_fracs(self):
+        t = pa.table(
+            {
+                "text": [
+                    "spam spam spam spam",  # dup-heavy
+                    "the quick brown fox jumps",  # clean
+                    "1 2 3 4 5",  # numeric, no alpha
+                ]
+            }
+        )
+        out = gopher_stats(t).to_pylist()
+        assert out[0]["dup_word_frac"] == pytest.approx(0.75)
+        assert out[1]["dup_word_frac"] == 0.0
+        assert out[1]["alpha_word_frac"] == 1.0
+        assert out[2]["alpha_word_frac"] == 0.0
+        assert not out[2]["passes_gopher"]
+
+    def test_passes_gopher_on_normal_text(self):
+        t = pa.table({"text": ["the quick brown fox jumps over a lazy dog today"]})
+        assert gopher_stats(t).to_pylist()[0]["passes_gopher"]
+
+    def test_symbol_ratio(self):
+        t = pa.table({"text": ["# # # heading stuff ..."]})
+        r = gopher_stats(t).to_pylist()[0]
+        assert r["symbol_word_ratio"] == pytest.approx(4 / 6)
+        assert not r["passes_gopher"]
+
+
+class TestPackSequences:
+    def _docs(self):
+        rows = []
+        for src, ndocs, wpd in (("a", 5, 7), ("b", 3, 4)):
+            for i in range(ndocs):
+                rows.append(
+                    {
+                        "source": src,
+                        "doc_id": i,
+                        "text": " ".join(f"{src}{i}w{j}" for j in range(wpd)),
+                    }
+                )
+        return pd.DataFrame(rows)
+
+    def test_pack_structure(self, ray_session):
+        df = self._docs()
+        ds = ray.data.from_pandas(df)
+        out = pack_sequences(ds, seq_len=10).to_pandas()
+        a = out[out["source"] == "a"].sort_values("chunk_id")
+        # source a: 5 docs × 7 words = 35 tokens → chunks 10,10,10,5
+        assert list(a["chunk_len"]) == [10, 10, 10, 5]
+        assert a.iloc[0]["first_tok"] == "a0w0"
+        assert a.iloc[-1]["last_tok"] == "a4w6"
+        b = out[out["source"] == "b"].sort_values("chunk_id")
+        # source b: 12 tokens → 10, 2
+        assert list(b["chunk_len"]) == [10, 2]
+
+    def test_token_conservation_and_order(self, ray_session):
+        df = self._docs()
+        ds = ray.data.from_pandas(df)
+        out = pack_sequences(ds, seq_len=10, emit_tokens=True).to_pandas()
+        a = out[out["source"] == "a"].sort_values("chunk_id")
+        flat = [w for toks in a["tokens"] for w in toks]
+        expect = [
+            w
+            for i in range(5)
+            for w in df[(df.source == "a") & (df.doc_id == i)].iloc[0]["text"].split(" ")
+        ]
+        assert flat == expect
+
+    def test_exact_multiple_no_tail(self, ray_session):
+        df = pd.DataFrame(
+            {"source": ["s"] * 2, "doc_id": [0, 1], "text": ["a b c d e", "f g h i j"]}
+        )
+        out = pack_sequences(ray.data.from_pandas(df), seq_len=5).to_pandas()
+        assert list(out.sort_values("chunk_id")["chunk_len"]) == [5, 5]
