@@ -1918,6 +1918,7 @@ def _q_scraper_parse(sf_dir: str):
     from opentelemetry_collector_contrib_ray.sources.scrapers import (
         parse_memcached_stats,
         parse_nginx_stub_status,
+        parse_prometheus_text,
         parse_redis_info,
         parse_zk_mntr,
     )
@@ -1987,6 +1988,21 @@ def _q_scraper_parse(sf_dir: str):
             + " Writing: " + pd.Series(e % 5).astype(str)
             + " Waiting: " + pd.Series(e % 11).astype(str) + "\n"
         )
+        prom = (
+            "# HELP req_total Total requests.\n"
+            + "# TYPE req_total counter\n"
+            + 'req_total{method="get",code="200"} ' + s + "\n"
+            # unsorted label body — canonicalization must sort it
+            + 'req_total{code="500",method="post"} ' + pd.Series(e * 2).astype(str) + "\n"
+            + "# TYPE temp gauge\n"
+            + "temp " + (pd.Series(e % 50).astype(str) + ".5") + "\n"
+            + "# TYPE lat histogram\n"
+            + 'lat_bucket{le="1"} ' + pd.Series(e % 10).astype(str) + "\n"
+            + 'lat_bucket{le="+Inf"} ' + pd.Series(e % 10 + e % 3).astype(str) + "\n"
+            + "lat_sum " + s + "\n"
+            + "lat_count " + pd.Series(e % 10 + e % 3).astype(str) + "\n"
+            + "this line is garbage and must be skipped\n"
+        )
 
         ids = pa.array(e, pa.int64())
         parts = []
@@ -1995,6 +2011,7 @@ def _q_scraper_parse(sf_dir: str):
             ("zk", parse_zk_mntr, zk),
             ("memcached", parse_memcached_stats, mc),
             ("nginx", parse_nginx_stub_status, ng),
+            ("prom", parse_prometheus_text, prom),
         ):
             parsed = parser(
                 pa.table({"server_id": ids, "payload": pa.array(payload.to_numpy(dtype=object), pa.string())})
@@ -2544,6 +2561,13 @@ def _scraper_parse_oracle() -> str:
         ("nginx", "nginx.connections_current", "reading", "TRUE", f"SUM({e} % 3)", "0"),
         ("nginx", "nginx.connections_current", "writing", "TRUE", f"SUM({e} % 5)", "0"),
         ("nginx", "nginx.connections_current", "waiting", "TRUE", f"SUM({e} % 11)", "0"),
+        ("prom", "req_total", 'code="200",method="get"', "TRUE", "0", f"SUM({e})"),
+        ("prom", "req_total", 'code="500",method="post"', "TRUE", "0", f"SUM({e} * 2)"),
+        ("prom", "temp", "", "TRUE", "0", f"SUM(({e} % 50) + 0.5)"),
+        ("prom", "lat_bucket", 'le="1"', "TRUE", "0", f"SUM({e} % 10)"),
+        ("prom", "lat_bucket", 'le="+Inf"', "TRUE", "0", f"SUM(({e} % 10) + ({e} % 3))"),
+        ("prom", "lat_sum", "", "TRUE", "0", f"SUM({e})"),
+        ("prom", "lat_count", "", "TRUE", "0", f"SUM(({e} % 10) + ({e} % 3))"),
     ]
     parts = [
         f"SELECT '{leg}' AS leg, '{name}' AS name, '{lv}' AS label_value, "

@@ -346,6 +346,99 @@ def parse_memcached_stats(
 
 
 # ---------------------------------------------------------------------------
+# Prometheus text exposition format (the parse half of
+# simpleprometheusreceiver / prometheusexecreceiver, which delegate
+# scraping+parsing to the prometheus scrape library; the format itself
+# is public: "# TYPE name {counter|gauge|histogram|summary|untyped}"
+# declarations followed by "name{k=\"v\",...} value [timestamp]"
+# samples; histogram/summary emit name_bucket/name_sum/name_count
+# component series that inherit the base declaration's type)
+# ---------------------------------------------------------------------------
+
+_PROM_SAMPLE_RE = r"^([a-zA-Z_:][a-zA-Z0-9_:]*)(?:\{(.*)\})?\s+(\S+)(?:\s+(-?\d+))?\s*$"
+_PROM_TYPE_RE = r"^#\s*TYPE\s+([a-zA-Z_:][a-zA-Z0-9_:]*)\s+(\w+)\s*$"
+
+# prom type → (mtype, monotonic): counters and histogram/summary
+# cumulative components are monotonic sums; gauges/untyped are gauges
+_PROM_TYPE_MAP = {
+    "counter": ("sum", True),
+    "gauge": ("gauge", False),
+    "histogram": ("sum", True),
+    "summary": ("sum", True),
+    "untyped": ("gauge", False),
+}
+
+
+def _prom_canon_labels(raw: pd.Series) -> pd.Series:
+    """Canonicalize a label body ('b="2",a="1"') to sorted 'a="1",b="2"'
+    so equal label SETS compare equal (prom semantics are set-based)."""
+    parts = raw.fillna("").str.findall(r'([a-zA-Z_][a-zA-Z0-9_]*="(?:[^"\\]|\\.)*")')
+    return parts.map(lambda ps: ",".join(sorted(ps)) if ps else "")
+
+
+def parse_prometheus_text(
+    t: pa.Table, id_col: str = "server_id", payload_col: str = "payload"
+) -> pa.Table:
+    """Vectorized prometheus exposition text → metric rows. Output uses
+    the shared scraper schema with the full canonical label set in
+    ``label_value`` (label_key='labels' when any label is present).
+    Unparseable sample lines and samples with non-numeric values are
+    skipped; NaN/±Inf values parse (prom allows them)."""
+    id_type = t.schema.field(id_col).type
+    flat = _explode_lines(t, id_col, payload_col)
+
+    # --- TYPE declarations: (payload row, base name) -> prom type ---
+    ty = flat["line"].str.extract(_PROM_TYPE_RE)
+    types = flat[["_id"]].assign(base=ty[0], ptype=ty[1])
+    types = types[types["base"].notna()]
+
+    # --- samples ---
+    sm = flat["line"].str.extract(_PROM_SAMPLE_RE)
+    samples = flat[["_id"]].assign(name=sm[0], lbl=sm[1], val=sm[2])
+    samples = samples[samples["name"].notna() & ~flat["line"].str.startswith("#").fillna(False)]
+    vals = pd.to_numeric(
+        samples["val"].str.replace("+Inf", "inf", regex=False).str.replace("-Inf", "-inf", regex=False),
+        errors="coerce",
+    )
+    samples = samples[vals.notna()]
+    vals = vals[vals.notna()]
+    samples = samples.assign(value=vals.astype(np.float64))
+
+    # resolve each sample's declared type: exact base-name match first,
+    # then the component suffixes (_bucket/_sum/_count) against
+    # histogram/summary declarations
+    merged = samples.merge(types, left_on=["_id", "name"], right_on=["_id", "base"], how="left")
+    for suffix in ("_bucket", "_sum", "_count"):
+        miss = merged["ptype"].isna() & merged["name"].str.endswith(suffix)
+        if miss.any():
+            sub = merged[miss].drop(columns=["base", "ptype"])
+            sub = sub.assign(base=sub["name"].str[: -len(suffix)])
+            sub = sub.merge(types, on=["_id", "base"], how="left")
+            # only histogram/summary declarations own component series
+            ok = sub["ptype"].isin(["histogram", "summary"])
+            sub.loc[~ok, "ptype"] = None
+            merged.loc[miss, "ptype"] = sub["ptype"].to_numpy()
+    merged["ptype"] = merged["ptype"].fillna("untyped")
+
+    mt = merged["ptype"].map(lambda p: _PROM_TYPE_MAP.get(p, ("gauge", False)))
+    labels = _prom_canon_labels(merged["lbl"])
+    out = pd.DataFrame(
+        {
+            "_id": merged["_id"],
+            "name": merged["name"],
+            "units": None,
+            "mtype": mt.map(lambda x: x[0]),
+            "monotonic": mt.map(lambda x: x[1]),
+            "label_key": np.where(labels != "", "labels", None),
+            "label_value": labels.where(labels != "", None),
+            "value_int": np.nan,
+            "value_double": merged["value"],
+        }
+    )
+    return _finish(out, id_col, id_type)
+
+
+# ---------------------------------------------------------------------------
 # nginx stub_status (scraper.go:81-93)
 # ---------------------------------------------------------------------------
 

@@ -11,6 +11,7 @@ import pytest
 from opentelemetry_collector_contrib_ray.sources.scrapers import (
     parse_memcached_stats,
     parse_nginx_stub_status,
+    parse_prometheus_text,
     parse_redis_info,
     parse_zk_mntr,
 )
@@ -197,6 +198,70 @@ class TestNginx:
             pa.table({"server_id": pa.array([1], pa.int64()), "payload": ["<html>error</html>"]})
         )
         assert out.num_rows == 0
+
+
+class TestPrometheusText:
+    def _parse(self, payload: str) -> pa.Table:
+        return parse_prometheus_text(
+            pa.table({"server_id": pa.array([1], pa.int64()), "payload": [payload]})
+        )
+
+    def test_counter_gauge_and_untyped(self):
+        payload = "\n".join(
+            [
+                "# HELP http_requests_total Total requests.",
+                "# TYPE http_requests_total counter",
+                'http_requests_total{method="get",code="200"} 1027',
+                'http_requests_total{code="400",method="get"} 3',
+                "# TYPE temp gauge",
+                "temp 36.6",
+                "no_decl 7",
+            ]
+        )
+        out = self._parse(payload)
+        reqs = _by_name(out, "http_requests_total")
+        assert len(reqs) == 2
+        assert all(r["mtype"] == "sum" and r["monotonic"] for r in reqs)
+        # label sets canonicalize sorted → both rows share the key shape
+        lv = sorted(r["label_value"] for r in reqs)
+        assert lv == ['code="200",method="get"', 'code="400",method="get"']
+        by_lv = {r["label_value"]: r["value_double"] for r in reqs}
+        assert by_lv['code="200",method="get"'] == 1027.0
+        t = _by_name(out, "temp")[0]
+        assert t["mtype"] == "gauge" and t["value_double"] == 36.6
+        nd = _by_name(out, "no_decl")[0]
+        assert nd["mtype"] == "gauge" and not nd["monotonic"]
+
+    def test_histogram_components_inherit_type(self):
+        payload = "\n".join(
+            [
+                "# TYPE lat histogram",
+                'lat_bucket{le="0.1"} 5',
+                'lat_bucket{le="+Inf"} 9',
+                "lat_sum 12.5",
+                "lat_count 9",
+            ]
+        )
+        out = self._parse(payload)
+        rows = _rows(out)
+        assert all(r["mtype"] == "sum" and r["monotonic"] for r in rows)
+        buckets = _by_name(out, "lat_bucket")
+        assert {r["label_value"] for r in buckets} == {'le="0.1"', 'le="+Inf"'}
+        assert _by_name(out, "lat_sum")[0]["value_double"] == 12.5
+
+    def test_inf_and_garbage_lines(self):
+        payload = "x 1e3\ny +Inf\nthis is garbage\nz notanumber"
+        out = self._parse(payload)
+        assert _by_name(out, "x")[0]["value_double"] == 1000.0
+        import math
+
+        assert math.isinf(_by_name(out, "y")[0]["value_double"])
+        assert not _by_name(out, "z")
+        assert len(_rows(out)) == 2
+
+    def test_timestamp_suffix_accepted(self):
+        out = self._parse("m{a=\"1\"} 4 1395066363000")
+        assert _by_name(out, "m")[0]["value_double"] == 4.0
 
 
 def test_union_compatible_schemas():
