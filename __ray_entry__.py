@@ -1916,6 +1916,7 @@ def _q_scraper_parse(sf_dir: str):
     import pandas as pd
 
     from opentelemetry_collector_contrib_ray.sources.scrapers import (
+        parse_docker_stats,
         parse_memcached_stats,
         parse_nginx_stub_status,
         parse_prometheus_text,
@@ -2004,6 +2005,28 @@ def _q_scraper_parse(sf_dir: str):
             + "this line is garbage and must be skipped\n"
         )
 
+        def js(x):
+            return pd.Series(x).astype(str)
+
+        docker = (
+            '{"cpu_stats": {"cpu_usage": {"total_usage": ' + js(1000 + e % 128)
+            + ', "usage_in_kernelmode": ' + s + ', "usage_in_usermode": ' + js(e * 2)
+            + ', "percpu_usage": [1, 1]}, "system_cpu_usage": 1256, "online_cpus": 2,'
+            + ' "throttling_data": {"periods": ' + js(e % 7)
+            + ', "throttled_periods": ' + js(e % 5)
+            + ', "throttled_time": ' + js(e % 3) + "}}, "
+            + '"precpu_stats": {"cpu_usage": {"total_usage": 1000}, "system_cpu_usage": 1000}, '
+            + '"memory_stats": {"usage": ' + js(1000 + e % 512)
+            + ', "limit": 512, "max_usage": ' + js(e * 3)
+            + ', "stats": {"cache": 1000, "total_cache": 300, "pgfault": ' + s
+            + ', "rss": ' + js(e % 100) + "}}, "
+            + '"networks": {"eth0": {"rx_bytes": ' + s + ', "tx_bytes": ' + js(e * 2) + "}}, "
+            + '"blkio_stats": {"io_service_bytes_recursive": ['
+            + '{"major": 8, "minor": 0, "op": "Read", "value": ' + s + "}, "
+            + '{"major": 8, "minor": 0, "op": "Write", "value": ' + js(e * 2) + "}, "
+            + '{"major": 8, "minor": 0, "op": "", "value": 99}]}}'
+        )
+
         ids = pa.array(e, pa.int64())
         parts = []
         for leg, parser, payload in (
@@ -2012,6 +2035,7 @@ def _q_scraper_parse(sf_dir: str):
             ("memcached", parse_memcached_stats, mc),
             ("nginx", parse_nginx_stub_status, ng),
             ("prom", parse_prometheus_text, prom),
+            ("docker", parse_docker_stats, docker),
         ):
             parsed = parser(
                 pa.table({"server_id": ids, "payload": pa.array(payload.to_numpy(dtype=object), pa.string())})
@@ -2568,6 +2592,28 @@ def _scraper_parse_oracle() -> str:
         ("prom", "lat_bucket", 'le="+Inf"', "TRUE", "0", f"SUM(({e} % 10) + ({e} % 3))"),
         ("prom", "lat_sum", "", "TRUE", "0", f"SUM({e})"),
         ("prom", "lat_count", "", "TRUE", "0", f"SUM(({e} % 10) + ({e} % 3))"),
+        ("docker", "cpu.usage.system", "", "TRUE", "SUM(1256)", "0"),
+        ("docker", "cpu.usage.total", "", "TRUE", f"SUM(1000 + ({e} % 128))", "0"),
+        ("docker", "cpu.usage.kernelmode", "", "TRUE", f"SUM({e})", "0"),
+        ("docker", "cpu.usage.usermode", "", "TRUE", f"SUM({e} * 2)", "0"),
+        ("docker", "cpu.throttling_data.periods", "", "TRUE", f"SUM({e} % 7)", "0"),
+        ("docker", "cpu.throttling_data.throttled_periods", "", "TRUE", f"SUM({e} % 5)", "0"),
+        ("docker", "cpu.throttling_data.throttled_time", "", "TRUE", f"SUM({e} % 3)", "0"),
+        # cpuΔ=e%128, sysΔ=256, online=2 → (e%128)/256*2*100, 0 when Δ=0
+        ("docker", "cpu.percent", "", "TRUE", "0", f"SUM(({e} % 128) * 0.78125)"),
+        ("docker", "memory.usage.limit", "", "TRUE", "SUM(512)", "0"),
+        ("docker", "memory.usage.total", "", "TRUE", f"SUM(700 + ({e} % 512))", "0"),
+        # 100*(usage-cache)/limit = (e%512)*100/512
+        ("docker", "memory.percent", "", "TRUE", "0", f"SUM(({e} % 512) * 0.1953125)"),
+        ("docker", "memory.usage.max", "", "TRUE", f"SUM({e} * 3)", "0"),
+        ("docker", "memory.cache", "", "TRUE", "SUM(1000)", "0"),
+        ("docker", "memory.total_cache", "", "TRUE", "SUM(300)", "0"),
+        ("docker", "memory.pgfault", "", "TRUE", f"SUM({e})", "0"),
+        ("docker", "memory.rss", "", "TRUE", f"SUM({e} % 100)", "0"),
+        ("docker", "network.io.usage.rx_bytes", "eth0", "TRUE", f"SUM({e})", "0"),
+        ("docker", "network.io.usage.tx_bytes", "eth0", "TRUE", f"SUM({e} * 2)", "0"),
+        ("docker", "blockio.io_service_bytes_recursive.read", "device_major=8,device_minor=0", "TRUE", f"SUM({e})", "0"),
+        ("docker", "blockio.io_service_bytes_recursive.write", "device_major=8,device_minor=0", "TRUE", f"SUM({e} * 2)", "0"),
     ]
     parts = [
         f"SELECT '{leg}' AS leg, '{name}' AS name, '{lv}' AS label_value, "

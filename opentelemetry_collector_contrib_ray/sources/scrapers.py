@@ -439,6 +439,245 @@ def parse_prometheus_text(
 
 
 # ---------------------------------------------------------------------------
+# docker container stats JSON (dockerstatsreceiver/metrics.go:44-288):
+# the docker API /stats response carries cpu_stats + precpu_stats, so
+# the receiver's previous-reading state collapses to fields of the same
+# payload in batch mode. Decoded with pyarrow's vectorized JSON reader
+# (payloads must be single-line JSON, one scrape per row).
+# ---------------------------------------------------------------------------
+
+# metrics.go:205-213 — memory stats that are cumulative counters; all
+# other memory.stats entries are By gauges
+_DOCKER_MEM_CUMULATIVE = {
+    "pgfault",
+    "pgmajfault",
+    "pgpgin",
+    "pgpgout",
+    "total_pgfault",
+    "total_pgmajfault",
+    "total_pgpgin",
+    "total_pgpgout",
+}
+
+_DOCKER_BLKIO_STATS = [
+    ("io_merged_recursive", "1"),
+    ("io_queued_recursive", "1"),
+    ("io_service_bytes_recursive", "By"),
+    ("io_service_time_recursive", "ns"),
+    ("io_serviced_recursive", "1"),
+    ("io_time_recursive", "ms"),
+    ("io_wait_time_recursive", "1"),
+    ("sectors_recursive", "1"),
+]
+
+_DOCKER_NET_STATS = [
+    ("rx_bytes", "By"),
+    ("tx_bytes", "By"),
+    ("rx_dropped", "1"),
+    ("rx_errors", "1"),
+    ("rx_packets", "1"),
+    ("tx_dropped", "1"),
+    ("tx_errors", "1"),
+    ("tx_packets", "1"),
+]
+
+
+def _docker_field(tbl: pa.Table, path: list[str], n: int) -> np.ndarray:
+    """struct_field chain that degrades to NaN when absent anywhere."""
+    import pyarrow.compute as pc
+
+    try:
+        col = tbl[path[0]]
+        for p in path[1:]:
+            col = pc.struct_field(col, p)
+        return pd.to_numeric(pd.Series(col.to_pandas()), errors="coerce").to_numpy(
+            dtype=np.float64
+        )
+    except (KeyError, pa.ArrowInvalid, pa.ArrowTypeError):
+        return np.full(n, np.nan)
+
+
+def parse_docker_stats(
+    t: pa.Table, id_col: str = "server_id", payload_col: str = "payload"
+) -> pa.Table:
+    """Docker stats JSON → metrics: cpu (incl. the docker-cli CPU%%
+    formula, metrics.go:184-204), memory (usage/limit/percent/max +
+    per-stat rows with the cumulative set), per-interface network
+    counters, per-device blockio counters with empty-op entries
+    skipped (metrics.go:117-120)."""
+    import io as _io
+
+    import pyarrow.compute as pc
+    import pyarrow.json as pj
+
+    id_type = t.schema.field(id_col).type
+    ids = t[id_col].to_numpy(zero_copy_only=False)
+    n = len(ids)
+    pay = pd.Series(t[payload_col].to_numpy(zero_copy_only=False), dtype=object).fillna("{}")
+    pay = pay.where(pay.str.len() > 0, "{}")
+    tbl = pj.read_json(_io.BytesIO(("\n".join(pay) + "\n").encode()))
+
+    frames: list[pd.DataFrame] = []
+
+    def emit(name, units, mtype, mono, vals, label_key=None, label_value=None, sel=None):
+        v = np.asarray(vals, dtype=np.float64)
+        keep = ~np.isnan(v) if sel is None else (sel & ~np.isnan(v))
+        if not keep.any():
+            return
+        is_double = name in ("cpu.percent", "memory.percent")
+        lv = label_value
+        if isinstance(label_value, np.ndarray):
+            lv = label_value[keep]
+        frames.append(
+            pd.DataFrame(
+                {
+                    "_id": ids[keep] if len(v) == n else v_ids[keep],
+                    "name": name,
+                    "units": units,
+                    "mtype": mtype,
+                    "monotonic": mono,
+                    "label_key": label_key,
+                    "label_value": lv,
+                    "value_int": np.nan if is_double else v[keep],
+                    "value_double": v[keep] if is_double else np.nan,
+                }
+            )
+        )
+
+    v_ids = ids  # default parent ids for full-length emits
+
+    # --- cpu (metrics.go:132-171) ---
+    total = _docker_field(tbl, ["cpu_stats", "cpu_usage", "total_usage"], n)
+    system = _docker_field(tbl, ["cpu_stats", "system_cpu_usage"], n)
+    emit("cpu.usage.system", "ns", "sum", True, system)
+    emit("cpu.usage.total", "ns", "sum", True, total)
+    emit("cpu.usage.kernelmode", "ns", "sum", True, _docker_field(tbl, ["cpu_stats", "cpu_usage", "usage_in_kernelmode"], n))
+    emit("cpu.usage.usermode", "ns", "sum", True, _docker_field(tbl, ["cpu_stats", "cpu_usage", "usage_in_usermode"], n))
+    emit("cpu.throttling_data.periods", "1", "sum", True, _docker_field(tbl, ["cpu_stats", "throttling_data", "periods"], n))
+    emit("cpu.throttling_data.throttled_periods", "1", "sum", True, _docker_field(tbl, ["cpu_stats", "throttling_data", "throttled_periods"], n))
+    emit("cpu.throttling_data.throttled_time", "ns", "sum", True, _docker_field(tbl, ["cpu_stats", "throttling_data", "throttled_time"], n))
+
+    prev_total = _docker_field(tbl, ["precpu_stats", "cpu_usage", "total_usage"], n)
+    prev_system = _docker_field(tbl, ["precpu_stats", "system_cpu_usage"], n)
+    online = _docker_field(tbl, ["cpu_stats", "online_cpus"], n)
+    # onlineCPUs == 0 → len(percpu_usage) (metrics.go:195-197)
+    try:
+        percpu = tbl["cpu_stats"]
+        percpu = pc.struct_field(percpu, "cpu_usage")
+        percpu = pc.struct_field(percpu, "percpu_usage")
+        ncores = pc.list_value_length(percpu).to_numpy(zero_copy_only=False).astype(np.float64)
+    except (KeyError, pa.ArrowInvalid, pa.ArrowTypeError):
+        ncores = np.zeros(n)
+    online = np.where(np.nan_to_num(online) == 0.0, np.nan_to_num(ncores), online)
+    cpu_delta = total - prev_total
+    sys_delta = system - prev_system
+    with np.errstate(invalid="ignore", divide="ignore"):
+        pct = np.where(
+            (sys_delta > 0) & (cpu_delta > 0),
+            (cpu_delta / sys_delta) * online * 100.0,
+            0.0,
+        )
+    pct = np.where(np.isnan(total) | np.isnan(prev_total), np.nan, pct)
+    emit("cpu.percent", "1", "gauge", False, pct)
+
+    # --- memory (metrics.go:214-256) ---
+    usage = _docker_field(tbl, ["memory_stats", "usage"], n)
+    limit = _docker_field(tbl, ["memory_stats", "limit"], n)
+    cache = _docker_field(tbl, ["memory_stats", "stats", "cache"], n)
+    total_cache = _docker_field(tbl, ["memory_stats", "stats", "total_cache"], n)
+    emit("memory.usage.limit", "By", "gauge", False, limit)
+    emit("memory.usage.total", "By", "gauge", False, usage - np.nan_to_num(total_cache))
+    with np.errstate(invalid="ignore", divide="ignore"):
+        mem_pct = np.where(
+            limit == 0, 0.0, 100.0 * (usage - np.nan_to_num(cache)) / limit
+        )
+    mem_pct = np.where(np.isnan(usage) | np.isnan(limit), np.nan, mem_pct)
+    emit("memory.percent", "1", "gauge", False, mem_pct)
+    emit("memory.usage.max", "By", "gauge", False, _docker_field(tbl, ["memory_stats", "max_usage"], n))
+    if "memory_stats" in tbl.column_names:
+        mtyp = tbl.schema.field("memory_stats").type
+        try:
+            styp = mtyp.field("stats").type
+            stat_names = sorted(styp.field(i).name for i in range(styp.num_fields))
+        except KeyError:
+            stat_names = []
+        for sn in stat_names:
+            cumulative = sn in _DOCKER_MEM_CUMULATIVE
+            emit(
+                f"memory.{sn}",
+                "1" if cumulative else "By",
+                "sum" if cumulative else "gauge",
+                cumulative,
+                _docker_field(tbl, ["memory_stats", "stats", sn], n),
+            )
+
+    # --- network per interface (metrics.go:258-288) ---
+    if "networks" in tbl.column_names:
+        ntyp = tbl.schema.field("networks").type
+        for i in range(ntyp.num_fields):
+            nic = ntyp.field(i).name
+            for stat, units in _DOCKER_NET_STATS:
+                emit(
+                    f"network.io.usage.{stat}",
+                    units,
+                    "sum",
+                    True,
+                    _docker_field(tbl, ["networks", nic, stat], n),
+                    label_key="interface",
+                    label_value=nic,
+                )
+
+    # --- blockio per device entry (metrics.go:100-130) ---
+    if "blkio_stats" in tbl.column_names:
+        btyp = tbl.schema.field("blkio_stats").type
+        present = {btyp.field(i).name for i in range(btyp.num_fields)}
+        for base, units in _DOCKER_BLKIO_STATS:
+            if base not in present:
+                continue
+            lst = pc.struct_field(tbl["blkio_stats"], base)
+            if isinstance(lst, pa.ChunkedArray):
+                lst = lst.combine_chunks()
+            parent = pc.list_parent_indices(lst).to_numpy(zero_copy_only=False)
+            flat = pc.list_flatten(lst)
+            ops = pd.Series(pc.struct_field(flat, "op").to_pandas(), dtype=object).fillna("")
+            vals = pd.to_numeric(
+                pd.Series(pc.struct_field(flat, "value").to_pandas()), errors="coerce"
+            ).to_numpy(dtype=np.float64)
+            major = pd.Series(pc.struct_field(flat, "major").to_pandas()).fillna(0).astype(np.int64)
+            minor = pd.Series(pc.struct_field(flat, "minor").to_pandas()).fillna(0).astype(np.int64)
+            keep = (ops != "").to_numpy(dtype=bool) & ~np.isnan(vals)
+            if not keep.any():
+                continue
+            names = ("blockio." + base + "." + ops.str.lower()).to_numpy(dtype=object)[keep]
+            labels = (
+                "device_major=" + major.astype(str) + ",device_minor=" + minor.astype(str)
+            ).to_numpy(dtype=object)[keep]
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "_id": ids[parent[keep]],
+                        "name": names,
+                        "units": units,
+                        "mtype": "sum",
+                        "monotonic": True,
+                        "label_key": "labels",
+                        "label_value": labels,
+                        "value_int": vals[keep],
+                        "value_double": np.nan,
+                    }
+                )
+            )
+
+    if not frames:
+        out = pd.DataFrame(
+            columns=["_id", "name", "units", "mtype", "monotonic", "label_key", "label_value", "value_int", "value_double"]
+        )
+    else:
+        out = pd.concat(frames, ignore_index=True)
+    return _finish(out, id_col, id_type)
+
+
+# ---------------------------------------------------------------------------
 # nginx stub_status (scraper.go:81-93)
 # ---------------------------------------------------------------------------
 

@@ -200,6 +200,83 @@ class TestNginx:
         assert out.num_rows == 0
 
 
+class TestDockerStats:
+    def _payload(self, **over):
+        import json
+
+        base = {
+            "cpu_stats": {
+                "cpu_usage": {
+                    "total_usage": 1100,
+                    "usage_in_kernelmode": 300,
+                    "usage_in_usermode": 800,
+                    "percpu_usage": [550, 550],
+                },
+                "system_cpu_usage": 2000,
+                "online_cpus": 0,
+                "throttling_data": {"periods": 5, "throttled_periods": 2, "throttled_time": 99},
+            },
+            "precpu_stats": {"cpu_usage": {"total_usage": 1000}, "system_cpu_usage": 1000},
+            "memory_stats": {
+                "usage": 1300,
+                "limit": 512,
+                "max_usage": 4000,
+                "stats": {"cache": 300, "total_cache": 300, "pgfault": 42, "rss": 77},
+            },
+            "networks": {"eth0": {"rx_bytes": 10, "tx_bytes": 20}},
+            "blkio_stats": {
+                "io_service_bytes_recursive": [
+                    {"major": 8, "minor": 0, "op": "Read", "value": 111},
+                    {"major": 8, "minor": 0, "op": "", "value": 999},
+                ]
+            },
+        }
+        base.update(over)
+        return json.dumps(base)
+
+    def _parse(self, payload):
+        from opentelemetry_collector_contrib_ray.sources.scrapers import parse_docker_stats
+
+        return parse_docker_stats(
+            pa.table({"server_id": pa.array([1], pa.int64()), "payload": [payload]})
+        )
+
+    def test_cpu_percent_docker_formula(self):
+        # cpuΔ=100, sysΔ=1000, online falls back to len(percpu)=2
+        # → (100/1000)*2*100 = 20.0 (metrics.go:184-204)
+        out = self._parse(self._payload())
+        assert _by_name(out, "cpu.percent")[0]["value_double"] == 20.0
+
+    def test_cpu_percent_zero_when_no_delta(self):
+        p = self._payload(precpu_stats={"cpu_usage": {"total_usage": 1100}, "system_cpu_usage": 1000})
+        out = self._parse(p)
+        assert _by_name(out, "cpu.percent")[0]["value_double"] == 0.0
+
+    def test_memory_derived_metrics(self):
+        out = self._parse(self._payload())
+        # usage - total_cache (metrics.go:224)
+        assert _by_name(out, "memory.usage.total")[0]["value_int"] == 1000
+        # 100*(usage - cache)/limit (metrics.go:230-235)
+        assert _by_name(out, "memory.percent")[0]["value_double"] == pytest.approx(195.3125)
+        # cumulative set membership (metrics.go:205-213)
+        assert _by_name(out, "memory.pgfault")[0]["mtype"] == "sum"
+        assert _by_name(out, "memory.rss")[0]["mtype"] == "gauge"
+
+    def test_blockio_empty_op_skipped(self):
+        out = self._parse(self._payload())
+        names = [r["name"] for r in _rows(out) if r["name"].startswith("blockio.")]
+        assert names == ["blockio.io_service_bytes_recursive.read"]
+        r = _by_name(out, "blockio.io_service_bytes_recursive.read")[0]
+        assert r["label_value"] == "device_major=8,device_minor=0"
+        assert r["value_int"] == 111
+
+    def test_network_per_interface_labels(self):
+        out = self._parse(self._payload())
+        r = _by_name(out, "network.io.usage.rx_bytes")[0]
+        assert r["label_key"] == "interface" and r["label_value"] == "eth0"
+        assert r["mtype"] == "sum" and r["monotonic"]
+
+
 class TestPrometheusText:
     def _parse(self, payload: str) -> pa.Table:
         return parse_prometheus_text(
