@@ -36,10 +36,23 @@ def _round_cols(ds, cols: dict[str, int]):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
-def _read(sf_dir: str, name: str, columns=None):
+def _read(sf_dir: str, name: str, columns=None, **kw):
     from opentelemetry_collector_contrib_ray.sources.parquet import read_table
 
-    return read_table(sf_dir, name, columns=columns)
+    return read_table(sf_dir, name, columns=columns, **kw)
+
+
+def _compute_blocks() -> int:
+    """Block count for compute-heavy per-row stages: small tables read
+    as 1-2 blocks, which serializes an expensive map_batches onto one
+    core — split the read so every core gets work."""
+    import ray
+
+    try:
+        cores = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:  # noqa: BLE001
+        cores = 8
+    return max(16, 2 * cores)
 
 
 # ----------------------------------------------------------------- flagship
@@ -1790,7 +1803,12 @@ def _q_sfx_translation(sf_dir: str):
         translate_datapoints,
     )
 
-    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type", "value"])
+    ds = _read(
+        sf_dir,
+        "events",
+        ["event_id", "ts", "user_id", "event_type", "value"],
+        override_num_blocks=_compute_blocks(),
+    )
     DIMS = ["host", "state", "dir"]
 
     def mk(t: pa.Table) -> pa.Table:
@@ -1843,7 +1861,9 @@ def _q_sfx_translation(sf_dir: str):
         }
         return pa.table(cols)
 
-    dps = ds.map_batches(mk, batch_format="pyarrow")
+    # small batch_size: keeps the rendered-datapoint fan-out (5 rows per
+    # event) from fusing into a couple of giant tasks downstream
+    dps = ds.map_batches(mk, batch_format="pyarrow", batch_size=2048)
     rules = [
         {"action": "rename_dimension_keys", "mapping": {"host": "host_id"}},
         {"action": "multiply_int", "scale_factors_int": {"disk.ops": 2}},
@@ -1925,7 +1945,7 @@ def _q_scraper_parse(sf_dir: str):
     )
     from opentelemetry_collector_contrib_ray.stages.aggregate import two_phase_agg
 
-    ds = _read(sf_dir, "events", ["event_id"])
+    ds = _read(sf_dir, "events", ["event_id"], override_num_blocks=_compute_blocks())
 
     def render_and_parse(t: pa.Table) -> pa.Table:
         e = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -2059,11 +2079,15 @@ def _q_scraper_parse(sf_dir: str):
             )
         return pa.concat_tables(parts)
 
-    parsed = ds.map_batches(render_and_parse, batch_format="pyarrow")
+    # explicit small batch_size: the render+parse UDF costs ~0.3 ms/row,
+    # and without it the fused chain inherits two_phase_agg's 64k batch
+    # size, bundling the whole table into ~2 tasks (no parallelism)
+    parsed = ds.map_batches(render_and_parse, batch_format="pyarrow", batch_size=2048)
     out = two_phase_agg(
         parsed,
         ["leg", "name", "label_value"],
         {"value_int": ["sum"], "value_double": ["sum"]},
+        batch_size=16 * 1024,
     )
 
     def clean(t: pa.Table) -> pa.Table:

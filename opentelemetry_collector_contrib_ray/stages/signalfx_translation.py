@@ -56,6 +56,7 @@ from typing import Any, Sequence
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .._util import table_from_pandas
 
@@ -336,6 +337,14 @@ class SfxTranslateBatch:
         return _BASE_COLS + dims
 
 
+def _col_type(c: str) -> pa.DataType:
+    if c in ("value_int", "ts"):
+        return pa.int64()
+    if c == "value_double":
+        return pa.float64()
+    return pa.string()
+
+
 def _to_arrow(df: pd.DataFrame, cols: list[str]) -> pa.Table:
     out = {}
     for c in cols:
@@ -355,6 +364,22 @@ def _to_arrow(df: pd.DataFrame, cols: list[str]) -> pa.Table:
     return pa.table(out)
 
 
+def _norm_arrow(t: pa.Table, cols: list[str]) -> pa.Table:
+    """Zero-pandas schema alignment for union compatibility: select the
+    columns in order, cast to the canonical types, null-fill missing."""
+    out = {}
+    for c in cols:
+        want = _col_type(c)
+        if c in t.column_names:
+            col = t[c]
+            if col.type != want:
+                col = pc.cast(col, want)
+        else:
+            col = pa.nulls(t.num_rows, want)
+        out[c] = col
+    return pa.table(out)
+
+
 # ---------------------------------------------------------------------------
 # wide rules
 # ---------------------------------------------------------------------------
@@ -367,12 +392,15 @@ _ABSENT = "\x01absent\x01"
 
 
 def _metric_filter(ds, name_or_names, keep: bool, cols: list[str]):
-    names = {name_or_names} if isinstance(name_or_names, str) else set(name_or_names)
+    names = [name_or_names] if isinstance(name_or_names, str) else list(name_or_names)
 
     def f(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
-        m = df["metric"].isin(names).to_numpy(dtype=bool)
-        return _to_arrow(df[m if keep else ~m], cols)
+        m = pc.is_in(t["metric"], value_set=pa.array(names, pa.string()))
+        if not keep:
+            m = pc.invert(pc.fill_null(m, False))
+        else:
+            m = pc.fill_null(m, False)
+        return _norm_arrow(t.filter(m), cols)
 
     return ds.map_batches(f, batch_format="pyarrow")
 
@@ -392,18 +420,21 @@ def _aggregate_metric(ds, tr: dict, dim_cols: list[str]):
     rest = _metric_filter(ds, name, keep=False, cols=all_cols)
 
     def prep(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
-        df = df[df["metric"] == name]
-        # NULL (absent) dims must group together — sentinel-encode
+        t = t.filter(pc.fill_null(pc.equal(t["metric"], name), False))
+        cols = {"metric": t["metric"], "metric_type": t["metric_type"], "ts": t["ts"]}
+        # NULL (absent) dims must group together — sentinel-encode (arrow)
         for d in kept:
-            df[d] = df[d].where(df[d].notna(), _ABSENT)
-        return table_from_pandas(df[["metric", "metric_type", "ts", *kept, "value_int", "value_double"]])
+            cols[d] = pc.coalesce(pc.cast(t[d], pa.string()), pa.scalar(_ABSENT))
+        cols["value_int"] = t["value_int"]
+        cols["value_double"] = t["value_double"]
+        return pa.table(cols)
 
     keys = ["metric", "metric_type", "ts", *kept]
     agg = two_phase_agg(
         ds.map_batches(prep, batch_format="pyarrow"),
         keys,
         {"value_int": ["count", "sum"], "value_double": ["count", "sum"]},
+        batch_size=16 * 1024,
     )
 
     def finish(t: pa.Table) -> pa.Table:
@@ -444,19 +475,17 @@ def _calculate_new_metric(ds, tr: dict, dim_cols: list[str]):
 
     def prep(which: str, metric: str):
         def f(t: pa.Table) -> pa.Table:
-            df = t.to_pandas()
-            df = df[df["metric"] == metric]
-            v = df["value_int"].astype("float64").where(df["value_int"].notna(), df["value_double"])
-            out = df[["ts"]].copy()
-            out[f"_v{which}"] = v
+            t = t.filter(pc.fill_null(pc.equal(t["metric"], metric), False))
+            v = pc.coalesce(pc.cast(t["value_int"], pa.float64()), t["value_double"])
+            cols = {"ts": t["ts"], f"_v{which}": v}
             if which == "1":
-                out["metric_type"] = df["metric_type"]
+                cols["metric_type"] = t["metric_type"]
             # join keys must be non-null for the hash join: encode dim
             # NULL (absent) as a sentinel so absent==absent matches,
             # mirroring dimensionsEqual's set equality
             for d in dim_cols:
-                out[d] = df[d].where(df[d].notna(), _ABSENT)
-            return table_from_pandas(out)
+                cols[d] = pc.coalesce(pc.cast(t[d], pa.string()), pa.scalar(_ABSENT))
+            return pa.table(cols)
 
         return f
 
@@ -481,8 +510,7 @@ def _calculate_new_metric(ds, tr: dict, dim_cols: list[str]):
         return _to_arrow(out, _BASE_COLS + dim_cols)
 
     norm = ds.map_batches(
-        lambda t: _to_arrow(t.to_pandas(), _BASE_COLS + dim_cols),
-        batch_format="pyarrow",
+        lambda t: _norm_arrow(t, _BASE_COLS + dim_cols), batch_format="pyarrow"
     )
     return norm.union(joined.map_batches(finish, batch_format="pyarrow"))
 
@@ -499,13 +527,13 @@ def _delta_metric(ds, tr: dict, dim_cols: list[str]):
     all_cols = _BASE_COLS + dim_cols
 
     def key_and_filter(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
-        df = df[df["metric"].isin(names)].copy()
-        skey = df["metric"].astype(str)
+        m = pc.fill_null(pc.is_in(t["metric"], value_set=pa.array(sorted(names), pa.string())), False)
+        t = _norm_arrow(t.filter(m), all_cols)
+        parts = [pc.cast(t["metric"], pa.string())]
         for d in dim_cols:
-            skey = skey + "\x1f" + df[d].where(df[d].notna(), _ABSENT).astype(str)
-        df["_skey"] = skey
-        return table_from_pandas(df)
+            parts.append(pc.coalesce(pc.cast(t[d], pa.string()), pa.scalar(_ABSENT)))
+        skey = pc.binary_join_element_wise(*parts, "\x1f")
+        return t.append_column("_skey", skey)
 
     matching = ds.map_batches(key_and_filter, batch_format="pyarrow")
 
@@ -531,7 +559,7 @@ def _delta_metric(ds, tr: dict, dim_cols: list[str]):
     deltas = bucketed_group_apply(matching, "_skey", per_bucket)
 
     norm = ds.map_batches(
-        lambda t: _to_arrow(t.to_pandas(), all_cols), batch_format="pyarrow"
+        lambda t: _norm_arrow(t, all_cols), batch_format="pyarrow"
     )
     fix = deltas.map_batches(
         lambda t: _to_arrow(t.to_pandas(), all_cols), batch_format="pyarrow"
@@ -558,6 +586,12 @@ def translate_datapoints(ds, rules: Sequence[dict], dim_cols: Sequence[str]):
             i = j
         else:
             tr = rules[i]
+            # a wide rule consumes ds on TWO branches (pass-through +
+            # derived); without materialization the lazy upstream
+            # lineage would re-execute once per branch — and compound
+            # across chained wide rules. One bounded materialization
+            # per wide rule keeps every stage computed exactly once.
+            ds = ds.materialize()
             if tr["action"] == "aggregate_metric":
                 ds = _aggregate_metric(ds, tr, dim_cols)
             elif tr["action"] == "calculate_new_metric":
