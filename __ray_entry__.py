@@ -1937,6 +1937,7 @@ def _q_scraper_parse(sf_dir: str):
 
     from opentelemetry_collector_contrib_ray.sources.scrapers import (
         parse_docker_stats,
+        parse_kubelet_summary,
         parse_memcached_stats,
         parse_nginx_stub_status,
         parse_prometheus_text,
@@ -2047,6 +2048,25 @@ def _q_scraper_parse(sf_dir: str):
             + '{"major": 8, "minor": 0, "op": "", "value": 99}]}}'
         )
 
+        # dyadic nanocore values: 1e9 = 1953125 * 512, so
+        # 1953125*e / 1e9 = e/512 — float sums stay exact/order-free
+        kubelet = (
+            '{"node": {"cpu": {"usageNanoCores": ' + js(e * 1953125)
+            + ', "usageCoreNanoSeconds": ' + js(e * 3906250) + "}, "
+            + '"memory": {"usageBytes": ' + js(e * 2)
+            + ', "workingSetBytes": ' + js(e % 64) + "}, "
+            + '"fs": {"usedBytes": ' + js(e * 3) + "}, "
+            + '"network": {"name": "eth0", "rxBytes": ' + s
+            + ', "txBytes": ' + js(e * 2) + "}}, "
+            + '"pods": [{"podRef": {"name": "p0", "namespace": "default"}, '
+            + '"cpu": {"usageNanoCores": ' + js((e % 128) * 1953125) + "}, "
+            + '"memory": {"rssBytes": ' + js(e % 32) + "}, "
+            + '"ephemeral-storage": {"capacityBytes": 1000}, '
+            + '"containers": [{"name": "c0", "memory": {"usageBytes": ' + js(e % 16)
+            + '}, "rootfs": {"usedBytes": ' + js(e % 8) + "}}], "
+            + '"volume": [{"name": "v0", "inodesUsed": ' + js(e % 9) + "}]}]}"
+        )
+
         ids = pa.array(e, pa.int64())
         parts = []
         for leg, parser, payload in (
@@ -2056,6 +2076,7 @@ def _q_scraper_parse(sf_dir: str):
             ("nginx", parse_nginx_stub_status, ng),
             ("prom", parse_prometheus_text, prom),
             ("docker", parse_docker_stats, docker),
+            ("kubelet", parse_kubelet_summary, kubelet),
         ):
             parsed = parser(
                 pa.table({"server_id": ids, "payload": pa.array(payload.to_numpy(dtype=object), pa.string())})
@@ -2638,6 +2659,20 @@ def _scraper_parse_oracle() -> str:
         ("docker", "network.io.usage.tx_bytes", "eth0", "TRUE", f"SUM({e} * 2)", "0"),
         ("docker", "blockio.io_service_bytes_recursive.read", "device_major=8,device_minor=0", "TRUE", f"SUM({e})", "0"),
         ("docker", "blockio.io_service_bytes_recursive.write", "device_major=8,device_minor=0", "TRUE", f"SUM({e} * 2)", "0"),
+        # kubelet leg: 1953125*x/1e9 = x/512 (dyadic-exact doubles)
+        ("kubelet", "k8s.node.cpu.utilization", "", "TRUE", "0", f"SUM({e} * 0.001953125)"),
+        ("kubelet", "k8s.node.cpu.time", "", "TRUE", "0", f"SUM({e} * 0.00390625)"),
+        ("kubelet", "k8s.node.memory.usage", "", "TRUE", f"SUM({e} * 2)", "0"),
+        ("kubelet", "k8s.node.memory.working_set", "", "TRUE", f"SUM({e} % 64)", "0"),
+        ("kubelet", "k8s.node.filesystem.usage", "", "TRUE", f"SUM({e} * 3)", "0"),
+        ("kubelet", "k8s.node.network.io", "interface=eth0,direction=receive", "TRUE", f"SUM({e})", "0"),
+        ("kubelet", "k8s.node.network.io", "interface=eth0,direction=transmit", "TRUE", f"SUM({e} * 2)", "0"),
+        ("kubelet", "k8s.pod.cpu.utilization", "ns=default,pod=p0", "TRUE", "0", f"SUM(({e} % 128) * 0.001953125)"),
+        ("kubelet", "k8s.pod.memory.rss", "ns=default,pod=p0", "TRUE", f"SUM({e} % 32)", "0"),
+        ("kubelet", "k8s.pod.filesystem.capacity", "ns=default,pod=p0", "TRUE", "SUM(1000)", "0"),
+        ("kubelet", "container.memory.usage", "ns=default,pod=p0,container=c0", "TRUE", f"SUM({e} % 16)", "0"),
+        ("kubelet", "container.filesystem.usage", "ns=default,pod=p0,container=c0", "TRUE", f"SUM({e} % 8)", "0"),
+        ("kubelet", "k8s.volume.inodes.used", "ns=default,pod=p0,volume=v0", "TRUE", f"SUM({e} % 9)", "0"),
     ]
     parts = [
         f"SELECT '{leg}' AS leg, '{name}' AS name, '{lv}' AS label_value, "

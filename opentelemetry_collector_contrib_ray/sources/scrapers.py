@@ -678,6 +678,198 @@ def parse_docker_stats(
 
 
 # ---------------------------------------------------------------------------
+# kubelet /stats/summary JSON (kubeletstatsreceiver/kubelet/):
+# accumulator.go:58-143 walks node → pods → containers → volumes and
+# emits the cpu/mem/fs/network metric groups per level; cpu.go
+# (utilization = usageNanoCores/1e9 double gauge, time =
+# usageCoreNanoSeconds/1e9 cumulative double), mem.go (six int
+# gauges), fs.go (three int gauges), network.go (network.io /
+# network.errors cumulative ints with interface+direction labels),
+# volume.go (available/capacity/inodes/inodes.free/inodes.used).
+# Missing JSON fields are skipped (the builders return nil).
+# ---------------------------------------------------------------------------
+
+_KUBELET_MEM = [
+    ("availableBytes", "memory.available", "By"),
+    ("usageBytes", "memory.usage", "By"),
+    ("rssBytes", "memory.rss", "By"),
+    ("workingSetBytes", "memory.working_set", "By"),
+    ("pageFaults", "memory.page_faults", "1"),
+    ("majorPageFaults", "memory.major_page_faults", "1"),
+]
+_KUBELET_FS = [
+    ("availableBytes", "filesystem.available", "By"),
+    ("capacityBytes", "filesystem.capacity", "By"),
+    ("usedBytes", "filesystem.usage", "By"),
+]
+_KUBELET_NET = [
+    ("rxBytes", "network.io", "receive"),
+    ("txBytes", "network.io", "transmit"),
+    ("rxErrors", "network.errors", "receive"),
+    ("txErrors", "network.errors", "transmit"),
+]
+_KUBELET_VOLUME = [
+    ("availableBytes", "available", "By"),
+    ("capacityBytes", "capacity", "By"),
+    ("inodes", "inodes", "1"),
+    ("inodesFree", "inodes.free", "1"),
+    ("inodesUsed", "inodes.used", "1"),
+]
+
+
+def _struct_path(col, path):
+    import pyarrow.compute as pc
+
+    try:
+        for p in path:
+            col = pc.struct_field(col, p)
+        return col
+    except (KeyError, pa.ArrowInvalid, pa.ArrowTypeError):
+        return None
+
+
+def parse_kubelet_summary(
+    t: pa.Table, id_col: str = "server_id", payload_col: str = "payload"
+) -> pa.Table:
+    """kubelet summary JSON → metric rows across the four metric
+    groups (node / pod / container / volume). Pod-scoped rows carry
+    'labels' = 'ns=<namespace>,pod=<name>' (containers add
+    ',container=<name>', volumes ',volume=<name>') — the batch
+    encoding of the reference's resource labels."""
+    import io as _io
+
+    import pyarrow.compute as pc
+    import pyarrow.json as pj
+
+    id_type = t.schema.field(id_col).type
+    ids = t[id_col].to_numpy(zero_copy_only=False)
+    n = len(ids)
+    pay = pd.Series(t[payload_col].to_numpy(zero_copy_only=False), dtype=object).fillna("{}")
+    pay = pay.where(pay.str.len() > 0, "{}")
+    tbl = pj.read_json(_io.BytesIO(("\n".join(pay) + "\n").encode()))
+
+    frames: list[pd.DataFrame] = []
+
+    def vals_of(col):
+        if col is None:
+            return None
+        return pd.to_numeric(pd.Series(col.to_pandas()), errors="coerce").to_numpy(np.float64)
+
+    def emit(row_ids, name, units, mtype, mono, v, label_key=None, label_value=None, double=False):
+        if v is None:
+            return
+        keep = ~np.isnan(v)
+        if not keep.any():
+            return
+        lv = label_value[keep] if isinstance(label_value, np.ndarray) else label_value
+        frames.append(
+            pd.DataFrame(
+                {
+                    "_id": row_ids[keep],
+                    "name": name,
+                    "units": units,
+                    "mtype": mtype,
+                    "monotonic": mono,
+                    "label_key": label_key,
+                    "label_value": lv,
+                    "value_int": np.nan if double else v[keep],
+                    "value_double": v[keep] if double else np.nan,
+                }
+            )
+        )
+
+    def emit_groups(root, prefix, row_ids, labels, fs_key="fs", with_net=True, with_fs=True):
+        """cpu + mem (+fs +network) groups under one struct level."""
+        lk = "labels" if labels is not None else None
+        cores = vals_of(_struct_path(root, ["cpu", "usageNanoCores"]))
+        if cores is not None:
+            emit(row_ids, prefix + "cpu.utilization", "1", "gauge", False, cores / 1e9, lk, labels, double=True)
+        csec = vals_of(_struct_path(root, ["cpu", "usageCoreNanoSeconds"]))
+        if csec is not None:
+            emit(row_ids, prefix + "cpu.time", "s", "sum", True, csec / 1e9, lk, labels, double=True)
+        for key, mname, units in _KUBELET_MEM:
+            emit(row_ids, prefix + mname, units, "gauge", False, vals_of(_struct_path(root, ["memory", key])), lk, labels)
+        if with_fs:
+            for key, mname, units in _KUBELET_FS:
+                emit(row_ids, prefix + mname, units, "gauge", False, vals_of(_struct_path(root, [fs_key, key])), lk, labels)
+        if with_net:
+            nic = _struct_path(root, ["network", "name"])
+            nic_s = pd.Series(nic.to_pandas(), dtype=object).fillna("") if nic is not None else None
+            for key, mname, direction in _KUBELET_NET:
+                v = vals_of(_struct_path(root, ["network", key]))
+                if v is None:
+                    continue
+                base = "interface=" + (nic_s if nic_s is not None else "") + ",direction=" + direction
+                if labels is not None:
+                    base = base + "," + pd.Series(labels)
+                emit(row_ids, prefix + mname, "By" if "io" in mname else "1", "sum", True, v, "labels", base.to_numpy(dtype=object))
+
+    # --- node (accumulator.go:58-76) ---
+    if "node" in tbl.column_names:
+        emit_groups(tbl["node"], "k8s.node.", ids, None)
+
+    # --- pods / containers / volumes ---
+    if "pods" in tbl.column_names:
+        pods = tbl["pods"]
+        if isinstance(pods, pa.ChunkedArray):
+            pods = pods.combine_chunks()
+        pod_parent = pc.list_parent_indices(pods).to_numpy(zero_copy_only=False)
+        pod_ids = ids[pod_parent]
+        flat = pc.list_flatten(pods)
+        pname = pd.Series(_struct_path(flat, ["podRef", "name"]).to_pandas(), dtype=object).fillna("")
+        pns = pd.Series(_struct_path(flat, ["podRef", "namespace"]).to_pandas(), dtype=object).fillna("")
+        plabels = ("ns=" + pns + ",pod=" + pname).to_numpy(dtype=object)
+        emit_groups(flat, "k8s.pod.", pod_ids, plabels, fs_key="ephemeral-storage")
+
+        # containers (accumulator.go:96-117): cpu + mem + rootfs
+        ctyp_ok = True
+        try:
+            conts = pc.struct_field(flat, "containers")
+        except (KeyError, pa.ArrowInvalid):
+            ctyp_ok = False
+        if ctyp_ok and conts is not None and pa.types.is_list(conts.type):
+            c_parent = pc.list_parent_indices(conts).to_numpy(zero_copy_only=False)
+            cflat = pc.list_flatten(conts)
+            cname = pd.Series(_struct_path(cflat, ["name"]).to_pandas(), dtype=object).fillna("")
+            clabels = (
+                pd.Series(plabels[c_parent]) + ",container=" + cname.reset_index(drop=True)
+            ).to_numpy(dtype=object)
+            emit_groups(cflat, "container.", pod_ids[c_parent], clabels, fs_key="rootfs", with_net=False)
+
+        # volumes (accumulator.go:119-143)
+        try:
+            vols = pc.struct_field(flat, "volume")
+        except (KeyError, pa.ArrowInvalid):
+            vols = None
+        if vols is not None and pa.types.is_list(vols.type):
+            v_parent = pc.list_parent_indices(vols).to_numpy(zero_copy_only=False)
+            vflat = pc.list_flatten(vols)
+            vname = pd.Series(_struct_path(vflat, ["name"]).to_pandas(), dtype=object).fillna("")
+            vlabels = (
+                pd.Series(plabels[v_parent]) + ",volume=" + vname.reset_index(drop=True)
+            ).to_numpy(dtype=object)
+            for key, mname, units in _KUBELET_VOLUME:
+                emit(
+                    pod_ids[v_parent],
+                    "k8s.volume." + mname,
+                    units,
+                    "gauge",
+                    False,
+                    vals_of(_struct_path(vflat, [key])),
+                    "labels",
+                    vlabels,
+                )
+
+    if not frames:
+        out = pd.DataFrame(
+            columns=["_id", "name", "units", "mtype", "monotonic", "label_key", "label_value", "value_int", "value_double"]
+        )
+    else:
+        out = pd.concat(frames, ignore_index=True)
+    return _finish(out, id_col, id_type)
+
+
+# ---------------------------------------------------------------------------
 # nginx stub_status (scraper.go:81-93)
 # ---------------------------------------------------------------------------
 

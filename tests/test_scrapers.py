@@ -277,6 +277,68 @@ class TestDockerStats:
         assert r["mtype"] == "sum" and r["monotonic"]
 
 
+class TestKubeletSummary:
+    def _parse(self, payload):
+        import json
+
+        from opentelemetry_collector_contrib_ray.sources.scrapers import (
+            parse_kubelet_summary,
+        )
+
+        return parse_kubelet_summary(
+            pa.table(
+                {"server_id": pa.array([1], pa.int64()), "payload": [json.dumps(payload)]}
+            )
+        )
+
+    def test_node_cpu_scaling(self):
+        # kubelet/cpu.go: utilization = usageNanoCores/1e9 (double
+        # gauge), time = usageCoreNanoSeconds/1e9 (cumulative double)
+        out = self._parse(
+            {"node": {"cpu": {"usageNanoCores": 500000000, "usageCoreNanoSeconds": 2000000000}}}
+        )
+        u = _by_name(out, "k8s.node.cpu.utilization")[0]
+        assert u["value_double"] == 0.5 and u["mtype"] == "gauge"
+        t = _by_name(out, "k8s.node.cpu.time")[0]
+        assert t["value_double"] == 2.0 and t["mtype"] == "sum" and t["monotonic"]
+
+    def test_pod_container_volume_labels(self):
+        out = self._parse(
+            {
+                "pods": [
+                    {
+                        "podRef": {"name": "p1", "namespace": "ns1"},
+                        "memory": {"usageBytes": 99},
+                        "containers": [
+                            {"name": "c1", "rootfs": {"usedBytes": 8}}
+                        ],
+                        "volume": [{"name": "v1", "inodesUsed": 5}],
+                    }
+                ]
+            }
+        )
+        pm = _by_name(out, "k8s.pod.memory.usage")[0]
+        assert pm["label_value"] == "ns=ns1,pod=p1"
+        cf = _by_name(out, "container.filesystem.usage")[0]
+        assert cf["label_value"] == "ns=ns1,pod=p1,container=c1"
+        vi = _by_name(out, "k8s.volume.inodes.used")[0]
+        assert vi["label_value"] == "ns=ns1,pod=p1,volume=v1" and vi["value_int"] == 5
+
+    def test_network_direction_labels(self):
+        out = self._parse(
+            {"node": {"network": {"name": "eth0", "rxBytes": 11, "txErrors": 2}}}
+        )
+        io = {r["label_value"]: r["value_int"] for r in _by_name(out, "k8s.node.network.io")}
+        assert io == {"interface=eth0,direction=receive": 11}
+        err = {r["label_value"]: r["value_int"] for r in _by_name(out, "k8s.node.network.errors")}
+        assert err == {"interface=eth0,direction=transmit": 2}
+
+    def test_missing_fields_skipped(self):
+        out = self._parse({"node": {"memory": {"rssBytes": 1}}})
+        assert len(_rows(out)) == 1
+        assert _by_name(out, "k8s.node.memory.rss")[0]["value_int"] == 1
+
+
 class TestPrometheusText:
     def _parse(self, payload: str) -> pa.Table:
         return parse_prometheus_text(
