@@ -1348,7 +1348,78 @@ def _q_trace_decoders(sf_dir: str):
             ("xrayx", "roundtrip", rt_ok, 0),
         ]
 
-        allrows = xray_rows + sfx_rows + sapm_rows + xrayx_rows
+        # ---- render spans → Wavefront spans (tanzuobservability) ----
+        # transformer.go semantics under test: UUID padding, required
+        # service/application tag fallbacks (service.name consumed),
+        # span.kind enum incl. 'unknown', error/status.message
+        # truncation, w3c.tracestate tag, unset-end zero duration
+        from opentelemetry_collector_contrib_ray.stages.tanzu import (
+            _NIL_UUID,
+            TanzuSpanTransformer,
+        )
+
+        kinds6 = ["client", "server", "producer", "consumer", "internal", "weird"]
+        tin = pa.table(
+            {
+                "trace_id": pa.array([f"{e + 1:032x}" for e in eid], pa.string()),
+                "span_id": pa.array([f"{e + 1:016x}" for e in eid], pa.string()),
+                "parent_span_id": pa.array(
+                    [f"{e + 13:016x}" if e % 3 == 0 else None for e in eid],
+                    pa.string(),
+                ),
+                "name": pa.array(et, pa.string()),
+                "kind": pa.array([kinds6[e % 6] for e in eid], pa.string()),
+                "status_code": pa.array(
+                    [2 if t_ == "error" else 0 for t_ in et], pa.int64()
+                ),
+                "status_message": pa.array(
+                    ["M" * 300 if t_ == "error" else None for t_ in et], pa.string()
+                ),
+                "start_ns": pa.array(epoch * 1_000_000_000, pa.int64()),
+                "end_ns": pa.array(
+                    np.where(eid % 11 == 0, 0, (epoch + dur) * 1_000_000_000),
+                    pa.int64(),
+                ),
+                "trace_state": pa.array(
+                    ["k=v" if e % 7 == 0 else None for e in eid], pa.string()
+                ),
+                "n_events": pa.array(
+                    [1 if t_ == "error" else 0 for t_ in et], pa.int64()
+                ),
+                "service.name": pa.array(
+                    ["svc" if e % 2 == 0 else None for e in eid], pa.string()
+                ),
+                "application": pa.array(
+                    ["myapp" if e % 5 == 0 else None for e in eid], pa.string()
+                ),
+            }
+        )
+        tout = TanzuSpanTransformer(
+            resource_attrs={"env": "prod"},
+            attr_cols=["service.name", "application"],
+        )(tin).to_pandas()
+        ttags = tout["tags"]
+        tanzu_rows = [
+            # duration_ms = dur*1000 except zeroed rows → s100 = ms // 10
+            ("tanzu", "n", len(tout), int(tout["duration_ms"].sum()) // 10),
+            ("tanzu", "error_true", int(ttags.str.contains(r"(?:^|;)error=true(?:;|$)").sum()), 0),
+            ("tanzu", "svc_named", int(ttags.str.contains(r"(?:^|;)service=svc(?:;|$)").sum()), 0),
+            ("tanzu", "svc_default", int(ttags.str.contains(r"(?:^|;)service=defaultService(?:;|$)").sum()), 0),
+            ("tanzu", "app_custom", int(ttags.str.contains(r"(?:^|;)application=myapp(?:;|$)").sum()), 0),
+            ("tanzu", "tracestate", int(ttags.str.contains("w3c.tracestate=", regex=False).sum()), 0),
+            ("tanzu", "parented", int((tout["parent_uuid"] != _NIL_UUID).sum()), 0),
+            ("tanzu", "zero_dur", int((tout["duration_ms"] == 0).sum()), 0),
+            ("tanzu", "msg_trunc", int((ttags.str.extract(r"status\.message=(M+)")[0].str.len() == 240).sum()), 0),
+            ("tanzu", "env_res", int(ttags.str.contains(r"(?:^|;)env=prod(?:;|$)").sum()), 0),
+        ]
+        for i, k in enumerate(kinds6):
+            shown = k if k != "weird" else "unknown"
+            tanzu_rows.append(
+                ("tanzu", f"kind_{shown}",
+                 int(ttags.str.contains(f"span.kind={shown}", regex=False).sum()), 0)
+            )
+
+        allrows = xray_rows + sfx_rows + sapm_rows + xrayx_rows + tanzu_rows
         return pa.table(
             {
                 "signal": pa.array([r[0] for r in allrows], pa.string()),
@@ -3235,11 +3306,58 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL
                 SELECT 'xrayx', 'roundtrip', COUNT(*), CAST(0 AS DECIMAL(18,2))
                 FROM e
+            ),
+            -- tanzuobservability exporter leg (transformer.go): kinds
+            -- cycle e%6 (5 → 'unknown'), service.name consumed on even
+            -- ids else defaultService, application=myapp on %5, error
+            -- spans carry error=true + 240-char truncated message, end
+            -- unset on %11 → zero duration, parent on %3, tracestate
+            -- on %7, resource env=prod on every span
+            tz AS (
+                SELECT 'tanzu' AS signal, 'n' AS "key", COUNT(*) AS cnt,
+                       CAST(SUM(CASE WHEN event_id % 11 = 0 THEN 0 ELSE dur END)
+                            AS DECIMAL(18,2)) AS vsum
+                FROM e
+                UNION ALL
+                SELECT 'tanzu', 'error_true', COUNT(*), CAST(0 AS DECIMAL(18,2))
+                FROM e WHERE event_type = 'error'
+                UNION ALL
+                SELECT 'tanzu', 'svc_named', COUNT(*), CAST(0 AS DECIMAL(18,2))
+                FROM e WHERE event_id % 2 = 0
+                UNION ALL
+                SELECT 'tanzu', 'svc_default', COUNT(*), CAST(0 AS DECIMAL(18,2))
+                FROM e WHERE event_id % 2 = 1
+                UNION ALL
+                SELECT 'tanzu', 'app_custom', COUNT(*), CAST(0 AS DECIMAL(18,2))
+                FROM e WHERE event_id % 5 = 0
+                UNION ALL
+                SELECT 'tanzu', 'tracestate', COUNT(*), CAST(0 AS DECIMAL(18,2))
+                FROM e WHERE event_id % 7 = 0
+                UNION ALL
+                SELECT 'tanzu', 'parented', COUNT(*), CAST(0 AS DECIMAL(18,2))
+                FROM e WHERE event_id % 3 = 0
+                UNION ALL
+                SELECT 'tanzu', 'zero_dur', COUNT(*), CAST(0 AS DECIMAL(18,2))
+                FROM e WHERE event_id % 11 = 0 OR dur = 0
+                UNION ALL
+                SELECT 'tanzu', 'msg_trunc', COUNT(*), CAST(0 AS DECIMAL(18,2))
+                FROM e WHERE event_type = 'error'
+                UNION ALL
+                SELECT 'tanzu', 'env_res', COUNT(*), CAST(0 AS DECIMAL(18,2))
+                FROM e
+                UNION ALL
+                SELECT 'tanzu', 'kind_' ||
+                       CASE event_id % 6 WHEN 0 THEN 'client' WHEN 1 THEN 'server'
+                            WHEN 2 THEN 'producer' WHEN 3 THEN 'consumer'
+                            WHEN 4 THEN 'internal' ELSE 'unknown' END,
+                       COUNT(*), CAST(0 AS DECIMAL(18,2))
+                FROM e GROUP BY 2
             )
             SELECT signal, "key", CAST(cnt AS BIGINT) AS "count",
                    ROUND(CAST(vsum AS DOUBLE), 6) AS value_sum
             FROM (SELECT * FROM x UNION ALL SELECT * FROM s
-                  UNION ALL SELECT * FROM p UNION ALL SELECT * FROM xx)
+                  UNION ALL SELECT * FROM p UNION ALL SELECT * FROM xx
+                  UNION ALL SELECT * FROM tz)
         """,
         "statsd_parse_agg": """
             -- leg 'agg': DECIMAL sum = exact integer arithmetic matching
