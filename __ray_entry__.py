@@ -2008,6 +2008,7 @@ def _q_scraper_parse(sf_dir: str):
 
     from opentelemetry_collector_contrib_ray.sources.scrapers import (
         parse_docker_stats,
+        parse_ecs_task_stats,
         parse_kubelet_summary,
         parse_memcached_stats,
         parse_nginx_stub_status,
@@ -2138,6 +2139,52 @@ def _q_scraper_parse(sf_dir: str):
             + '"volume": [{"name": "v0", "inodesUsed": ' + js(e % 9) + "}]}]}"
         )
 
+        # ECS task (two running containers + one stopped): exercises the
+        # per-container math, the task rollup, and the limit overrides;
+        # the output is pruned to task-level rows + the two
+        # division-semantics container rows + the stopped duration
+        ecs = (
+            '{"metadata": {"TaskARN": "arn:aws:ecs:us-west-2:123:task/t1", '
+            + '"Limits": {"Memory": 4096}, "Containers": ['
+            + '{"DockerId": "d1", "Name": "c1"}, '
+            + '{"DockerId": "d2", "Name": "c2", "Limits": {"CPU": 512, "Memory": 256}}, '
+            + '{"DockerId": "d3", "Name": "c3", "StartedAt": "2020-09-13T00:00:00Z", '
+            + '"FinishedAt": "2020-09-13T00:00:' + pd.Series(e % 30).astype(str).str.zfill(2) + 'Z"}]}, '
+            + '"stats": ['
+            + '{"id": "d1", "read": "2020-09-13T00:00:01Z", "preread": "2020-09-13T00:00:00Z", '
+            + '"memory_stats": {"usage": ' + js(1048576 * (e % 7) + 1048576)
+            + ', "max_usage": ' + js(e * 2) + ', "limit": 536870912, "stats": {"cache": 1048576}}, '
+            + '"cpu_stats": {"cpu_usage": {"total_usage": ' + js(1953125 * (e % 128) + 1000000)
+            + ', "usage_in_kernelmode": ' + s + ', "usage_in_usermode": ' + js(e * 2)
+            + ', "percpu_usage": [1, 1]}, "online_cpus": 2, "system_cpu_usage": ' + js(e * 2) + "}, "
+            + '"precpu_stats": {"cpu_usage": {"total_usage": 1000000}}, '
+            + '"network_rate_stats": {"rx_bytes_per_sec": ' + pd.Series(e * 0.25).astype(str)
+            + ', "tx_bytes_per_sec": ' + pd.Series(e * 0.5).astype(str) + "}, "
+            + '"networks": {"eth0": {"rx_bytes": ' + s + ', "rx_packets": ' + js(e % 3)
+            + ', "rx_errors": ' + js(e % 5) + ', "rx_dropped": ' + js(e % 7)
+            + ', "tx_bytes": ' + js(e * 2) + ', "tx_packets": ' + js(e % 11)
+            + ', "tx_errors": ' + js(e % 13) + ', "tx_dropped": ' + js(e % 17) + "}, "
+            + '"eth1": {"rx_bytes": 1, "rx_packets": 1, "rx_errors": 1, "rx_dropped": 1, '
+            + '"tx_bytes": 1, "tx_packets": 1, "tx_errors": 1, "tx_dropped": 1}}, '
+            + '"blkio_stats": {"io_service_bytes_recursive": ['
+            + '{"op": "Read", "value": ' + js(e * 3) + '}, {"op": "Write", "value": ' + s
+            + '}, {"op": "Total", "value": 99}]}}, '
+            + '{"id": "d2", "read": "2020-09-13T00:00:01Z", "preread": "2020-09-13T00:00:00Z", '
+            + '"memory_stats": {"usage": 2097152, "max_usage": ' + js(e * 4)
+            + ', "limit": 268435456, "stats": {"cache": 0}}, '
+            + '"cpu_stats": {"cpu_usage": {"total_usage": ' + js(1953125 * (e % 64) + 5)
+            + ', "usage_in_kernelmode": ' + js(e % 3) + ', "usage_in_usermode": ' + js(e % 5)
+            + ', "percpu_usage": [1]}, "online_cpus": 1, "system_cpu_usage": ' + s + "}, "
+            + '"precpu_stats": {"cpu_usage": {"total_usage": 5}}, '
+            + '"network_rate_stats": {"rx_bytes_per_sec": ' + pd.Series(e * 0.75).astype(str)
+            + ', "tx_bytes_per_sec": ' + pd.Series(e * 0.5).astype(str) + "}, "
+            + '"networks": {"eth0": {"rx_bytes": 2, "rx_packets": 2, "rx_errors": 2, "rx_dropped": 2, '
+            + '"tx_bytes": 2, "tx_packets": 2, "tx_errors": 2, "tx_dropped": 2}}, '
+            + '"blkio_stats": {"io_service_bytes_recursive": ['
+            + '{"op": "Read", "value": ' + js(e % 11) + '}, {"op": "Write", "value": ' + js(e % 13)
+            + "}]}}]}"
+        )
+
         ids = pa.array(e, pa.int64())
         parts = []
         for leg, parser, payload in (
@@ -2148,10 +2195,22 @@ def _q_scraper_parse(sf_dir: str):
             ("prom", parse_prometheus_text, prom),
             ("docker", parse_docker_stats, docker),
             ("kubelet", parse_kubelet_summary, kubelet),
+            ("ecs", parse_ecs_task_stats, ecs),
         ):
             parsed = parser(
                 pa.table({"server_id": ids, "payload": pa.array(payload.to_numpy(dtype=object), pa.string())})
             )
+            if leg == "ecs":
+                import pandas as _pd
+
+                lv = _pd.Series(parsed["label_value"].to_numpy(zero_copy_only=False))
+                nm = _pd.Series(parsed["name"].to_numpy(zero_copy_only=False))
+                keep = (
+                    (lv == "task=t1")
+                    | (nm == "container.duration")
+                    | (nm == "container.cpu.utilized")
+                ).to_numpy(dtype=bool)
+                parsed = parsed.filter(pa.array(keep))
             name = pc.coalesce(
                 parsed["name"],
                 pc.binary_join_element_wise(
@@ -2744,6 +2803,38 @@ def _scraper_parse_oracle() -> str:
         ("kubelet", "container.memory.usage", "ns=default,pod=p0,container=c0", "TRUE", f"SUM({e} % 16)", "0"),
         ("kubelet", "container.filesystem.usage", "ns=default,pod=p0,container=c0", "TRUE", f"SUM({e} % 8)", "0"),
         ("kubelet", "k8s.volume.inodes.used", "ns=default,pod=p0,volume=v0", "TRUE", f"SUM({e} % 9)", "0"),
+        # ECS leg: task rollups + limit overrides (accumulator.go:92-112);
+        # vcpu = cpuΔ/1e9 with cpuΔ = 1953125*x → x/512 (dyadic)
+        ("ecs", "ecs.task.memory.usage", "task=t1", "TRUE", f"SUM(1048576 * ({e} % 7) + 3145728)", "0"),
+        ("ecs", "ecs.task.memory.usage.max", "task=t1", "TRUE", f"SUM({e} * 6)", "0"),
+        ("ecs", "ecs.task.memory.usage.limit", "task=t1", "TRUE", "SUM(805306368)", "0"),
+        ("ecs", "ecs.task.memory.utilized", "task=t1", "TRUE", f"SUM(({e} % 7) + 2)", "0"),
+        ("ecs", "ecs.task.memory.reserved", "task=t1", "TRUE", "SUM(4096)", "0"),
+        ("ecs", "ecs.task.cpu.usage.total", "task=t1", "TRUE", f"SUM(1953125 * (({e} % 128) + ({e} % 64)) + 1000005)", "0"),
+        ("ecs", "ecs.task.cpu.usage.kernelmode", "task=t1", "TRUE", f"SUM({e} + ({e} % 3))", "0"),
+        ("ecs", "ecs.task.cpu.usage.usermode", "task=t1", "TRUE", f"SUM({e} * 2 + ({e} % 5))", "0"),
+        ("ecs", "ecs.task.cpu.cores", "task=t1", "TRUE", "SUM(3)", "0"),
+        ("ecs", "ecs.task.cpu.onlines", "task=t1", "TRUE", "SUM(3)", "0"),
+        ("ecs", "ecs.task.cpu.usage.system", "task=t1", "TRUE", f"SUM({e} * 3)", "0"),
+        ("ecs", "ecs.task.cpu.utilized", "task=t1", "TRUE", "0", f"SUM((({e} % 128) + ({e} % 64)) * 0.390625)"),
+        ("ecs", "ecs.task.cpu.reserved", "task=t1", "TRUE", "0", "SUM(0.5)"),
+        ("ecs", "ecs.task.cpu.usage.vcpu", "task=t1", "TRUE", "0", f"SUM((({e} % 128) + ({e} % 64)) * 0.001953125)"),
+        ("ecs", "ecs.task.network.rate.rx", "task=t1", "TRUE", "0", f"SUM({e} * 1.0)"),
+        ("ecs", "ecs.task.network.rate.tx", "task=t1", "TRUE", "0", f"SUM({e} * 1.0)"),
+        ("ecs", "ecs.task.network.io.usage.rx_bytes", "task=t1", "TRUE", f"SUM({e} + 3)", "0"),
+        ("ecs", "ecs.task.network.io.usage.rx_packets", "task=t1", "TRUE", f"SUM(({e} % 3) + 3)", "0"),
+        ("ecs", "ecs.task.network.io.usage.rx_errors", "task=t1", "TRUE", f"SUM(({e} % 5) + 3)", "0"),
+        ("ecs", "ecs.task.network.io.usage.rx_dropped", "task=t1", "TRUE", f"SUM(({e} % 7) + 3)", "0"),
+        ("ecs", "ecs.task.network.io.usage.tx_bytes", "task=t1", "TRUE", f"SUM({e} * 2 + 3)", "0"),
+        ("ecs", "ecs.task.network.io.usage.tx_packets", "task=t1", "TRUE", f"SUM(({e} % 11) + 3)", "0"),
+        ("ecs", "ecs.task.network.io.usage.tx_errors", "task=t1", "TRUE", f"SUM(({e} % 13) + 3)", "0"),
+        ("ecs", "ecs.task.network.io.usage.tx_dropped", "task=t1", "TRUE", f"SUM(({e} % 17) + 3)", "0"),
+        ("ecs", "ecs.task.storage.read_bytes", "task=t1", "TRUE", f"SUM({e} * 3 + ({e} % 11))", "0"),
+        ("ecs", "ecs.task.storage.write_bytes", "task=t1", "TRUE", f"SUM({e} + ({e} % 13))", "0"),
+        ("ecs", "container.duration", "container=c3,task=t1", "TRUE", "0", f"SUM({e} % 30)"),
+        ("ecs", "container.cpu.utilized", "container=c1,task=t1", "TRUE", "0", f"SUM(({e} % 128) * 0.1953125)"),
+        # container limit scaling: (vcpu*100)/512 (accumulator.go:87-89)
+        ("ecs", "container.cpu.utilized", "container=c2,task=t1", "TRUE", "0", f"SUM(({e} % 64) * 0.0003814697265625)"),
     ]
     parts = [
         f"SELECT '{leg}' AS leg, '{name}' AS name, '{lv}' AS label_value, "

@@ -678,6 +678,198 @@ def parse_docker_stats(
 
 
 # ---------------------------------------------------------------------------
+# ECS task metadata + stats (awsecscontainermetricsreceiver/
+# awsecscontainermetrics/): metrics_helper.go:20-160 computes the
+# per-container ECSMetrics (memory utilized = (usage-cache)/MiB in
+# integer math, cpu.usage.vcpu = cpuΔ/readΔns, utilization scaled by
+# the container CPU limit, network summed across interfaces, storage
+# from Read/Write blkio ops with other ops ignored);
+# accumulator.go:30-112 joins metadata containers with their stats,
+# rolls containers up into task metrics, overrides reserved values
+# with task-level limits (CPUsInVCpu=1024), recomputes task
+# cpu.utilized against the reserve, and emits a duration gauge for
+# stopped containers; translator.go:21-71 fixes the 27-metric layout
+# per resource. Batch shape: one task per row, `stats` carried as a
+# LIST of per-container stats objects with an `id` field (the batch
+# adaptation of the endpoint's DockerId-keyed map).
+# ---------------------------------------------------------------------------
+
+_ECS_BYTES_IN_MIB = 1024 * 1024
+_ECS_CPUS_IN_VCPU = 1024
+
+# (field, metric suffix, units, mtype, monotonic, double)
+_ECS_LAYOUT = [
+    ("memory_usage", "memory.usage", "Bytes", "gauge", False, False),
+    ("memory_max", "memory.usage.max", "Bytes", "gauge", False, False),
+    ("memory_limit", "memory.usage.limit", "Bytes", "gauge", False, False),
+    ("memory_utilized", "memory.utilized", "MiB", "gauge", False, False),
+    ("memory_reserved", "memory.reserved", "MiB", "gauge", False, False),
+    ("cpu_total", "cpu.usage.total", "NS", "sum", True, False),
+    ("cpu_kernel", "cpu.usage.kernelmode", "NS", "sum", True, False),
+    ("cpu_user", "cpu.usage.usermode", "NS", "sum", True, False),
+    ("cpu_cores", "cpu.cores", "Count", "gauge", False, False),
+    ("cpu_onlines", "cpu.onlines", "Count", "gauge", False, False),
+    ("cpu_system", "cpu.usage.system", "NS", "sum", True, False),
+    ("cpu_utilized", "cpu.utilized", "Percent", "gauge", False, True),
+    ("cpu_reserved", "cpu.reserved", "vCPU", "gauge", False, True),
+    ("cpu_vcpu", "cpu.usage.vcpu", "vCPU", "gauge", False, True),
+    ("rate_rx", "network.rate.rx", "Bytes/Sec", "gauge", False, True),
+    ("rate_tx", "network.rate.tx", "Bytes/Sec", "gauge", False, True),
+    ("net_rx_bytes", "network.io.usage.rx_bytes", "Bytes", "sum", True, False),
+    ("net_rx_packets", "network.io.usage.rx_packets", "Count", "sum", True, False),
+    ("net_rx_errors", "network.io.usage.rx_errors", "Count", "sum", True, False),
+    ("net_rx_dropped", "network.io.usage.rx_dropped", "Count", "sum", True, False),
+    ("net_tx_bytes", "network.io.usage.tx_bytes", "Bytes", "sum", True, False),
+    ("net_tx_packets", "network.io.usage.tx_packets", "Count", "sum", True, False),
+    ("net_tx_errors", "network.io.usage.tx_errors", "Count", "sum", True, False),
+    ("net_tx_dropped", "network.io.usage.tx_dropped", "Count", "sum", True, False),
+    ("storage_read", "storage.read_bytes", "Bytes", "sum", True, False),
+    ("storage_write", "storage.write_bytes", "Bytes", "sum", True, False),
+]
+
+_ECS_SUM_FIELDS = [f for f, *_ in _ECS_LAYOUT]
+
+
+def _ecs_container_metrics(stats: dict) -> dict:
+    """getContainerMetrics (metrics_helper.go:20-90) for one container."""
+    m = {f: 0 for f, *_ in _ECS_LAYOUT}
+    mem = stats.get("memory_stats")
+    if mem is not None:
+        m["memory_usage"] = int(mem.get("usage", 0))
+        m["memory_max"] = int(mem.get("max_usage", 0))
+        m["memory_limit"] = int(mem.get("limit", 0))
+        if mem.get("stats") is not None:
+            # Go uint64 arithmetic → integer division
+            m["memory_utilized"] = (
+                int(mem.get("usage", 0)) - int(mem["stats"].get("cache", 0))
+            ) // _ECS_BYTES_IN_MIB
+    cpu = stats.get("cpu_stats")
+    if cpu is not None and cpu.get("cpu_usage") is not None:
+        cu = cpu["cpu_usage"]
+        m["cpu_cores"] = len(cu.get("percpu_usage") or [])
+        read = pd.Timestamp(stats.get("read"))
+        preread = pd.Timestamp(stats.get("preread"))
+        time_diff_ns = float((read - preread).value) if pd.notna(read) and pd.notna(preread) else 0.0
+        vcpu = 0.0
+        if time_diff_ns > 0:
+            prev = (stats.get("precpu_stats") or {}).get("cpu_usage") or {}
+            vcpu = (float(cu.get("total_usage", 0)) - float(prev.get("total_usage", 0))) / time_diff_ns
+        m["cpu_total"] = int(cu.get("total_usage", 0))
+        m["cpu_kernel"] = int(cu.get("usage_in_kernelmode", 0))
+        m["cpu_user"] = int(cu.get("usage_in_usermode", 0))
+        m["cpu_onlines"] = int(cpu.get("online_cpus", 0))
+        m["cpu_system"] = int(cpu.get("system_cpu_usage", 0))
+        m["cpu_vcpu"] = vcpu
+        m["cpu_utilized"] = vcpu * 100.0
+    rate = stats.get("network_rate_stats")
+    if rate is not None:
+        m["rate_rx"] = float(rate.get("rx_bytes_per_sec", 0.0))
+        m["rate_tx"] = float(rate.get("tx_bytes_per_sec", 0.0))
+    nets = stats.get("networks")
+    if nets is not None:
+        for ns_ in nets.values() if isinstance(nets, dict) else nets:
+            for src, dst in (
+                ("rx_bytes", "net_rx_bytes"),
+                ("rx_packets", "net_rx_packets"),
+                ("rx_errors", "net_rx_errors"),
+                ("rx_dropped", "net_rx_dropped"),
+                ("tx_bytes", "net_tx_bytes"),
+                ("tx_packets", "net_tx_packets"),
+                ("tx_errors", "net_tx_errors"),
+                ("tx_dropped", "net_tx_dropped"),
+            ):
+                m[dst] += int(ns_.get(src, 0))
+    disk = stats.get("blkio_stats")
+    if disk is not None:
+        for bs in disk.get("io_service_bytes_recursive") or []:
+            if bs.get("op") == "Read":
+                m["storage_read"] = int(bs.get("value", 0))
+            elif bs.get("op") == "Write":
+                m["storage_write"] = int(bs.get("value", 0))
+            # other ops (Async/Total/Sum) ignored (metrics_helper.go:118-126)
+    return m
+
+
+def parse_ecs_task_stats(
+    t: pa.Table, id_col: str = "server_id", payload_col: str = "payload"
+) -> pa.Table:
+    """ECS task payload ({"metadata": TaskMetadata, "stats": [...]})
+    → the receiver's container + task metric rows. Labels:
+    'container=<Name>,task=<id-from-ARN>' / 'task=<id>'. Stats objects
+    are matched to metadata containers by DockerId; a container without
+    stats but with StartedAt+FinishedAt emits only `container.duration`
+    (RFC3339 diff in seconds) and is excluded from the task rollup."""
+    import json as _json
+
+    id_type = t.schema.field(id_col).type
+    ids = t[id_col].to_numpy(zero_copy_only=False)
+    pay = t[payload_col].to_pylist()
+
+    recs: list[tuple] = []  # (_id, name, units, mtype, mono, label, vi, vd)
+
+    def emit_block(sid, prefix, label, m):
+        for field, suffix, units, mtype, mono, double in _ECS_LAYOUT:
+            v = m[field]
+            vi = None if double else int(v)
+            vd = float(v) if double else None
+            recs.append((sid, prefix + suffix, units, mtype, mono, label, vi, vd))
+
+    for sid, raw in zip(ids, pay):
+        try:
+            doc = _json.loads(raw) if raw else {}
+        except (TypeError, ValueError):
+            continue
+        meta = doc.get("metadata") or {}
+        stats_list = doc.get("stats") or []
+        stats_by_id = {s.get("id"): s for s in stats_list if isinstance(s, dict)}
+        arn = meta.get("TaskARN", "")
+        task_id = arn.split("/")[-1] if arn else ""
+        task_label = f"task={task_id}"
+        task = {f: 0 for f, *_ in _ECS_LAYOUT}
+
+        for cm in meta.get("Containers") or []:
+            stats = stats_by_id.get(cm.get("DockerId"))
+            label = f"container={cm.get('Name', '')},task={task_id}"
+            if stats is not None and stats.get("id"):
+                m = _ecs_container_metrics(stats)
+                limits = cm.get("Limits") or {}
+                if limits.get("Memory") is not None:
+                    m["memory_reserved"] = int(limits["Memory"])
+                if limits.get("CPU") is not None:
+                    m["cpu_reserved"] = float(limits["CPU"])
+                if m["cpu_reserved"] > 0:
+                    m["cpu_utilized"] = m["cpu_utilized"] / m["cpu_reserved"]
+                emit_block(sid, "container.", label, m)
+                for f in _ECS_SUM_FIELDS:
+                    task[f] += m[f]
+            elif cm.get("FinishedAt") and cm.get("StartedAt"):
+                dur = (
+                    pd.Timestamp(cm["FinishedAt"]) - pd.Timestamp(cm["StartedAt"])
+                ).total_seconds()
+                recs.append(
+                    (sid, "container.duration", "Seconds", "gauge", False, label, None, float(dur))
+                )
+
+        # overrideWithTaskLevelLimit (accumulator.go:92-112)
+        tlim = meta.get("Limits") or {}
+        if tlim.get("Memory") is not None:
+            task["memory_reserved"] = int(tlim["Memory"])
+        task["cpu_reserved"] = task["cpu_reserved"] / _ECS_CPUS_IN_VCPU
+        if tlim.get("CPU") is not None:
+            task["cpu_reserved"] = float(tlim["CPU"])
+        if task["cpu_reserved"] > 0:
+            task["cpu_utilized"] = (task["cpu_vcpu"] / task["cpu_reserved"]) * 100.0
+        emit_block(sid, "ecs.task.", task_label, task)
+
+    out = pd.DataFrame(
+        recs,
+        columns=["_id", "name", "units", "mtype", "monotonic", "label_value", "value_int", "value_double"],
+    )
+    out["label_key"] = "labels"
+    return _finish(out, id_col, id_type)
+
+
+# ---------------------------------------------------------------------------
 # kubelet /stats/summary JSON (kubeletstatsreceiver/kubelet/):
 # accumulator.go:58-143 walks node → pods → containers → volumes and
 # emits the cpu/mem/fs/network metric groups per level; cpu.go

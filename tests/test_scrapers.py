@@ -277,6 +277,116 @@ class TestDockerStats:
         assert r["mtype"] == "sum" and r["monotonic"]
 
 
+class TestEcsTaskStats:
+    def _payload(self):
+        return {
+            "metadata": {
+                "TaskARN": "arn:aws:ecs:us-west-2:123:task/t1",
+                "Limits": {"Memory": 4096},
+                "Containers": [
+                    {"DockerId": "d1", "Name": "c1"},
+                    {"DockerId": "d2", "Name": "c2", "Limits": {"CPU": 512, "Memory": 256}},
+                    {
+                        "DockerId": "d3",
+                        "Name": "c3",
+                        "StartedAt": "2020-09-13T00:00:00Z",
+                        "FinishedAt": "2020-09-13T00:00:15Z",
+                    },
+                ],
+            },
+            "stats": [
+                {
+                    "id": "d1",
+                    "read": "2020-09-13T00:00:01Z",
+                    "preread": "2020-09-13T00:00:00Z",
+                    "memory_stats": {
+                        "usage": 3145728,
+                        "max_usage": 100,
+                        "limit": 536870912,
+                        "stats": {"cache": 1048576},
+                    },
+                    "cpu_stats": {
+                        "cpu_usage": {"total_usage": 196312500, "percpu_usage": [1, 1]},
+                        "online_cpus": 2,
+                        "system_cpu_usage": 99,
+                    },
+                    "precpu_stats": {"cpu_usage": {"total_usage": 1000000}},
+                    "networks": {
+                        "eth0": {"rx_bytes": 10, "tx_bytes": 20},
+                        "eth1": {"rx_bytes": 1, "tx_bytes": 1},
+                    },
+                    "blkio_stats": {
+                        "io_service_bytes_recursive": [
+                            {"op": "Read", "value": 30},
+                            {"op": "Write", "value": 40},
+                            {"op": "Total", "value": 70},
+                        ]
+                    },
+                },
+                {
+                    "id": "d2",
+                    "read": "2020-09-13T00:00:01Z",
+                    "preread": "2020-09-13T00:00:00Z",
+                    "memory_stats": {"usage": 2097152, "stats": {"cache": 0}},
+                    "cpu_stats": {"cpu_usage": {"total_usage": 97656250, "percpu_usage": [1]}},
+                    "precpu_stats": {"cpu_usage": {"total_usage": 0}},
+                },
+            ],
+        }
+
+    def _parse(self):
+        import json
+
+        from opentelemetry_collector_contrib_ray.sources.scrapers import (
+            parse_ecs_task_stats,
+        )
+
+        t = pa.table(
+            {"server_id": pa.array([1], pa.int64()), "payload": [json.dumps(self._payload())]}
+        )
+        return parse_ecs_task_stats(t)
+
+    def _get(self, out, name, label):
+        return [
+            r for r in out.to_pylist() if r["name"] == name and r["label_value"] == label
+        ][0]
+
+    def test_memory_utilized_integer_mib_division(self):
+        # (usage - cache) // MiB in uint math (metrics_helper.go:29-31)
+        out = self._parse()
+        assert self._get(out, "container.memory.utilized", "container=c1,task=t1")["value_int"] == 2
+
+    def test_cpu_vcpu_and_limit_scaled_utilization(self):
+        out = self._parse()
+        c1 = self._get(out, "container.cpu.usage.vcpu", "container=c1,task=t1")
+        assert c1["value_double"] == 0.1953125  # cpuΔ/readΔns
+        # utilization divided by the container CPU limit (accumulator.go:87-89)
+        c2 = self._get(out, "container.cpu.utilized", "container=c2,task=t1")
+        assert c2["value_double"] == pytest.approx(9.765625 / 512)
+
+    def test_task_rollup_and_limit_overrides(self):
+        out = self._parse()
+        # task memory.reserved overridden by task-level limit
+        assert self._get(out, "ecs.task.memory.reserved", "task=t1")["value_int"] == 4096
+        # task cpu.reserved = Σcontainer CPU units / 1024
+        assert self._get(out, "ecs.task.cpu.reserved", "task=t1")["value_double"] == 0.5
+        # task utilized recomputed against the reserve (accumulator.go:106-109)
+        assert self._get(out, "ecs.task.cpu.utilized", "task=t1")["value_double"] == pytest.approx(58.59375)
+        # network summed across containers and interfaces
+        assert self._get(out, "ecs.task.network.io.usage.rx_bytes", "task=t1")["value_int"] == 11
+        # storage from Read/Write ops only, Total ignored
+        assert self._get(out, "ecs.task.storage.read_bytes", "task=t1")["value_int"] == 30
+
+    def test_stopped_container_duration(self):
+        out = self._parse()
+        d = self._get(out, "container.duration", "container=c3,task=t1")
+        assert d["value_double"] == 15.0
+        # stopped container contributes nothing else
+        assert (
+            len([r for r in out.to_pylist() if r["label_value"] == "container=c3,task=t1"]) == 1
+        )
+
+
 class TestKubeletSummary:
     def _parse(self, payload):
         import json
