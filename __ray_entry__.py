@@ -1419,7 +1419,83 @@ def _q_trace_decoders(sf_dir: str):
                  int(ttags.str.contains(f"span.kind={shown}", regex=False).sum()), 0)
             )
 
-        allrows = xray_rows + sfx_rows + sapm_rows + xrayx_rows + tanzu_rows
+        # ---- render spans → App Insights envelopes (azuremonitor) ----
+        # trace_to_envelope.go semantics under test: request/dependency
+        # routing (+InProc), attribute-presence span typing, HTTP status
+        # success window, rpc.grpc.status_code override, db/messaging
+        # data/target fills
+        from opentelemetry_collector_contrib_ray.stages.azuremonitor import (
+            AzureMonitorSpanToEnvelope,
+        )
+
+        def cyc(i, val, default=None):
+            return [val if e % 4 == i else default for e in eid]
+
+        # kind decoupled from the e%4 type cycle so every span type
+        # exercises BOTH the request and the dependency fills
+        akind = [
+            "server"
+            if (e // 4) % 2 == 0
+            else ("internal" if e % 10 == 1 else "client")
+            for e in eid
+        ]
+        ain = pa.table(
+            {
+                "trace_id": pa.array([f"{e + 1:032x}" for e in eid], pa.string()),
+                "span_id": pa.array([f"{e + 1:016x}" for e in eid], pa.string()),
+                "parent_span_id": pa.array([f"{e + 3:016x}" for e in eid], pa.string()),
+                "name": pa.array(et, pa.string()),
+                "kind": pa.array(akind, pa.string()),
+                "status_code": pa.array([2 if t_ == "error" else 0 for t_ in et], pa.int64()),
+                "start_ns": pa.array(epoch * 1_000_000_000, pa.int64()),
+                "end_ns": pa.array((epoch + dur) * 1_000_000_000, pa.int64()),
+                "http.method": pa.array(cyc(0, "GET"), pa.string()),
+                "http.status_code": pa.array(
+                    [
+                        (500 if t_ == "error" else 200) if e % 4 == 0 else None
+                        for e, t_ in zip(eid, et)
+                    ],
+                    pa.int64(),
+                ),
+                "http.url": pa.array(cyc(0, "https://api.example.com:8080/v1"), pa.string()),
+                "rpc.system": pa.array(cyc(1, "grpc"), pa.string()),
+                "rpc.grpc.status_code": pa.array(
+                    [int(e % 17) if e % 4 == 1 else None for e in eid], pa.int64()
+                ),
+                "db.system": pa.array(cyc(2, "mysql"), pa.string()),
+                "db.statement": pa.array(cyc(2, "SELECT 1"), pa.string()),
+                "messaging.system": pa.array(cyc(3, "kafka"), pa.string()),
+                "messaging.url": pa.array(
+                    ["amqp://q" if e % 8 == 3 else None for e in eid], pa.string()
+                ),
+                "net.peer.name": pa.array(cyc(2, "dbh"), pa.string()),
+                "net.peer.port": pa.array(
+                    [3306 if e % 4 == 2 else None for e in eid], pa.int64()
+                ),
+                "net.peer.ip": pa.array(cyc(3, "8.8.8.8"), pa.string()),
+            }
+        )
+        aout = AzureMonitorSpanToEnvelope({"service.name": "svc"})(ain).to_pandas()
+        is_req = aout["envelope_name"].str.endswith("Request")
+        rpc_rows = aout["span_type"] == "rpc"
+        azmon_rows = [
+            ("azmon", "requests", int(is_req.sum()), 0),
+            ("azmon", "dependencies", int((~is_req).sum()), 0),
+            ("azmon", "inproc", int((aout["dep_type"] == "InProc").sum()), 0),
+            ("azmon", "type_http", int((aout["span_type"] == "http").sum()), 0),
+            ("azmon", "type_rpc", int(rpc_rows.sum()), 0),
+            ("azmon", "type_database", int((aout["span_type"] == "database").sum()), 0),
+            ("azmon", "type_messaging", int((aout["span_type"] == "messaging").sum()), 0),
+            ("azmon", "http_fail", int(((aout["span_type"] == "http") & ~aout["success"]).sum()), 0),
+            # Σ int(response_code) over rpc rows == Σ e%17 (grpc override)
+            ("azmon", "rpc_code_sum", int(pd.to_numeric(aout.loc[rpc_rows, "response_code"]).sum()), 0),
+            ("azmon", "db_target", int((aout["target"] == "dbh:3306").sum()), 0),
+            ("azmon", "msg_url_target", int((aout["target"] == "amqp://q").sum()), 0),
+            ("azmon", "http_dep_target", int((aout["target"] == "api.example.com:8080").sum()), 0),
+            ("azmon", "cloud_role", int((aout["cloud_role"] == "svc").sum()), 0),
+        ]
+
+        allrows = xray_rows + sfx_rows + sapm_rows + xrayx_rows + tanzu_rows + azmon_rows
         return pa.table(
             {
                 "signal": pa.array([r[0] for r in allrows], pa.string()),
@@ -3448,7 +3524,52 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(CAST(vsum AS DOUBLE), 6) AS value_sum
             FROM (SELECT * FROM x UNION ALL SELECT * FROM s
                   UNION ALL SELECT * FROM p UNION ALL SELECT * FROM xx
-                  UNION ALL SELECT * FROM tz)
+                  UNION ALL SELECT * FROM tz
+            -- azuremonitor leg (trace_to_envelope.go): kind from
+            -- (e//4)%2 (internal on %10=1), span type from e%4,
+            -- http 500 on errors, grpc code e%17, db/messaging/http
+            -- dependency targets
+            UNION ALL
+            SELECT 'azmon', 'requests', COUNT(*), CAST(0 AS DECIMAL(18,2))
+            FROM e WHERE (event_id // 4) % 2 = 0
+            UNION ALL
+            SELECT 'azmon', 'dependencies', COUNT(*), CAST(0 AS DECIMAL(18,2))
+            FROM e WHERE (event_id // 4) % 2 = 1
+            UNION ALL
+            SELECT 'azmon', 'inproc', COUNT(*), CAST(0 AS DECIMAL(18,2))
+            FROM e WHERE (event_id // 4) % 2 = 1 AND event_id % 10 = 1
+            UNION ALL
+            SELECT 'azmon', 'type_http', COUNT(*), CAST(0 AS DECIMAL(18,2))
+            FROM e WHERE event_id % 4 = 0
+            UNION ALL
+            SELECT 'azmon', 'type_rpc', COUNT(*), CAST(0 AS DECIMAL(18,2))
+            FROM e WHERE event_id % 4 = 1
+            UNION ALL
+            SELECT 'azmon', 'type_database', COUNT(*), CAST(0 AS DECIMAL(18,2))
+            FROM e WHERE event_id % 4 = 2
+            UNION ALL
+            SELECT 'azmon', 'type_messaging', COUNT(*), CAST(0 AS DECIMAL(18,2))
+            FROM e WHERE event_id % 4 = 3
+            UNION ALL
+            SELECT 'azmon', 'http_fail', COUNT(*), CAST(0 AS DECIMAL(18,2))
+            FROM e WHERE event_id % 4 = 0 AND event_type = 'error'
+            UNION ALL
+            SELECT 'azmon', 'rpc_code_sum',
+                   CAST(COALESCE(SUM(event_id % 17), 0) AS BIGINT),
+                   CAST(0 AS DECIMAL(18,2))
+            FROM e WHERE event_id % 4 = 1
+            UNION ALL
+            SELECT 'azmon', 'db_target', COUNT(*), CAST(0 AS DECIMAL(18,2))
+            FROM e WHERE event_id % 4 = 2 AND (event_id // 4) % 2 = 1
+            UNION ALL
+            SELECT 'azmon', 'msg_url_target', COUNT(*), CAST(0 AS DECIMAL(18,2))
+            FROM e WHERE event_id % 8 = 3 AND (event_id // 4) % 2 = 1
+            UNION ALL
+            SELECT 'azmon', 'http_dep_target', COUNT(*), CAST(0 AS DECIMAL(18,2))
+            FROM e WHERE event_id % 4 = 0 AND (event_id // 4) % 2 = 1
+            UNION ALL
+            SELECT 'azmon', 'cloud_role', COUNT(*), CAST(0 AS DECIMAL(18,2))
+            FROM e)
         """,
         "statsd_parse_agg": """
             -- leg 'agg': DECIMAL sum = exact integer arithmetic matching
