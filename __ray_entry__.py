@@ -2085,6 +2085,7 @@ def _q_scraper_parse(sf_dir: str):
     from opentelemetry_collector_contrib_ray.sources.scrapers import (
         parse_docker_stats,
         parse_ecs_task_stats,
+        parse_k8s_objects,
         parse_kubelet_summary,
         parse_memcached_stats,
         parse_nginx_stub_status,
@@ -2261,6 +2262,31 @@ def _q_scraper_parse(sf_dir: str):
             + "}]}}]}"
         )
 
+        # k8s cluster objects: pod phase cycle, container status+spec
+        # resources (cpu in millicores), deployment replicas, node
+        # Ready tri-state, namespace phase
+        phase = pd.Series(
+            np.array(["Pending", "Running", "Succeeded", "Failed", "Unknown"], dtype=object)[e % 5]
+        )
+        cond = pd.Series(np.array(["True", "False", "Unknown"], dtype=object)[e % 3])
+        nsphase = pd.Series(np.where(e % 2 == 0, "Active", "Terminating"))
+        k8sobj = (
+            '[{"kind": "Pod", "metadata": {"name": "p0", "namespace": "default"}, '
+            + '"status": {"phase": "' + phase + '", "containerStatuses": ['
+            + '{"name": "c0", "containerID": "docker://x", "restartCount": ' + js(e % 9)
+            + ', "ready": ' + pd.Series(np.where(e % 2 == 0, "true", "false")) + "}, "
+            + '{"name": "ghost", "containerID": "", "restartCount": 99}]}, '
+            + '"spec": {"containers": [{"name": "c0", "resources": '
+            + '{"requests": {"cpu": "' + js((e % 10) * 100) + 'm"}, '
+            + '"limits": {"memory": "' + js(e % 3) + 'Gi"}}}]}}, '
+            + '{"kind": "Deployment", "metadata": {"name": "d0", "namespace": "default"}, '
+            + '"spec": {"replicas": ' + js(e % 7) + '}, "status": {"availableReplicas": ' + js(e % 5) + "}}, "
+            + '{"kind": "Node", "metadata": {"name": "n0"}, '
+            + '"status": {"conditions": [{"type": "Ready", "status": "' + cond + '"}]}}, '
+            + '{"kind": "Namespace", "metadata": {"name": "default"}, '
+            + '"status": {"phase": "' + nsphase + '"}}]'
+        )
+
         ids = pa.array(e, pa.int64())
         parts = []
         for leg, parser, payload in (
@@ -2272,6 +2298,7 @@ def _q_scraper_parse(sf_dir: str):
             ("docker", parse_docker_stats, docker),
             ("kubelet", parse_kubelet_summary, kubelet),
             ("ecs", parse_ecs_task_stats, ecs),
+            ("k8sobj", parse_k8s_objects, k8sobj),
         ):
             parsed = parser(
                 pa.table({"server_id": ids, "payload": pa.array(payload.to_numpy(dtype=object), pa.string())})
@@ -2911,6 +2938,16 @@ def _scraper_parse_oracle() -> str:
         ("ecs", "container.cpu.utilized", "container=c1,task=t1", "TRUE", "0", f"SUM(({e} % 128) * 0.1953125)"),
         # container limit scaling: (vcpu*100)/512 (accumulator.go:87-89)
         ("ecs", "container.cpu.utilized", "container=c2,task=t1", "TRUE", "0", f"SUM(({e} % 64) * 0.0003814697265625)"),
+        # k8s cluster-object leg (k8sclusterreceiver/collection)
+        ("k8sobj", "k8s.pod.phase", "ns=default,pod=p0", "TRUE", f"SUM(({e} % 5) + 1)", "0"),
+        ("k8sobj", "k8s.container.restarts", "ns=default,pod=p0,container=c0", "TRUE", f"SUM({e} % 9)", "0"),
+        ("k8sobj", "k8s.container.ready", "ns=default,pod=p0,container=c0", "TRUE", f"SUM(CASE WHEN {e} % 2 = 0 THEN 1 ELSE 0 END)", "0"),
+        ("k8sobj", "k8s.container.cpu_request", "ns=default,pod=p0,container=c0", "TRUE", f"SUM(({e} % 10) * 100)", "0"),
+        ("k8sobj", "k8s.container.memory_limit", "ns=default,pod=p0,container=c0", "TRUE", f"SUM(({e} % 3) * 1073741824)", "0"),
+        ("k8sobj", "k8s.deployment.desired", "ns=default,deployment=d0", "TRUE", f"SUM({e} % 7)", "0"),
+        ("k8sobj", "k8s.deployment.available", "ns=default,deployment=d0", "TRUE", f"SUM({e} % 5)", "0"),
+        ("k8sobj", "k8s.node.condition_ready", "node=n0", "TRUE", f"SUM(CASE {e} % 3 WHEN 0 THEN 1 WHEN 1 THEN 0 ELSE -1 END)", "0"),
+        ("k8sobj", "k8s.namespace.phase", "ns=default", "TRUE", f"SUM(CASE WHEN {e} % 2 = 0 THEN 1 ELSE 0 END)", "0"),
     ]
     parts = [
         f"SELECT '{leg}' AS leg, '{name}' AS name, '{lv}' AS label_value, "

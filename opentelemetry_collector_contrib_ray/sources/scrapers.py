@@ -39,6 +39,8 @@ label_key/label_value and NULL values).
 
 from __future__ import annotations
 
+from typing import Sequence
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -1058,6 +1060,135 @@ def parse_kubelet_summary(
         )
     else:
         out = pd.concat(frames, ignore_index=True)
+    return _finish(out, id_col, id_type)
+
+
+# ---------------------------------------------------------------------------
+# k8s object state → metrics (k8sclusterreceiver/collection/): the
+# informer half is out of batch scope; the TRANSLATION half is pure
+# per-object logic: pods.go:31-105 (pod phase 1-5 with unknown=5,
+# per-container-status restarts/ready skipping empty containerIDs,
+# spec request/limit metrics with cpu in millicores),
+# deployments.go (nil spec.replicas → no metrics, else
+# k8s.deployment.desired/available via replica.go),
+# nodes.go:34-88 (k8s.node.condition_<snake> with True=1/False=0/
+# else -1), namespaces.go (phase active=1/terminating=0).
+# Payload: a JSON object or LIST of objects, each with a `kind`.
+# ---------------------------------------------------------------------------
+
+_K8S_POD_PHASE = {"Pending": 1, "Running": 2, "Succeeded": 3, "Failed": 4, "Unknown": 5}
+_K8S_COND_VALUE = {"True": 1, "False": 0}
+_K8S_NS_PHASE = {"Active": 1, "Terminating": 0}
+
+_QTY_SUFFIX = {
+    "Ki": 1024,
+    "Mi": 1024**2,
+    "Gi": 1024**3,
+    "Ti": 1024**4,
+    "k": 1000,
+    "M": 1000**2,
+    "G": 1000**3,
+    "T": 1000**4,
+}
+
+
+def parse_k8s_quantity(s, milli: bool = False) -> int:
+    """k8s resource.Quantity subset: plain numbers, 'm' millis, and
+    binary/decimal suffixes. milli=True returns MilliValue (cpu path,
+    containers.go:75-78), else Value."""
+    s = str(s)
+    if s.endswith("m"):
+        v = float(s[:-1]) / 1000.0
+    else:
+        v = None
+        for suf, mult in _QTY_SUFFIX.items():
+            if s.endswith(suf):
+                v = float(s[: -len(suf)]) * mult
+                break
+        if v is None:
+            v = float(s)
+    return int(round(v * 1000)) if milli else int(np.ceil(v))
+
+
+def _snake(s: str) -> str:
+    import re as _re
+
+    return _re.sub(r"(?<!^)(?=[A-Z])", "_", s).lower()
+
+
+def parse_k8s_objects(
+    t: pa.Table,
+    id_col: str = "server_id",
+    payload_col: str = "payload",
+    node_conditions: Sequence[str] = ("Ready",),
+) -> pa.Table:
+    """k8s object JSON(s) → cluster-state metric rows (shared scraper
+    schema; labels identify the object)."""
+    import json as _json
+
+    id_type = t.schema.field(id_col).type
+    ids = t[id_col].to_numpy(zero_copy_only=False)
+    pay = t[payload_col].to_pylist()
+    recs: list[tuple] = []
+
+    def emit(sid, name, label, value):
+        recs.append((sid, name, None, "gauge", False, "labels", label, int(value), None))
+
+    for sid, raw in zip(ids, pay):
+        try:
+            doc = _json.loads(raw) if raw else []
+        except (TypeError, ValueError):
+            continue
+        objs = doc if isinstance(doc, list) else [doc]
+        for o in objs:
+            kind = o.get("kind")
+            meta = o.get("metadata") or {}
+            nm = meta.get("name", "")
+            ns_ = meta.get("namespace", "")
+            status = o.get("status") or {}
+            spec = o.get("spec") or {}
+            if kind == "Pod":
+                plabel = f"ns={ns_},pod={nm}"
+                emit(sid, "k8s.pod.phase", plabel, _K8S_POD_PHASE.get(status.get("phase"), 5))
+                spec_by_name = {c.get("name"): c for c in spec.get("containers") or []}
+                for cs in status.get("containerStatuses") or []:
+                    if not cs.get("containerID"):
+                        continue  # pods.go:46-48
+                    clabel = plabel + f",container={cs.get('name', '')}"
+                    emit(sid, "k8s.container.restarts", clabel, cs.get("restartCount", 0))
+                    emit(sid, "k8s.container.ready", clabel, 1 if cs.get("ready") else 0)
+                    c = spec_by_name.get(cs.get("name"))
+                    if c is None:
+                        continue  # spec/status mismatch → skip spec metrics
+                    res = c.get("resources") or {}
+                    for typ in ("requests", "limits"):
+                        for rk, rv in (res.get(typ) or {}).items():
+                            val = parse_k8s_quantity(rv, milli=(rk == "cpu"))
+                            suffix = "request" if typ == "requests" else "limit"
+                            emit(sid, f"k8s.container.{rk}_{suffix}", clabel, val)
+            elif kind == "Deployment":
+                if spec.get("replicas") is None:
+                    continue  # deployments.go: nil replicas → no metrics
+                dlabel = f"ns={ns_},deployment={nm}"
+                emit(sid, "k8s.deployment.desired", dlabel, spec["replicas"])
+                emit(sid, "k8s.deployment.available", dlabel, status.get("availableReplicas", 0))
+            elif kind == "Node":
+                nlabel = f"node={nm}"
+                conds = {c.get("type"): c.get("status") for c in status.get("conditions") or []}
+                for ct in node_conditions:
+                    emit(
+                        sid,
+                        f"k8s.node.condition_{_snake(ct)}",
+                        nlabel,
+                        _K8S_COND_VALUE.get(conds.get(ct), -1),
+                    )
+            elif kind == "Namespace":
+                emit(sid, "k8s.namespace.phase", f"ns={nm}", _K8S_NS_PHASE.get(status.get("phase"), 0))
+
+    out = pd.DataFrame(
+        recs,
+        columns=["_id", "name", "units", "mtype", "monotonic", "label_key", "label_value", "value_int", "value_double"],
+    )
     return _finish(out, id_col, id_type)
 
 

@@ -387,6 +387,83 @@ class TestEcsTaskStats:
         )
 
 
+class TestK8sObjects:
+    def _parse(self, objs):
+        import json
+
+        from opentelemetry_collector_contrib_ray.sources.scrapers import (
+            parse_k8s_objects,
+        )
+
+        return parse_k8s_objects(
+            pa.table({"server_id": pa.array([1], pa.int64()), "payload": [json.dumps(objs)]})
+        )
+
+    def test_pod_phase_values(self):
+        # pods.go:92-105: Pending=1..Unknown=5, default 5
+        for phase, want in (("Pending", 1), ("Running", 2), ("Succeeded", 3), ("Failed", 4), ("Weird", 5)):
+            out = self._parse({"kind": "Pod", "metadata": {"name": "p", "namespace": "ns"}, "status": {"phase": phase}})
+            assert _by_name(out, "k8s.pod.phase")[0]["value_int"] == want
+
+    def test_container_status_and_spec_metrics(self):
+        out = self._parse(
+            {
+                "kind": "Pod",
+                "metadata": {"name": "p", "namespace": "ns"},
+                "status": {
+                    "phase": "Running",
+                    "containerStatuses": [
+                        {"name": "c1", "containerID": "docker://x", "restartCount": 3, "ready": True},
+                        {"name": "ghost", "containerID": "", "restartCount": 9},
+                    ],
+                },
+                "spec": {
+                    "containers": [
+                        {"name": "c1", "resources": {"requests": {"cpu": "500m", "memory": "128Mi"}, "limits": {"cpu": "2"}}}
+                    ]
+                },
+            }
+        )
+        assert _by_name(out, "k8s.container.restarts")[0]["value_int"] == 3
+        assert _by_name(out, "k8s.container.ready")[0]["value_int"] == 1
+        # cpu uses MilliValue (containers.go:75-78)
+        assert _by_name(out, "k8s.container.cpu_request")[0]["value_int"] == 500
+        assert _by_name(out, "k8s.container.cpu_limit")[0]["value_int"] == 2000
+        assert _by_name(out, "k8s.container.memory_request")[0]["value_int"] == 128 * 1024 * 1024
+        # empty containerID skipped entirely (pods.go:46-48)
+        assert len(_by_name(out, "k8s.container.restarts")) == 1
+
+    def test_deployment_nil_replicas_skipped(self):
+        out = self._parse({"kind": "Deployment", "metadata": {"name": "d", "namespace": "ns"}, "status": {"availableReplicas": 2}})
+        assert out.num_rows == 0
+        out2 = self._parse(
+            {"kind": "Deployment", "metadata": {"name": "d", "namespace": "ns"}, "spec": {"replicas": 5}, "status": {"availableReplicas": 2}}
+        )
+        assert _by_name(out2, "k8s.deployment.desired")[0]["value_int"] == 5
+        assert _by_name(out2, "k8s.deployment.available")[0]["value_int"] == 2
+
+    def test_node_condition_values_and_snake_name(self):
+        for status, want in (("True", 1), ("False", 0), ("Unknown", -1)):
+            out = self._parse(
+                {"kind": "Node", "metadata": {"name": "n"}, "status": {"conditions": [{"type": "Ready", "status": status}]}}
+            )
+            assert _by_name(out, "k8s.node.condition_ready")[0]["value_int"] == want
+        from opentelemetry_collector_contrib_ray.sources.scrapers import parse_k8s_objects
+        import json
+
+        out = parse_k8s_objects(
+            pa.table({"server_id": pa.array([1], pa.int64()), "payload": [json.dumps({"kind": "Node", "metadata": {"name": "n"}, "status": {}})]}),
+            node_conditions=("MemoryPressure",),
+        )
+        assert out.to_pylist()[0]["name"] == "k8s.node.condition_memory_pressure"
+
+    def test_namespace_phase(self):
+        out = self._parse({"kind": "Namespace", "metadata": {"name": "x"}, "status": {"phase": "Active"}})
+        assert _by_name(out, "k8s.namespace.phase")[0]["value_int"] == 1
+        out2 = self._parse({"kind": "Namespace", "metadata": {"name": "x"}, "status": {"phase": "Terminating"}})
+        assert _by_name(out2, "k8s.namespace.phase")[0]["value_int"] == 0
+
+
 class TestKubeletSummary:
     def _parse(self, payload):
         import json
