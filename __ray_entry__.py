@@ -2431,6 +2431,46 @@ def _q_llm_ops(sf_dir: str):
 
     pii = docs.map_batches(inj_redact, batch_format="pyarrow").to_pandas()
 
+    # --- decon leg: GPT-3-style test-set decontamination. Eval set =
+    # the 8-word span words[3:11] of every doc_id % 37 == 0 document
+    # (≥11 words); the ORACLE recomputes the same flag independently
+    # via word-boundary substring containment in SQL, so the engine's
+    # window-hash implementation is checked against a different
+    # algorithm, not a mirror of itself.
+    from opentelemetry_collector_contrib_ray.stages.llmdata import (
+        NgramDecontaminator,
+        build_eval_grams,
+    )
+
+    def eval_snips(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        txt = pd.Series(t["text"].to_numpy(zero_copy_only=False), dtype=object).fillna("")
+        m = ids % 37 == 0
+        words = txt[m].str.split(" ")
+        snips = words[words.str.len() >= 11].map(lambda w: " ".join(w[3:11]))
+        return pa.table({"snip": pa.array(snips.to_numpy(dtype=object), pa.string())})
+
+    snips = [
+        r["snip"]
+        for r in docs.map_batches(eval_snips, batch_format="pyarrow").take_all()
+    ]
+    grams = build_eval_grams(snips, n=8)
+    decon = (
+        docs.map_batches(NgramDecontaminator(grams, n=8), batch_format="pyarrow")
+        .select_columns(["doc_id", "contaminated"])
+        .to_pandas()
+    )
+    decon_rows = pd.DataFrame(
+        {
+            "leg": "decon",
+            "key": decon["doc_id"].astype(str),
+            "n": decon["contaminated"].astype(np.int64),
+            "n2": 0,
+            "n3": 0,
+            "v_str": "",
+        }
+    )
+
     chunks = pack_sequences(docs, "source", "doc_id", "text", seq_len=64).to_pandas()
     grp = []
     for src, sub in chunks.groupby("source", sort=False):
@@ -2445,7 +2485,7 @@ def _q_llm_ops(sf_dir: str):
                 "v_str": f"{sub.iloc[0]['first_tok']}:{sub.iloc[-1]['last_tok']}",
             }
         )
-    return pd.concat([pii, pd.DataFrame(grp)], ignore_index=True)
+    return pd.concat([pii, pd.DataFrame(grp), decon_rows], ignore_index=True)
 
 
 def _q_splunk_hec_parse(sf_dir: str):
@@ -3679,6 +3719,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(s // 64 AS BIGINT), CAST(s % 64 AS BIGINT),
                    fw || ':' || lw
             FROM pk
+            UNION ALL
+            -- decon leg: independent re-derivation via word-boundary
+            -- substring containment (the engine hashes word windows)
+            SELECT 'decon', CAST(d.doc_id AS VARCHAR),
+                   CASE WHEN EXISTS (
+                       SELECT 1 FROM (
+                           SELECT array_to_string(
+                               list_slice(string_split(text, ' '), 4, 11), ' ') AS gram
+                           FROM documents
+                           WHERE doc_id % 37 = 0
+                             AND len(string_split(text, ' ')) >= 11
+                       ) ev
+                       WHERE contains(' ' || d.text || ' ', ' ' || ev.gram || ' ')
+                   ) THEN 1 ELSE 0 END,
+                   CAST(0 AS BIGINT), CAST(0 AS BIGINT), ''
+            FROM documents d
         """,
         "sfx_translation": """
             -- closed forms of the 8-rule chain in _q_sfx_translation:

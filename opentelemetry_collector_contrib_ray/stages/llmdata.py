@@ -109,6 +109,72 @@ def gopher_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch
 
 
+def build_eval_grams(texts, n: int = 8) -> np.ndarray:
+    """Hash every n-word window of the held-out texts (the small side
+    of decontamination). Returns a SORTED uint64 array to broadcast
+    with ray.put — the lookup side of the scan uses np.isin against
+    it, so the eval set never re-ships per batch."""
+    from .._util import hash_str_u64
+
+    grams: list[np.ndarray] = []
+    for t in texts:
+        words = (t or "").split(" ")
+        if len(words) < n:
+            continue
+        joined = np.array(
+            [" ".join(words[i : i + n]) for i in range(len(words) - n + 1)],
+            dtype=object,
+        )
+        grams.append(hash_str_u64(joined))
+    if not grams:
+        return np.array([], dtype=np.uint64)
+    return np.sort(np.unique(np.concatenate(grams)))
+
+
+class NgramDecontaminator:
+    """GPT-3-style test-set decontamination (Brown et al. 2020,
+    appendix C): flag a training document when ANY of its n-word
+    windows appears in the held-out set's n-gram table.
+
+    Actor-pool stage: ``eval_grams`` (a sorted uint64 hash array,
+    typically a ``ray.put`` handle resolved by Ray's argument
+    de-reference) is held once per actor; ``__call__`` runs one strided
+    window-hash pass per batch and an ``np.isin`` membership against
+    the broadcast table. Adds a ``contaminated`` bool column."""
+
+    def __init__(self, eval_grams: np.ndarray, n: int = 8, text_col: str = "text"):
+        self.grams = np.asarray(eval_grams, dtype=np.uint64)
+        self.n = n
+        self.text_col = text_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from .._util import hash_str_u64
+
+        s = pd.Series(t[self.text_col].to_numpy(zero_copy_only=False), dtype=object).fillna("")
+        words = s.str.split(" ")
+        lens = words.str.len().to_numpy(dtype=np.int64)
+        n = self.n
+        flags = np.zeros(len(s), dtype=bool)
+        n_wins = np.maximum(lens - n + 1, 0)
+        if n_wins.sum() > 0 and len(self.grams):
+            # flat window render: docs side by side, windows per doc
+            flat_words = np.concatenate(
+                [np.asarray(w, dtype=object) for w in words.to_numpy()]
+            )
+            starts = np.repeat(np.cumsum(lens) - lens, n_wins) + np.concatenate(
+                [np.arange(k, dtype=np.int64) for k in n_wins]
+            ) if len(n_wins) else np.array([], dtype=np.int64)
+            doc_of = np.repeat(np.arange(len(s)), n_wins)
+            # windows as joined strings (vectorized char add per position)
+            win = flat_words[starts].astype(object)
+            for off in range(1, n):
+                win = win + " " + flat_words[starts + off]
+            h = hash_str_u64(win.astype(object))
+            hit = np.isin(h, self.grams)
+            np.add.at(flags, doc_of[hit], True)
+        return t.append_column("contaminated", pa.array(flags, pa.bool_()))
+
+
 def pack_sequences(
     ds,
     group_col: str = "source",

@@ -69,6 +69,49 @@ class TestGopherStats:
         assert not r["passes_gopher"]
 
 
+class TestDecontamination:
+    def test_flags_docs_sharing_ngrams(self):
+        from opentelemetry_collector_contrib_ray.stages.llmdata import (
+            NgramDecontaminator,
+            build_eval_grams,
+        )
+
+        eval_texts = ["the quick brown fox jumps over the lazy"]
+        grams = build_eval_grams(eval_texts, n=8)
+        t = pa.table(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "prefix words the quick brown fox jumps over the lazy dog suffix",
+                    "completely different content with no overlap at all here",
+                    "the quick brown fox jumps over the sleepy dog",  # 7-gram only
+                ],
+            }
+        )
+        out = NgramDecontaminator(grams, n=8)(t).to_pylist()
+        assert [r["contaminated"] for r in out] == [True, False, False]
+
+    def test_short_docs_never_flagged(self):
+        from opentelemetry_collector_contrib_ray.stages.llmdata import (
+            NgramDecontaminator,
+            build_eval_grams,
+        )
+
+        grams = build_eval_grams(["one two three four five six seven eight"], n=8)
+        t = pa.table({"text": ["one two three"]})
+        assert NgramDecontaminator(grams, n=8)(t).to_pylist()[0]["contaminated"] is False
+
+    def test_empty_eval_set(self):
+        from opentelemetry_collector_contrib_ray.stages.llmdata import (
+            NgramDecontaminator,
+            build_eval_grams,
+        )
+
+        grams = build_eval_grams([], n=8)
+        t = pa.table({"text": ["a b c d e f g h i"]})
+        assert NgramDecontaminator(grams, n=8)(t).to_pylist()[0]["contaminated"] is False
+
+
 class TestPackSequences:
     def _docs(self):
         rows = []
