@@ -1495,7 +1495,55 @@ def _q_trace_decoders(sf_dir: str):
             ("azmon", "cloud_role", int((aout["cloud_role"] == "svc").sum()), 0),
         ]
 
-        allrows = xray_rows + sfx_rows + sapm_rows + xrayx_rows + tanzu_rows + azmon_rows
+        # ---- group spans → Sentry transactions ----
+        # sentry_exporter.go semantics under test: root-span
+        # transactions, transitive child attachment, orphan spans (and
+        # their children) becoming their own transactions, descriptor
+        # priority, status mapping. Traces here are per-event (batch is
+        # trace-complete) so the per-bucket closure runs in-batch; the
+        # distributed path is sentry_transactions (test_sentry.py).
+        from opentelemetry_collector_contrib_ray.stages.sentry import (
+            _per_bucket_transactions,
+            generate_span_descriptors,
+        )
+
+        srows = []
+        for i in range(len(eid)):
+            e = int(eid[i])
+            tids = f"t{e}"
+            code = 2 if et[i] == "error" else 0
+            srows.append({"trace_id": tids, "span_id": f"r{e}", "parent_span_id": None,
+                          "name": et[i], "kind": "server", "status_code": code,
+                          "http.method": "GET"})
+            if e % 3 == 0:
+                srows.append({"trace_id": tids, "span_id": f"c{e}", "parent_span_id": f"r{e}",
+                              "name": "q", "status_code": 0, "db.system": "mysql",
+                              "db.statement": "SELECT 1"})
+            if e % 9 == 0:
+                srows.append({"trace_id": tids, "span_id": f"g{e}", "parent_span_id": f"c{e}",
+                              "name": "leaf", "status_code": 0})
+            if e % 5 == 0:
+                srows.append({"trace_id": tids, "span_id": f"o{e}", "parent_span_id": "missing",
+                              "name": "lost", "status_code": 0,
+                              "messaging.system": "kafka"})
+        sdf = pd.DataFrame(srows)
+        for c in ("kind", "http.method", "db.system", "db.statement", "rpc.service",
+                  "messaging.system", "faas.trigger", "parent_span_id"):
+            if c not in sdf.columns:
+                sdf[c] = None
+        tx = _per_bucket_transactions(generate_span_descriptors(sdf))
+        sentry_rows = [
+            ("sentry", "transactions", int(len(tx)), 0),
+            ("sentry", "orphans", int(tx["is_orphan"].sum()), 0),
+            ("sentry", "children", int(tx["n_child_spans"].sum()), 0),
+            ("sentry", "op_http_server", int((tx["op"] == "http.server").sum()), 0),
+            ("sentry", "op_message", int((tx["op"] == "message").sum()), 0),
+            ("sentry", "status_unknown", int((tx["status"] == "unknown").sum()), 0),
+        ]
+
+        allrows = (
+            xray_rows + sfx_rows + sapm_rows + xrayx_rows + tanzu_rows + azmon_rows + sentry_rows
+        )
         return pa.table(
             {
                 "signal": pa.array([r[0] for r in allrows], pa.string()),
@@ -3646,7 +3694,33 @@ def oracle_sql() -> dict[str, str]:
             FROM e WHERE event_id % 4 = 0 AND (event_id // 4) % 2 = 1
             UNION ALL
             SELECT 'azmon', 'cloud_role', COUNT(*), CAST(0 AS DECIMAL(18,2))
-            FROM e)
+            FROM e
+            -- sentry leg: one root per event (+1 db child on %3, +1
+            -- grandchild on %9, +1 orphan on %5); transactions = roots
+            -- + orphans; children = attached (incl. transitive) spans
+            UNION ALL
+            SELECT 'sentry', 'transactions',
+                   COUNT(*) + SUM(CASE WHEN event_id % 5 = 0 THEN 1 ELSE 0 END),
+                   CAST(0 AS DECIMAL(18,2))
+            FROM e
+            UNION ALL
+            SELECT 'sentry', 'orphans', COUNT(*), CAST(0 AS DECIMAL(18,2))
+            FROM e WHERE event_id % 5 = 0
+            UNION ALL
+            SELECT 'sentry', 'children',
+                   CAST(SUM(CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END)
+                        + SUM(CASE WHEN event_id % 9 = 0 THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(0 AS DECIMAL(18,2))
+            FROM e
+            UNION ALL
+            SELECT 'sentry', 'op_http_server', COUNT(*), CAST(0 AS DECIMAL(18,2))
+            FROM e
+            UNION ALL
+            SELECT 'sentry', 'op_message', COUNT(*), CAST(0 AS DECIMAL(18,2))
+            FROM e WHERE event_id % 5 = 0
+            UNION ALL
+            SELECT 'sentry', 'status_unknown', COUNT(*), CAST(0 AS DECIMAL(18,2))
+            FROM e WHERE event_type = 'error')
         """,
         "statsd_parse_agg": """
             -- leg 'agg': DECIMAL sum = exact integer arithmetic matching
