@@ -1541,8 +1541,41 @@ def _q_trace_decoders(sf_dir: str):
             ("sentry", "status_unknown", int((tx["status"] == "unknown").sum()), 0),
         ]
 
+        # ---- render spans → honeycomb events ----
+        from opentelemetry_collector_contrib_ray.stages.honeycomb import (
+            HoneycombEvents,
+        )
+
+        hin = pa.table(
+            {
+                "trace_id": pa.array([f"t{e}" for e in eid], pa.string()),
+                "span_id": pa.array([f"s{e}" for e in eid], pa.string()),
+                "name": pa.array(et, pa.string()),
+                "kind": pa.array(["server"] * len(eid), pa.string()),
+                "status_code": pa.array([2 if t_ == "error" else 0 for t_ in et], pa.int64()),
+                "start_ns": pa.array(epoch * 1_000_000_000, pa.int64()),
+                "end_ns": pa.array((epoch + dur) * 1_000_000_000, pa.int64()),
+                "n_links": pa.array((eid % 5 == 0).astype(np.int64), pa.int64()),
+                "n_events": pa.array([1 if t_ == "error" else 0 for t_ in et], pa.int64()),
+                "sr": pa.array(
+                    [int(e % 10) if e % 4 == 0 else None for e in eid], pa.int64()
+                ),
+            }
+        )
+        hout = HoneycombEvents(sample_rate_attribute="sr")(hin).to_pandas()
+        hspans = hout[hout["annotation_type"] == "span"]
+        honey_rows = [
+            ("honey", "spans", int(len(hspans)), int(hspans["duration_ms"].sum()) // 10),
+            ("honey", "links", int((hout["annotation_type"] == "link").sum()), 0),
+            ("honey", "span_events", int((hout["annotation_type"] == "span_event").sum()), 0),
+            ("honey", "sample_rate_sum", int(hspans["sample_rate"].sum()), 0),
+            ("honey", "msg_unset", int((hspans["status_message"] == "STATUS_CODE_UNSET").sum()), 0),
+            ("honey", "msg_error", int((hspans["status_message"] == "STATUS_CODE_ERROR").sum()), 0),
+        ]
+
         allrows = (
-            xray_rows + sfx_rows + sapm_rows + xrayx_rows + tanzu_rows + azmon_rows + sentry_rows
+            xray_rows + sfx_rows + sapm_rows + xrayx_rows + tanzu_rows + azmon_rows
+            + sentry_rows + honey_rows
         )
         return pa.table(
             {
@@ -3720,6 +3753,27 @@ def oracle_sql() -> dict[str, str]:
             FROM e WHERE event_id % 5 = 0
             UNION ALL
             SELECT 'sentry', 'status_unknown', COUNT(*), CAST(0 AS DECIMAL(18,2))
+            FROM e WHERE event_type = 'error'
+            -- honeycomb leg: per-span main events, link/span_event
+            -- fan-out, int-only sample-rate attribute on %4 ids
+            UNION ALL
+            SELECT 'honey', 'spans', COUNT(*), CAST(SUM(dur) AS DECIMAL(18,2)) FROM e
+            UNION ALL
+            SELECT 'honey', 'links', COUNT(*), CAST(0 AS DECIMAL(18,2))
+            FROM e WHERE event_id % 5 = 0
+            UNION ALL
+            SELECT 'honey', 'span_events', COUNT(*), CAST(0 AS DECIMAL(18,2))
+            FROM e WHERE event_type = 'error'
+            UNION ALL
+            SELECT 'honey', 'sample_rate_sum',
+                   CAST(SUM(CASE WHEN event_id % 4 = 0 THEN event_id % 10 ELSE 1 END) AS BIGINT),
+                   CAST(0 AS DECIMAL(18,2))
+            FROM e
+            UNION ALL
+            SELECT 'honey', 'msg_unset', COUNT(*), CAST(0 AS DECIMAL(18,2))
+            FROM e WHERE event_type <> 'error'
+            UNION ALL
+            SELECT 'honey', 'msg_error', COUNT(*), CAST(0 AS DECIMAL(18,2))
             FROM e WHERE event_type = 'error')
         """,
         "statsd_parse_agg": """
