@@ -1762,7 +1762,62 @@ def _q_loki_streams(sf_dir: str):
     emf_decl = wide.map_batches(render_decl, batch_format="pyarrow").map_batches(
         parse_back("emf_decl"), batch_format="pyarrow"
     )
-    return loki.union(emf).union(emf_decl)
+
+    # dynatrace line-protocol legs (stages/sinks.render_dynatrace_lines,
+    # serialization.go): every rendered line is value-checked — the
+    # oracle composes the identical strings in SQL, including the
+    # quirky float trim (format %.6f then rtrim over the "0." charset)
+    def dt_legs(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        from opentelemetry_collector_contrib_ray.stages.sinks import (
+            render_dynatrace_lines,
+        )
+
+        e = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = np.floor(t["value"].to_numpy(zero_copy_only=False)).astype(np.int64)
+        ts_ns = (
+            pc.cast(pc.cast(t["ts"], pa.timestamp("s"), safe=False), pa.int64())
+            .to_numpy() * 1_000_000_000
+        )
+        ids = pd.Series(e).astype(str)
+        base = {
+            "id": pa.array(ids.to_numpy(dtype=object), pa.string()),
+            "host": pa.array(("h" + pd.Series(u).astype(str)).to_numpy(dtype=object), pa.string()),
+            "ts_ns": pa.array(ts_ns, pa.int64()),
+        }
+        ints = pa.table(
+            {"name": pa.array(["evt"] * len(e), pa.string()),
+             "value_int": pa.array(v, pa.int64()), **base}
+        )
+        hist = pa.table(
+            {"name": pa.array(["lat"] * len(e), pa.string()),
+             "hist_sum": pa.array((e % 10) + 0.5, pa.float64()),
+             "hist_count": pa.array(np.full(len(e), 2, np.int64), pa.int64()),
+             **base}
+        )
+        out_rows = []
+        for sink, tbl in (("dt_int", ints), ("dt_hist", hist)):
+            lines = render_dynatrace_lines(
+                tbl, prefix="otel", label_cols=["id", "host"]
+            )["line"].to_pylist()
+            out_rows.extend((sink, ln) for ln in lines)
+        return pa.table(
+            {
+                "sink": pa.array([r[0] for r in out_rows], pa.string()),
+                "key": pa.array([r[1] for r in out_rows], pa.string()),
+                "n_dims": pa.array([0] * len(out_rows), pa.int64()),
+                "latency": pa.array([0] * len(out_rows), pa.int64()),
+                "requests": pa.array([1] * len(out_rows), pa.int64()),
+                "unit": pa.array([""] * len(out_rows), pa.string()),
+            }
+        )
+
+    dt = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"]).map_batches(
+        dt_legs, batch_format="pyarrow"
+    )
+    return loki.union(emf).union(emf_decl).union(dt)
 
 
 def _q_mt_aggregate_label_values(sf_dir: str):
@@ -3483,6 +3538,29 @@ def oracle_sql() -> dict[str, str]:
                    service || '@' || shard || '@' || CAST(ts_ms AS VARCHAR),
                    CAST(3 AS BIGINT), latency, requests, 'Milliseconds'
             FROM emf_wide WHERE service IN ('click', 'view')
+            UNION ALL
+            -- dynatrace int lines: otel.evt,id="..",host=".." v ts_ms
+            SELECT 'dt_int',
+                   'otel.evt,id="' || CAST(event_id AS VARCHAR)
+                     || '",host="h' || CAST(user_id AS VARCHAR) || '" '
+                     || CAST(CAST(FLOOR(value) AS BIGINT) AS VARCHAR) || ' '
+                     || CAST(CAST(FLOOR(epoch(ts)) AS BIGINT) * 1000 AS VARCHAR),
+                   CAST(0 AS BIGINT), CAST(0 AS BIGINT), 1, ''
+            FROM events
+            UNION ALL
+            -- dynatrace histogram lines (min=max=avg quirk + the
+            -- %.6f-then-rtrim("0.") float format)
+            SELECT 'dt_hist',
+                   'otel.lat,id="' || CAST(event_id AS VARCHAR) || '",host="h'
+                     || CAST(user_id AS VARCHAR) || '" gauge,min='
+                     || rtrim(format('{:.6f}', ((event_id % 10) + 0.5) / 2), '0.')
+                     || ',max='
+                     || rtrim(format('{:.6f}', ((event_id % 10) + 0.5) / 2), '0.')
+                     || ',sum=' || rtrim(format('{:.6f}', (event_id % 10) + 0.5), '0.')
+                     || ',count=2 '
+                     || CAST(CAST(FLOOR(epoch(ts)) AS BIGINT) * 1000 AS VARCHAR),
+                   CAST(0 AS BIGINT), CAST(0 AS BIGINT), 1, ''
+            FROM events
         """,
         "mt_aggregate_label_values": """
             SELECT CASE WHEN event_type IN ('click', 'view') THEN 'engagement'

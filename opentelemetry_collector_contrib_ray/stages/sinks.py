@@ -282,3 +282,117 @@ def render_influx_lines(
         )
         line = pc.if_else(pc.is_valid(ts), with_ts, line)  # ts optional per spec
     return batch.append_column("line", line)
+
+
+# --------------------------------------------------------------------------
+# dynatrace metric line protocol (exporter/dynatraceexporter/serialization/
+# serialization.go + metrics_exporter.go:242-260)
+# --------------------------------------------------------------------------
+
+_DT_MAX_METRIC_KEY = 250
+_DT_MAX_DIM_KEY = 100
+
+
+def dt_normalize(s: pd.Series, max_len: int) -> pd.Series:
+    """NormalizeString (serialization.go:137-156): disallowed chars →
+    '_', leading digits/dots stripped, capped, trailing '_' stripped;
+    empty result = error (NaN here, caller drops)."""
+    out = (
+        s.fillna("")
+        .str.replace(r"[^A-Za-z0-9.-]+", "_", regex=True)
+        .str.lstrip(".0123456789")
+        .str.slice(0, max_len)
+        .str.rstrip("_")
+    )
+    return out.where(out != "", None)
+
+
+def _dt_float(v: pd.Series) -> pd.Series:
+    """serializeFloat64 (serialization.go:170-181) reproduced
+    bug-for-bug: FormatFloat(f, 'f', 6) then TrimRight over the CHAR
+    SET "0." — so 100.000000 renders as "1" and 0.000000 as "0"."""
+    s = v.map(lambda x: f"{x:.6f}").str.rstrip("0.")
+    return s.where(s != "", "0")
+
+
+def _dt_escape(v: pd.Series) -> pd.Series:
+    """escapeDimension (serialization.go:133-135) in the reference's
+    order: quotes escaped FIRST, then every backslash doubled — so a
+    literal quote ends up as backslash-backslash-quote."""
+    e = (
+        v.fillna("")
+        .str.replace('"', '\\"', regex=False)
+        .str.replace("\\", "\\\\", regex=False)
+    )
+    return '"' + e + '"'
+
+
+def render_dynatrace_lines(
+    batch: pa.Table,
+    prefix: str = "",
+    exporter_tags: Sequence[str] = (),
+    name_col: str = "name",
+    ts_ns_col: str = "ts_ns",
+    label_cols: Sequence[str] = (),
+) -> pa.Table:
+    """Metric rows → dynatrace line-protocol strings.
+
+    Value sources per row: ``value_int`` → int line; else
+    ``value_double`` → quirk-formatted float line; else
+    ``hist_sum``+``hist_count`` → ``gauge,min=avg,max=avg,sum=..,
+    count=..`` (SerializeHistogramMetrics: min and max are BOTH the
+    average — a reference quirk kept). A histogram point with count 0
+    voids every point of that metric NAME in the batch (the
+    reference's early ``return []string{}`` discards the whole slice;
+    points of one metric are assumed co-located per batch). Rows whose
+    normalized name comes out empty are dropped (the error path).
+    Timestamps render as ms (ns // 1e6)."""
+    df = batch.to_pandas()
+    name = dt_normalize(df[name_col], _DT_MAX_METRIC_KEY - (len(prefix) + 1 if prefix else 0))
+    if prefix:
+        name = prefix + "." + name
+
+    tagline = pd.Series([",".join(exporter_tags)] * len(df))
+    for c in label_cols:
+        key = dt_normalize(pd.Series([c.lower()]), _DT_MAX_DIM_KEY).iloc[0]
+        if key is None or c not in df.columns:
+            continue  # unnormalizable key → tag skipped (:114-117)
+        vals = df[c]
+        frag = key + "=" + _dt_escape(vals)
+        frag = frag.where(vals.notna(), "")
+        sep = np.where((tagline != "") & (frag != ""), ",", "")
+        tagline = tagline + pd.Series(sep) + frag
+
+    vi = df["value_int"] if "value_int" in df.columns else pd.Series([None] * len(df))
+    vd = df["value_double"] if "value_double" in df.columns else pd.Series([None] * len(df))
+    hs = df["hist_sum"] if "hist_sum" in df.columns else pd.Series([None] * len(df))
+    hc = df["hist_count"] if "hist_count" in df.columns else pd.Series([None] * len(df))
+
+    vline = pd.Series([None] * len(df), dtype=object)
+    m_i = vi.notna()
+    vline[m_i] = vi[m_i].astype(np.int64).astype(str)
+    m_d = ~m_i & vd.notna()
+    if m_d.any():
+        vline[m_d] = _dt_float(vd[m_d].astype(float))
+    m_h = ~m_i & ~m_d & hc.notna()
+    if m_h.any():
+        cnt = hc[m_h].astype(np.int64)
+        avg = hs[m_h].astype(float) / cnt.where(cnt != 0, 1)
+        af = _dt_float(avg)
+        vline[m_h] = (
+            "gauge,min=" + af + ",max=" + af + ",sum=" + _dt_float(hs[m_h].astype(float))
+            + ",count=" + cnt.astype(str)
+        )
+        # count==0 voids the whole metric name (serialization.go:44-47)
+        bad_names = set(name[m_h & (hc.fillna(-1).astype(np.int64) == 0)])
+        if bad_names:
+            vline[name.isin(bad_names)] = None
+
+    ts_ms = (df[ts_ns_col].fillna(0).astype(np.int64) // 1_000_000).astype(str)
+    head = name + np.where(tagline != "", "," + tagline, "")
+    line = head + " " + vline.astype(object) + " " + ts_ms
+    keep = name.notna() & vline.notna()
+    out = pd.DataFrame({"line": line[keep]})
+    from .._util import table_from_pandas
+
+    return table_from_pandas(out)
