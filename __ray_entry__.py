@@ -2424,6 +2424,12 @@ def _q_scraper_parse(sf_dir: str):
         )
 
         ids = pa.array(e, pa.int64())
+        # the ECS / k8s-object translations are inherently per-task
+        # Python (nested docs with joins/rollups) — subsample those two
+        # legs to event_id % 4 == 0 (mirrored in the oracle WHERE) so
+        # the query's cost stays dominated by the vectorized legs
+        sub = e % 4 == 0
+        ids_sub = pa.array(e[sub], pa.int64())
         parts = []
         for leg, parser, payload in (
             ("redis", parse_redis_info, redis),
@@ -2436,8 +2442,12 @@ def _q_scraper_parse(sf_dir: str):
             ("ecs", parse_ecs_task_stats, ecs),
             ("k8sobj", parse_k8s_objects, k8sobj),
         ):
+            if leg in ("ecs", "k8sobj"):
+                leg_ids, pay = ids_sub, payload[sub]
+            else:
+                leg_ids, pay = ids, payload
             parsed = parser(
-                pa.table({"server_id": ids, "payload": pa.array(payload.to_numpy(dtype=object), pa.string())})
+                pa.table({"server_id": leg_ids, "payload": pa.array(pay.to_numpy(dtype=object), pa.string())})
             )
             if leg == "ecs":
                 import pandas as _pd
@@ -3084,46 +3094,46 @@ def _scraper_parse_oracle() -> str:
         ("kubelet", "k8s.volume.inodes.used", "ns=default,pod=p0,volume=v0", "TRUE", f"SUM({e} % 9)", "0"),
         # ECS leg: task rollups + limit overrides (accumulator.go:92-112);
         # vcpu = cpuΔ/1e9 with cpuΔ = 1953125*x → x/512 (dyadic)
-        ("ecs", "ecs.task.memory.usage", "task=t1", "TRUE", f"SUM(1048576 * ({e} % 7) + 3145728)", "0"),
-        ("ecs", "ecs.task.memory.usage.max", "task=t1", "TRUE", f"SUM({e} * 6)", "0"),
-        ("ecs", "ecs.task.memory.usage.limit", "task=t1", "TRUE", "SUM(805306368)", "0"),
-        ("ecs", "ecs.task.memory.utilized", "task=t1", "TRUE", f"SUM(({e} % 7) + 2)", "0"),
-        ("ecs", "ecs.task.memory.reserved", "task=t1", "TRUE", "SUM(4096)", "0"),
-        ("ecs", "ecs.task.cpu.usage.total", "task=t1", "TRUE", f"SUM(1953125 * (({e} % 128) + ({e} % 64)) + 1000005)", "0"),
-        ("ecs", "ecs.task.cpu.usage.kernelmode", "task=t1", "TRUE", f"SUM({e} + ({e} % 3))", "0"),
-        ("ecs", "ecs.task.cpu.usage.usermode", "task=t1", "TRUE", f"SUM({e} * 2 + ({e} % 5))", "0"),
-        ("ecs", "ecs.task.cpu.cores", "task=t1", "TRUE", "SUM(3)", "0"),
-        ("ecs", "ecs.task.cpu.onlines", "task=t1", "TRUE", "SUM(3)", "0"),
-        ("ecs", "ecs.task.cpu.usage.system", "task=t1", "TRUE", f"SUM({e} * 3)", "0"),
-        ("ecs", "ecs.task.cpu.utilized", "task=t1", "TRUE", "0", f"SUM((({e} % 128) + ({e} % 64)) * 0.390625)"),
-        ("ecs", "ecs.task.cpu.reserved", "task=t1", "TRUE", "0", "SUM(0.5)"),
-        ("ecs", "ecs.task.cpu.usage.vcpu", "task=t1", "TRUE", "0", f"SUM((({e} % 128) + ({e} % 64)) * 0.001953125)"),
-        ("ecs", "ecs.task.network.rate.rx", "task=t1", "TRUE", "0", f"SUM({e} * 1.0)"),
-        ("ecs", "ecs.task.network.rate.tx", "task=t1", "TRUE", "0", f"SUM({e} * 1.0)"),
-        ("ecs", "ecs.task.network.io.usage.rx_bytes", "task=t1", "TRUE", f"SUM({e} + 3)", "0"),
-        ("ecs", "ecs.task.network.io.usage.rx_packets", "task=t1", "TRUE", f"SUM(({e} % 3) + 3)", "0"),
-        ("ecs", "ecs.task.network.io.usage.rx_errors", "task=t1", "TRUE", f"SUM(({e} % 5) + 3)", "0"),
-        ("ecs", "ecs.task.network.io.usage.rx_dropped", "task=t1", "TRUE", f"SUM(({e} % 7) + 3)", "0"),
-        ("ecs", "ecs.task.network.io.usage.tx_bytes", "task=t1", "TRUE", f"SUM({e} * 2 + 3)", "0"),
-        ("ecs", "ecs.task.network.io.usage.tx_packets", "task=t1", "TRUE", f"SUM(({e} % 11) + 3)", "0"),
-        ("ecs", "ecs.task.network.io.usage.tx_errors", "task=t1", "TRUE", f"SUM(({e} % 13) + 3)", "0"),
-        ("ecs", "ecs.task.network.io.usage.tx_dropped", "task=t1", "TRUE", f"SUM(({e} % 17) + 3)", "0"),
-        ("ecs", "ecs.task.storage.read_bytes", "task=t1", "TRUE", f"SUM({e} * 3 + ({e} % 11))", "0"),
-        ("ecs", "ecs.task.storage.write_bytes", "task=t1", "TRUE", f"SUM({e} + ({e} % 13))", "0"),
-        ("ecs", "container.duration", "container=c3,task=t1", "TRUE", "0", f"SUM({e} % 30)"),
-        ("ecs", "container.cpu.utilized", "container=c1,task=t1", "TRUE", "0", f"SUM(({e} % 128) * 0.1953125)"),
+        ("ecs", "ecs.task.memory.usage", "task=t1", f"{e} % 4 = 0", f"SUM(1048576 * ({e} % 7) + 3145728)", "0"),
+        ("ecs", "ecs.task.memory.usage.max", "task=t1", f"{e} % 4 = 0", f"SUM({e} * 6)", "0"),
+        ("ecs", "ecs.task.memory.usage.limit", "task=t1", f"{e} % 4 = 0", "SUM(805306368)", "0"),
+        ("ecs", "ecs.task.memory.utilized", "task=t1", f"{e} % 4 = 0", f"SUM(({e} % 7) + 2)", "0"),
+        ("ecs", "ecs.task.memory.reserved", "task=t1", f"{e} % 4 = 0", "SUM(4096)", "0"),
+        ("ecs", "ecs.task.cpu.usage.total", "task=t1", f"{e} % 4 = 0", f"SUM(1953125 * (({e} % 128) + ({e} % 64)) + 1000005)", "0"),
+        ("ecs", "ecs.task.cpu.usage.kernelmode", "task=t1", f"{e} % 4 = 0", f"SUM({e} + ({e} % 3))", "0"),
+        ("ecs", "ecs.task.cpu.usage.usermode", "task=t1", f"{e} % 4 = 0", f"SUM({e} * 2 + ({e} % 5))", "0"),
+        ("ecs", "ecs.task.cpu.cores", "task=t1", f"{e} % 4 = 0", "SUM(3)", "0"),
+        ("ecs", "ecs.task.cpu.onlines", "task=t1", f"{e} % 4 = 0", "SUM(3)", "0"),
+        ("ecs", "ecs.task.cpu.usage.system", "task=t1", f"{e} % 4 = 0", f"SUM({e} * 3)", "0"),
+        ("ecs", "ecs.task.cpu.utilized", "task=t1", f"{e} % 4 = 0", "0", f"SUM((({e} % 128) + ({e} % 64)) * 0.390625)"),
+        ("ecs", "ecs.task.cpu.reserved", "task=t1", f"{e} % 4 = 0", "0", "SUM(0.5)"),
+        ("ecs", "ecs.task.cpu.usage.vcpu", "task=t1", f"{e} % 4 = 0", "0", f"SUM((({e} % 128) + ({e} % 64)) * 0.001953125)"),
+        ("ecs", "ecs.task.network.rate.rx", "task=t1", f"{e} % 4 = 0", "0", f"SUM({e} * 1.0)"),
+        ("ecs", "ecs.task.network.rate.tx", "task=t1", f"{e} % 4 = 0", "0", f"SUM({e} * 1.0)"),
+        ("ecs", "ecs.task.network.io.usage.rx_bytes", "task=t1", f"{e} % 4 = 0", f"SUM({e} + 3)", "0"),
+        ("ecs", "ecs.task.network.io.usage.rx_packets", "task=t1", f"{e} % 4 = 0", f"SUM(({e} % 3) + 3)", "0"),
+        ("ecs", "ecs.task.network.io.usage.rx_errors", "task=t1", f"{e} % 4 = 0", f"SUM(({e} % 5) + 3)", "0"),
+        ("ecs", "ecs.task.network.io.usage.rx_dropped", "task=t1", f"{e} % 4 = 0", f"SUM(({e} % 7) + 3)", "0"),
+        ("ecs", "ecs.task.network.io.usage.tx_bytes", "task=t1", f"{e} % 4 = 0", f"SUM({e} * 2 + 3)", "0"),
+        ("ecs", "ecs.task.network.io.usage.tx_packets", "task=t1", f"{e} % 4 = 0", f"SUM(({e} % 11) + 3)", "0"),
+        ("ecs", "ecs.task.network.io.usage.tx_errors", "task=t1", f"{e} % 4 = 0", f"SUM(({e} % 13) + 3)", "0"),
+        ("ecs", "ecs.task.network.io.usage.tx_dropped", "task=t1", f"{e} % 4 = 0", f"SUM(({e} % 17) + 3)", "0"),
+        ("ecs", "ecs.task.storage.read_bytes", "task=t1", f"{e} % 4 = 0", f"SUM({e} * 3 + ({e} % 11))", "0"),
+        ("ecs", "ecs.task.storage.write_bytes", "task=t1", f"{e} % 4 = 0", f"SUM({e} + ({e} % 13))", "0"),
+        ("ecs", "container.duration", "container=c3,task=t1", f"{e} % 4 = 0", "0", f"SUM({e} % 30)"),
+        ("ecs", "container.cpu.utilized", "container=c1,task=t1", f"{e} % 4 = 0", "0", f"SUM(({e} % 128) * 0.1953125)"),
         # container limit scaling: (vcpu*100)/512 (accumulator.go:87-89)
-        ("ecs", "container.cpu.utilized", "container=c2,task=t1", "TRUE", "0", f"SUM(({e} % 64) * 0.0003814697265625)"),
+        ("ecs", "container.cpu.utilized", "container=c2,task=t1", f"{e} % 4 = 0", "0", f"SUM(({e} % 64) * 0.0003814697265625)"),
         # k8s cluster-object leg (k8sclusterreceiver/collection)
-        ("k8sobj", "k8s.pod.phase", "ns=default,pod=p0", "TRUE", f"SUM(({e} % 5) + 1)", "0"),
-        ("k8sobj", "k8s.container.restarts", "ns=default,pod=p0,container=c0", "TRUE", f"SUM({e} % 9)", "0"),
-        ("k8sobj", "k8s.container.ready", "ns=default,pod=p0,container=c0", "TRUE", f"SUM(CASE WHEN {e} % 2 = 0 THEN 1 ELSE 0 END)", "0"),
-        ("k8sobj", "k8s.container.cpu_request", "ns=default,pod=p0,container=c0", "TRUE", f"SUM(({e} % 10) * 100)", "0"),
-        ("k8sobj", "k8s.container.memory_limit", "ns=default,pod=p0,container=c0", "TRUE", f"SUM(({e} % 3) * 1073741824)", "0"),
-        ("k8sobj", "k8s.deployment.desired", "ns=default,deployment=d0", "TRUE", f"SUM({e} % 7)", "0"),
-        ("k8sobj", "k8s.deployment.available", "ns=default,deployment=d0", "TRUE", f"SUM({e} % 5)", "0"),
-        ("k8sobj", "k8s.node.condition_ready", "node=n0", "TRUE", f"SUM(CASE {e} % 3 WHEN 0 THEN 1 WHEN 1 THEN 0 ELSE -1 END)", "0"),
-        ("k8sobj", "k8s.namespace.phase", "ns=default", "TRUE", f"SUM(CASE WHEN {e} % 2 = 0 THEN 1 ELSE 0 END)", "0"),
+        ("k8sobj", "k8s.pod.phase", "ns=default,pod=p0", f"{e} % 4 = 0", f"SUM(({e} % 5) + 1)", "0"),
+        ("k8sobj", "k8s.container.restarts", "ns=default,pod=p0,container=c0", f"{e} % 4 = 0", f"SUM({e} % 9)", "0"),
+        ("k8sobj", "k8s.container.ready", "ns=default,pod=p0,container=c0", f"{e} % 4 = 0", f"SUM(CASE WHEN {e} % 2 = 0 THEN 1 ELSE 0 END)", "0"),
+        ("k8sobj", "k8s.container.cpu_request", "ns=default,pod=p0,container=c0", f"{e} % 4 = 0", f"SUM(({e} % 10) * 100)", "0"),
+        ("k8sobj", "k8s.container.memory_limit", "ns=default,pod=p0,container=c0", f"{e} % 4 = 0", f"SUM(({e} % 3) * 1073741824)", "0"),
+        ("k8sobj", "k8s.deployment.desired", "ns=default,deployment=d0", f"{e} % 4 = 0", f"SUM({e} % 7)", "0"),
+        ("k8sobj", "k8s.deployment.available", "ns=default,deployment=d0", f"{e} % 4 = 0", f"SUM({e} % 5)", "0"),
+        ("k8sobj", "k8s.node.condition_ready", "node=n0", f"{e} % 4 = 0", f"SUM(CASE {e} % 3 WHEN 0 THEN 1 WHEN 1 THEN 0 ELSE -1 END)", "0"),
+        ("k8sobj", "k8s.namespace.phase", "ns=default", f"{e} % 4 = 0", f"SUM(CASE WHEN {e} % 2 = 0 THEN 1 ELSE 0 END)", "0"),
     ]
     parts = [
         f"SELECT '{leg}' AS leg, '{name}' AS name, '{lv}' AS label_value, "
