@@ -1573,9 +1573,267 @@ def _q_trace_decoders(sf_dir: str):
             ("honey", "msg_error", int((hspans["status_message"] == "STATUS_CODE_ERROR").sum()), 0),
         ]
 
+        # ---- newrelic exporter leg (stages/newrelic.py) ----
+        # transformer.go semantics under test: invalid-id span errors,
+        # status-code attr (UNSET omitted, prefix trimmed), lowercased
+        # span.kind (unspecified omitted), dropped-count attrs, metric
+        # temporality routing (delta sum → Count at START ts + interval,
+        # cumulative sum → Gauge), histogram drop, summary min/max
+        # quantile gating, log body→name message fallback
+        from opentelemetry_collector_contrib_ray.stages.newrelic import (
+            NewRelicLogTransformer,
+            NewRelicMetricTransformer,
+            NewRelicSpanTransformer,
+        )
+
+        _NR_KINDS = ["server", "client", "producer", "consumer", "internal",
+                     "unspecified"]
+        nin = pa.table(
+            {
+                "trace_id": pa.array([f"{e + 1:032x}" for e in eid], pa.string()),
+                "span_id": pa.array(
+                    ["" if e % 101 == 0 else f"{e + 1:016x}" for e in eid],
+                    pa.string(),
+                ),
+                "parent_span_id": pa.array(
+                    [f"{e + 3:016x}" if e % 3 == 0 else None for e in eid],
+                    pa.string(),
+                ),
+                "name": pa.array(et, pa.string()),
+                "kind": pa.array([_NR_KINDS[e % 6] for e in eid], pa.string()),
+                "status_code": pa.array(
+                    [
+                        2 if t_ == "error" else (1 if e % 13 == 0 else 0)
+                        for e, t_ in zip(eid, et)
+                    ],
+                    pa.int64(),
+                ),
+                "status_message": pa.array(
+                    ["boom!" if t_ == "error" else "" for t_ in et], pa.string()
+                ),
+                "dropped_attributes_count": pa.array(
+                    [7 if e % 9 == 0 else 0 for e in eid], pa.int64()
+                ),
+                "start_ns": pa.array(epoch * 1_000_000_000, pa.int64()),
+                "end_ns": pa.array((epoch + dur) * 1_000_000_000, pa.int64()),
+                "peer": pa.array(
+                    ["svc-b" if e % 4 == 0 else None for e in eid], pa.string()
+                ),
+            }
+        )
+        nout = NewRelicSpanTransformer(
+            resource_attrs={"service.name": "svc"},
+            instrumentation=("otelray", "1.0"),
+            collector=("otelcol", "2.0"),
+            attr_cols=["peer"],
+        )(nin).to_pandas()
+        nattrs = nout["attrs"]
+        nr_rows = [
+            ("nr", "spans", len(nout), int(nout["duration_us"].sum()) // 10_000),
+            ("nr", "invalid", len(nin) - len(nout), 0),
+            ("nr", "status_error",
+             int(nattrs.str.contains("otel.status_code=ERROR", regex=False).sum()), 0),
+            ("nr", "status_ok",
+             int(nattrs.str.contains("otel.status_code=OK", regex=False).sum()), 0),
+            ("nr", "desc",
+             int(nattrs.str.contains("otel.status_description=boom!", regex=False).sum()), 0),
+            ("nr", "kind_attr",
+             int(nattrs.str.contains("span.kind=", regex=False).sum()), 0),
+            ("nr", "dropped_attr",
+             int(nattrs.str.contains("otel.dropped_attributes_count=7", regex=False).sum()), 0),
+            ("nr", "peer_attr",
+             int(nattrs.str.contains("peer=svc-b", regex=False).sum()), 0),
+            ("nr", "parented", int((nout["parent_id"] != "").sum()), 0),
+        ]
+
+        _NR_DTYPE = {
+            "click": "summary",
+            "view": "int_gauge",
+            "purchase": "int_sum",
+            "signup": "double_sum",
+            "error": "histogram",
+        }
+        nmin = pa.table(
+            {
+                "name": pa.array(et, pa.string()),
+                "dtype": pa.array([_NR_DTYPE[t_] for t_ in et], pa.string()),
+                "temporality": pa.array(
+                    ["delta" if e % 2 == 0 else "cumulative" for e in eid],
+                    pa.string(),
+                ),
+                "value": pa.array(dur.astype(np.float64), pa.float64()),
+                "start_ns": pa.array((epoch - 60) * 1_000_000_000, pa.int64()),
+                "ts_ns": pa.array(epoch * 1_000_000_000, pa.int64()),
+                "count": pa.array((eid % 10).astype(np.int64), pa.int64()),
+                "sum": pa.array(val, pa.float64()),
+                "q_first": pa.array(
+                    [0.0 if e % 2 == 0 else 0.5 for e in eid], pa.float64()
+                ),
+                "q_first_v": pa.array([1.5] * len(eid), pa.float64()),
+                "q_last": pa.array(
+                    [1.0 if e % 3 == 0 else 0.9 for e in eid], pa.float64()
+                ),
+                "q_last_v": pa.array([9.5] * len(eid), pa.float64()),
+                "shard": pa.array([f"s{e % 4}" for e in eid], pa.string()),
+            }
+        )
+        nmout = NewRelicMetricTransformer(label_cols=["shard"])(nmin).to_pandas()
+        is_cnt = nmout["nr_type"] == "count"
+        nr_rows += [
+            ("nr", "m_gauge", int((nmout["nr_type"] == "gauge").sum()), 0),
+            ("nr", "m_count", int(is_cnt.sum()),
+             int(nmout.loc[is_cnt, "value"].sum()) * 100),
+            ("nr", "m_interval",
+             int((nmout.loc[is_cnt, "interval_ms"] == 60_000).sum()), 0),
+            ("nr", "m_summary", int((nmout["nr_type"] == "summary").sum()), 0),
+            ("nr", "m_min_set", int(nmout["min"].notna().sum()), 0),
+            ("nr", "m_max_set", int(nmout["max"].notna().sum()), 0),
+            ("nr", "m_dropped", len(nmin) - len(nmout), 0),
+        ]
+
+        nlin = pa.table(
+            {
+                "body": pa.array(
+                    [f"b{e}" if e % 2 == 0 else "" for e in eid], pa.string()
+                ),
+                "log_name": pa.array(et, pa.string()),
+                "ts_ns": pa.array(epoch * 1_000_000_000, pa.int64()),
+                "severity_text": pa.array(
+                    ["ERROR" if t_ == "error" else "" for t_ in et], pa.string()
+                ),
+                "severity_number": pa.array(
+                    [17 if t_ == "error" else 0 for t_ in et], pa.int64()
+                ),
+                "trace_id": pa.array(
+                    [f"{e + 1:032x}" if e % 3 == 0 else "" for e in eid],
+                    pa.string(),
+                ),
+                "span_id": pa.array([""] * len(eid), pa.string()),
+                "dropped_attributes_count": pa.array([0] * len(eid), pa.int64()),
+            }
+        )
+        nlout = NewRelicLogTransformer()(nlin).to_pandas()
+        nlattrs = nlout["attrs"]
+        nr_rows += [
+            ("nr", "log_fallback",
+             int((~nlout["message"].str.startswith("b")).sum()), 0),
+            ("nr", "log_level",
+             int(nlattrs.str.contains("log.levelNum=17", regex=False).sum()), 0),
+            ("nr", "log_traced",
+             int(nlattrs.str.contains("trace.id=", regex=False).sum()), 0),
+        ]
+
+        # ---- elastic APM exporter leg (stages/elastic_apm.py) ----
+        # traces.go semantics under test: root-or-server → transaction,
+        # request typing from http attrs, outcome/result mapping,
+        # span typing external/db/app (db wins), destination service
+        # default-port resource rules, per-record-type label routing,
+        # java stacktrace parse incl. "Caused by" + "... N more" and
+        # the unparseable-stacktrace fallback
+        from opentelemetry_collector_contrib_ray.stages.elastic_apm import (
+            ElasticSpanEncoder,
+            exception_events_to_errors,
+        )
+
+        ein = pa.table(
+            {
+                "trace_id": pa.array([f"{e + 1:032x}" for e in eid], pa.string()),
+                "span_id": pa.array([f"{e + 1:016x}" for e in eid], pa.string()),
+                "parent_span_id": pa.array(
+                    [f"{e + 3:016x}" if e % 3 == 0 else None for e in eid],
+                    pa.string(),
+                ),
+                "name": pa.array(et, pa.string()),
+                "kind": pa.array(
+                    ["server" if e % 5 == 0 else "client" for e in eid], pa.string()
+                ),
+                "status_code": pa.array(
+                    [
+                        2 if t_ == "error" else (1 if e % 13 == 0 else 0)
+                        for e, t_ in zip(eid, et)
+                    ],
+                    pa.int64(),
+                ),
+                "start_ns": pa.array(epoch * 1_000_000_000, pa.int64()),
+                "end_ns": pa.array((epoch + dur) * 1_000_000_000, pa.int64()),
+                "http.url": pa.array(
+                    [
+                        f"https://api.example.com/v{e % 3}" if e % 4 == 0 else None
+                        for e in eid
+                    ],
+                    pa.string(),
+                ),
+                "db.system": pa.array(
+                    ["mysql" if e % 4 == 1 else None for e in eid], pa.string()
+                ),
+                "net.peer.ip": pa.array(
+                    ["10.0.0.9" if e % 7 == 0 else None for e in eid], pa.string()
+                ),
+                "net.peer.port": pa.array(
+                    [8080 if e % 7 == 0 else None for e in eid], pa.int64()
+                ),
+                "team": pa.array([f"t{e % 2}" for e in eid], pa.string()),
+            }
+        )
+        eout = ElasticSpanEncoder(
+            attr_cols=[
+                "http.url", "db.system", "net.peer.ip", "net.peer.port", "team",
+            ]
+        )(ein).to_pandas()
+        etx = eout[eout["record"] == "transaction"]
+        esp = eout[eout["record"] == "span"]
+        apm_rows = [
+            ("apm", "transactions", len(etx), int(etx["duration_ms"].sum()) // 10),
+            ("apm", "spans", len(esp), 0),
+            ("apm", "tx_request", int((etx["type"] == "request").sum()), 0),
+            ("apm", "tx_failure", int((etx["outcome"] == "failure").sum()), 0),
+            ("apm", "tx_result_ok", int((etx["result"] == "OK").sum()), 0),
+            ("apm", "sp_external", int((esp["type"] == "external").sum()), 0),
+            ("apm", "sp_db", int((esp["type"] == "db").sum()), 0),
+            ("apm", "sp_app", int((esp["type"] == "app").sum()), 0),
+            ("apm", "dest_default_port",
+             int(esp["dest_service_resource"].str.endswith(":443").sum()), 0),
+            ("apm", "remote",
+             int((etx["remote_addr"] == "10.0.0.9:8080").sum()), 0),
+            ("apm", "labels_team",
+             int(eout["labels"].str.contains("team=t", regex=False).sum()), 0),
+        ]
+
+        _GOOD_STACK = (
+            "HighLevelException: boom\n"
+            "\tat com.example.A.a(A.java:1)\n"
+            "\tat com.example.B.b(B.java:2)\n"
+            "Caused by: MidLevelException: low\n"
+            "\tat com.example.C.c(C.java:3)\n"
+            "\t... 1 more\n"
+        )  # 2 frames + (1 + 1 copied) = 4 total, 1 cause
+        err_mask = [t_ == "error" for t_ in et]
+        exdf = pd.DataFrame(
+            {
+                "event_name": ["exception"] * int(sum(err_mask)),
+                "exc_type": "E",
+                "exc_message": "m",
+                "exc_stacktrace": [
+                    _GOOD_STACK if e % 2 == 1 else "garbage\nnot a frame"
+                    for e, m_ in zip(eid, err_mask)
+                    if m_
+                ],
+                "exc_escaped": False,
+                "trace_id": "t",
+                "span_id": "s",
+            }
+        )
+        exout = exception_events_to_errors(exdf, language="java")
+        apm_rows += [
+            ("apm", "exc_frames", int(exout["n_frames"].sum()), 0),
+            ("apm", "exc_causes", int(exout["n_causes"].sum()), 0),
+            ("apm", "exc_fallback",
+             int((exout["stacktrace_attr"] != "").sum()), 0),
+        ]
+
         allrows = (
             xray_rows + sfx_rows + sapm_rows + xrayx_rows + tanzu_rows + azmon_rows
-            + sentry_rows + honey_rows
+            + sentry_rows + honey_rows + nr_rows + apm_rows
         )
         return pa.table(
             {
@@ -3862,7 +4120,135 @@ def oracle_sql() -> dict[str, str]:
             FROM e WHERE event_type <> 'error'
             UNION ALL
             SELECT 'honey', 'msg_error', COUNT(*), CAST(0 AS DECIMAL(18,2))
-            FROM e WHERE event_type = 'error')
+            FROM e WHERE event_type = 'error'
+            -- newrelic leg (transformer.go): %101 ids invalid → error,
+            -- status ERROR on error events / OK on %13, span.kind attr
+            -- unless the %6 cycle hits 'unspecified', dropped-attrs on
+            -- %9, peer attr on %4, parent on %3; metrics: delta sums
+            -- (even ids) → Count w/ 60s interval, cumulative → Gauge,
+            -- view gauges, click summaries (min iff q0 present = even,
+            -- max iff q1 present = %3), error histograms dropped; logs:
+            -- empty body (odd ids) falls back to the record name
+            UNION ALL
+            SELECT 'nr', 'spans', COUNT(*), CAST(SUM(dur) AS DECIMAL(18,2))
+            FROM e WHERE event_id % 101 <> 0
+            UNION ALL
+            SELECT 'nr', 'invalid', COUNT(*), CAST(0 AS DECIMAL(18,2))
+            FROM e WHERE event_id % 101 = 0
+            UNION ALL
+            SELECT 'nr', 'status_error', COUNT(*), CAST(0 AS DECIMAL(18,2))
+            FROM e WHERE event_id % 101 <> 0 AND event_type = 'error'
+            UNION ALL
+            SELECT 'nr', 'status_ok', COUNT(*), CAST(0 AS DECIMAL(18,2))
+            FROM e WHERE event_id % 101 <> 0 AND event_id % 13 = 0
+                      AND event_type <> 'error'
+            UNION ALL
+            SELECT 'nr', 'desc', COUNT(*), CAST(0 AS DECIMAL(18,2))
+            FROM e WHERE event_id % 101 <> 0 AND event_type = 'error'
+            UNION ALL
+            SELECT 'nr', 'kind_attr', COUNT(*), CAST(0 AS DECIMAL(18,2))
+            FROM e WHERE event_id % 101 <> 0 AND event_id % 6 <> 5
+            UNION ALL
+            SELECT 'nr', 'dropped_attr', COUNT(*), CAST(0 AS DECIMAL(18,2))
+            FROM e WHERE event_id % 101 <> 0 AND event_id % 9 = 0
+            UNION ALL
+            SELECT 'nr', 'peer_attr', COUNT(*), CAST(0 AS DECIMAL(18,2))
+            FROM e WHERE event_id % 101 <> 0 AND event_id % 4 = 0
+            UNION ALL
+            SELECT 'nr', 'parented', COUNT(*), CAST(0 AS DECIMAL(18,2))
+            FROM e WHERE event_id % 101 <> 0 AND event_id % 3 = 0
+            UNION ALL
+            SELECT 'nr', 'm_gauge', COUNT(*), CAST(0 AS DECIMAL(18,2))
+            FROM e WHERE event_type = 'view'
+                 OR (event_type IN ('purchase', 'signup') AND event_id % 2 = 1)
+            UNION ALL
+            SELECT 'nr', 'm_count', COUNT(*), CAST(SUM(dur) AS DECIMAL(18,2))
+            FROM e WHERE event_type IN ('purchase', 'signup') AND event_id % 2 = 0
+            UNION ALL
+            SELECT 'nr', 'm_interval', COUNT(*), CAST(0 AS DECIMAL(18,2))
+            FROM e WHERE event_type IN ('purchase', 'signup') AND event_id % 2 = 0
+            UNION ALL
+            SELECT 'nr', 'm_summary', COUNT(*), CAST(0 AS DECIMAL(18,2))
+            FROM e WHERE event_type = 'click'
+            UNION ALL
+            SELECT 'nr', 'm_min_set', COUNT(*), CAST(0 AS DECIMAL(18,2))
+            FROM e WHERE event_type = 'click' AND event_id % 2 = 0
+            UNION ALL
+            SELECT 'nr', 'm_max_set', COUNT(*), CAST(0 AS DECIMAL(18,2))
+            FROM e WHERE event_type = 'click' AND event_id % 3 = 0
+            UNION ALL
+            SELECT 'nr', 'm_dropped', COUNT(*), CAST(0 AS DECIMAL(18,2))
+            FROM e WHERE event_type = 'error'
+            UNION ALL
+            SELECT 'nr', 'log_fallback', COUNT(*), CAST(0 AS DECIMAL(18,2))
+            FROM e WHERE event_id % 2 = 1
+            UNION ALL
+            SELECT 'nr', 'log_level', COUNT(*), CAST(0 AS DECIMAL(18,2))
+            FROM e WHERE event_type = 'error'
+            UNION ALL
+            SELECT 'nr', 'log_traced', COUNT(*), CAST(0 AS DECIMAL(18,2))
+            FROM e WHERE event_id % 3 = 0
+            -- elastic APM leg (traces.go): transaction = root (%3<>0)
+            -- or server kind (%5=0); http.url on %4=0 → request type /
+            -- external span with default-port dest resource; db.system
+            -- on %4=1 → db span; peer ip+port on %7=0 → remote addr on
+            -- requests; team label on every row; java stacktraces: 4
+            -- frames + 1 cause on odd error ids, garbage fallback on
+            -- even error ids
+            UNION ALL
+            SELECT 'apm', 'transactions', COUNT(*),
+                   CAST(SUM(dur) AS DECIMAL(18,2))
+            FROM e WHERE event_id % 3 <> 0 OR event_id % 5 = 0
+            UNION ALL
+            SELECT 'apm', 'spans', COUNT(*), CAST(0 AS DECIMAL(18,2))
+            FROM e WHERE event_id % 3 = 0 AND event_id % 5 <> 0
+            UNION ALL
+            SELECT 'apm', 'tx_request', COUNT(*), CAST(0 AS DECIMAL(18,2))
+            FROM e WHERE (event_id % 3 <> 0 OR event_id % 5 = 0)
+                     AND event_id % 4 = 0
+            UNION ALL
+            SELECT 'apm', 'tx_failure', COUNT(*), CAST(0 AS DECIMAL(18,2))
+            FROM e WHERE (event_id % 3 <> 0 OR event_id % 5 = 0)
+                     AND event_type = 'error'
+            UNION ALL
+            SELECT 'apm', 'tx_result_ok', COUNT(*), CAST(0 AS DECIMAL(18,2))
+            FROM e WHERE (event_id % 3 <> 0 OR event_id % 5 = 0)
+                     AND event_id % 13 = 0 AND event_type <> 'error'
+            UNION ALL
+            SELECT 'apm', 'sp_external', COUNT(*), CAST(0 AS DECIMAL(18,2))
+            FROM e WHERE event_id % 3 = 0 AND event_id % 5 <> 0
+                     AND event_id % 4 = 0
+            UNION ALL
+            SELECT 'apm', 'sp_db', COUNT(*), CAST(0 AS DECIMAL(18,2))
+            FROM e WHERE event_id % 3 = 0 AND event_id % 5 <> 0
+                     AND event_id % 4 = 1
+            UNION ALL
+            SELECT 'apm', 'sp_app', COUNT(*), CAST(0 AS DECIMAL(18,2))
+            FROM e WHERE event_id % 3 = 0 AND event_id % 5 <> 0
+                     AND event_id % 4 IN (2, 3)
+            UNION ALL
+            SELECT 'apm', 'dest_default_port', COUNT(*), CAST(0 AS DECIMAL(18,2))
+            FROM e WHERE event_id % 3 = 0 AND event_id % 5 <> 0
+                     AND event_id % 4 = 0
+            UNION ALL
+            SELECT 'apm', 'remote', COUNT(*), CAST(0 AS DECIMAL(18,2))
+            FROM e WHERE (event_id % 3 <> 0 OR event_id % 5 = 0)
+                     AND event_id % 28 = 0
+            UNION ALL
+            SELECT 'apm', 'labels_team', COUNT(*), CAST(0 AS DECIMAL(18,2))
+            FROM e
+            UNION ALL
+            SELECT 'apm', 'exc_frames',
+                   CAST(4 * COALESCE(SUM(CASE WHEN event_id % 2 = 1
+                                              THEN 1 ELSE 0 END), 0) AS BIGINT),
+                   CAST(0 AS DECIMAL(18,2))
+            FROM e WHERE event_type = 'error'
+            UNION ALL
+            SELECT 'apm', 'exc_causes', COUNT(*), CAST(0 AS DECIMAL(18,2))
+            FROM e WHERE event_type = 'error' AND event_id % 2 = 1
+            UNION ALL
+            SELECT 'apm', 'exc_fallback', COUNT(*), CAST(0 AS DECIMAL(18,2))
+            FROM e WHERE event_type = 'error' AND event_id % 2 = 0)
         """,
         "statsd_parse_agg": """
             -- leg 'agg': DECIMAL sum = exact integer arithmetic matching
