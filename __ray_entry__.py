@@ -2735,6 +2735,51 @@ def _q_scraper_parse(sf_dir: str):
                     }
                 )
             )
+
+        # ---- dotnet EventPipe leg (sources/dotnet.py): render a full
+        # IPC+nettrace binary stream per event (Mean + Sum counters,
+        # stack/SP blocks, an unregistered-metadata event on %3 that
+        # must be dropped), decode with the real parser; binary
+        # per-row work → subsampled like ecs/k8sobj ----
+        from opentelemetry_collector_contrib_ray.sources.dotnet import (
+            encode_counter_stream,
+            parse_dotnet_counters,
+        )
+
+        esub = e[sub]
+        blobs = [
+            encode_counter_stream(
+                [
+                    dict(name="cpu-usage", display="CPU Usage",
+                         counter_type="Mean", mean=float(x % 100) + 0.25,
+                         count=int(x % 10), units="%"),
+                    dict(name="alloc-rate", display="Allocation Rate",
+                         counter_type="Sum", increment=float(x * 3),
+                         units="B"),
+                ],
+                unknown_event=(x % 3 == 0),
+            )
+            for x in esub
+        ]
+        dt = parse_dotnet_counters(
+            pa.table(
+                {
+                    "server_id": pa.array(esub, pa.int64()),
+                    "payload": pa.array(blobs, pa.binary()),
+                }
+            )
+        )
+        parts.append(
+            pa.table(
+                {
+                    "leg": pa.array(["dotnet"] * dt.num_rows, pa.string()),
+                    "name": dt["name"],
+                    "label_value": dt["label_value"],
+                    "value_int": dt["value_int"],
+                    "value_double": dt["value_double"],
+                }
+            )
+        )
         return pa.concat_tables(parts)
 
     # explicit small batch_size: the render+parse UDF costs ~0.3 ms/row,
@@ -3392,6 +3437,13 @@ def _scraper_parse_oracle() -> str:
         ("k8sobj", "k8s.deployment.available", "ns=default,deployment=d0", f"{e} % 4 = 0", f"SUM({e} % 5)", "0"),
         ("k8sobj", "k8s.node.condition_ready", "node=n0", f"{e} % 4 = 0", f"SUM(CASE {e} % 3 WHEN 0 THEN 1 WHEN 1 THEN 0 ELSE -1 END)", "0"),
         ("k8sobj", "k8s.namespace.phase", "ns=default", f"{e} % 4 = 0", f"SUM(CASE WHEN {e} % 2 = 0 THEN 1 ELSE 0 END)", "0"),
+        # dotnet EventPipe counters (sources/dotnet.py): Mean → gauge
+        # with Count as the int sum; Sum → delta of e*3; units via
+        # converter.go mapUnits ("B" → "By")
+        ("dotnet", "dotnet.cpu-usage.gauge", "%", f"{e} % 4 = 0",
+         f"SUM({e} % 10)", f"SUM(({e} % 100) + 0.25)"),
+        ("dotnet", "dotnet.alloc-rate.sum_delta", "By", f"{e} % 4 = 0",
+         "0", f"SUM({e} * 3)"),
     ]
     parts = [
         f"SELECT '{leg}' AS leg, '{name}' AS name, '{lv}' AS label_value, "
