@@ -1831,9 +1831,80 @@ def _q_trace_decoders(sf_dir: str):
              int((exout["stacktrace_attr"] != "").sum()), 0),
         ]
 
+        # ---- jaeger-thrift exporter leg (sources/jaeger_thrift.py) --
+        # protospan_to_jaegerthrift.go semantics through a FULL
+        # TBinaryProtocol encode → decode round trip: zero-trace-id
+        # drop, µs times, span.kind only-when-absent, status tags
+        # only-when-absent, CHILD_OF/FOLLOWS_FROM references, logs
+        from opentelemetry_collector_contrib_ray.sources.jaeger_thrift import (
+            decode_batch,
+            encode_batch,
+            make_process,
+            span_rows_to_thrift_spans,
+        )
+
+        jrows = []
+        for e, t_, ep, d in zip(eid, et, epoch, dur):
+            row = {
+                "trace_id": ("0" * 32) if e % 101 == 0 else f"{e + 1:032x}",
+                "span_id": f"{e + 1:016x}",
+                "name": t_,
+                "kind": "server" if e % 2 == 0 else "client",
+                "start_ns": int(ep) * 1_000_000_000,
+                "end_ns": int(ep + d) * 1_000_000_000,
+                "attrs": {"team": f"t{e % 2}"},
+            }
+            if e % 9 == 0:
+                row["attrs"]["span.kind"] = "consumer"
+            if t_ == "error" or e % 13 == 0:
+                row["status_code"] = 2 if t_ == "error" else 0
+                if t_ == "error":
+                    row["status_message"] = "bad"
+            if e % 5 == 0:
+                row["links"] = [
+                    {"trace_id": f"{e + 7:032x}", "span_id": f"{e + 7:016x}",
+                     "type": "parent"}
+                ]
+            if t_ == "error":
+                row["events"] = [
+                    {"ts_ns": int(ep) * 1_000_000_000, "attrs": {"k": "v"},
+                     "description": "desc"}
+                ]
+            jrows.append(row)
+        jspans, jdropped = span_rows_to_thrift_spans(jrows)
+        jback = decode_batch(encode_batch(make_process("svc", {"env": "prod"}), jspans))
+        jtags = [
+            {t["key"]: t for t in s["tags"]} for s in jback["spans"]
+        ]
+        jthrift_rows = [
+            ("jthrift", "spans", len(jback["spans"]),
+             sum(s["duration_us"] for s in jback["spans"]) // 10_000),
+            ("jthrift", "dropped", jdropped, 0),
+            ("jthrift", "kind_from_kind",
+             sum(1 for tg in jtags
+                 if tg.get("span.kind", {}).get("value") in ("server", "client")),
+             0),
+            ("jthrift", "kind_preset",
+             sum(1 for tg in jtags
+                 if tg.get("span.kind", {}).get("value") == "consumer"), 0),
+            ("jthrift", "status_code_tag",
+             sum(1 for tg in jtags if "status.code" in tg), 0),
+            ("jthrift", "status_msg_tag",
+             sum(1 for tg in jtags if "status.message" in tg), 0),
+            ("jthrift", "child_of_refs",
+             sum(1 for s in jback["spans"]
+                 for r in s["references"] if r["ref_type"] == 0), 0),
+            ("jthrift", "log_fields",
+             sum(len(lg["fields"]) for s in jback["spans"] for lg in s["logs"]),
+             0),
+            ("jthrift", "proc_svc",
+             len(jback["spans"])
+             if jback["process"]["service_name"] == "svc" else 0, 0),
+        ]
+
         allrows = (
             xray_rows + sfx_rows + sapm_rows + xrayx_rows + tanzu_rows + azmon_rows
-            + sentry_rows + honey_rows + nr_rows + apm_rows
+            + sentry_rows + honey_rows + nr_rows + apm_rows + jthrift_rows
         )
         return pa.table(
             {
@@ -4300,7 +4371,40 @@ def oracle_sql() -> dict[str, str]:
             FROM e WHERE event_type = 'error' AND event_id % 2 = 1
             UNION ALL
             SELECT 'apm', 'exc_fallback', COUNT(*), CAST(0 AS DECIMAL(18,2))
-            FROM e WHERE event_type = 'error' AND event_id % 2 = 0)
+            FROM e WHERE event_type = 'error' AND event_id % 2 = 0
+            -- jaeger-thrift leg (protospan_to_jaegerthrift.go through a
+            -- TBinaryProtocol round trip): %101 → zero trace id dropped,
+            -- span.kind preset on %9 wins, status tags on error/%13,
+            -- CHILD_OF ref on %5, 2 log fields per error span
+            UNION ALL
+            SELECT 'jthrift', 'spans', COUNT(*), CAST(SUM(dur) AS DECIMAL(18,2))
+            FROM e WHERE event_id % 101 <> 0
+            UNION ALL
+            SELECT 'jthrift', 'dropped', COUNT(*), CAST(0 AS DECIMAL(18,2))
+            FROM e WHERE event_id % 101 = 0
+            UNION ALL
+            SELECT 'jthrift', 'kind_from_kind', COUNT(*), CAST(0 AS DECIMAL(18,2))
+            FROM e WHERE event_id % 101 <> 0 AND event_id % 9 <> 0
+            UNION ALL
+            SELECT 'jthrift', 'kind_preset', COUNT(*), CAST(0 AS DECIMAL(18,2))
+            FROM e WHERE event_id % 101 <> 0 AND event_id % 9 = 0
+            UNION ALL
+            SELECT 'jthrift', 'status_code_tag', COUNT(*), CAST(0 AS DECIMAL(18,2))
+            FROM e WHERE event_id % 101 <> 0
+                     AND (event_type = 'error' OR event_id % 13 = 0)
+            UNION ALL
+            SELECT 'jthrift', 'status_msg_tag', COUNT(*), CAST(0 AS DECIMAL(18,2))
+            FROM e WHERE event_id % 101 <> 0 AND event_type = 'error'
+            UNION ALL
+            SELECT 'jthrift', 'child_of_refs', COUNT(*), CAST(0 AS DECIMAL(18,2))
+            FROM e WHERE event_id % 101 <> 0 AND event_id % 5 = 0
+            UNION ALL
+            SELECT 'jthrift', 'log_fields',
+                   CAST(2 * COUNT(*) AS BIGINT), CAST(0 AS DECIMAL(18,2))
+            FROM e WHERE event_id % 101 <> 0 AND event_type = 'error'
+            UNION ALL
+            SELECT 'jthrift', 'proc_svc', COUNT(*), CAST(0 AS DECIMAL(18,2))
+            FROM e WHERE event_id % 101 <> 0)
         """,
         "statsd_parse_agg": """
             -- leg 'agg': DECIMAL sum = exact integer arithmetic matching
