@@ -2146,7 +2146,140 @@ def _q_loki_streams(sf_dir: str):
     dt = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"]).map_batches(
         dt_legs, batch_format="pyarrow"
     )
-    return loki.union(emf).union(emf_decl).union(dt)
+
+    # alibabacloudlogservice legs (stages/alibaba_sls.py): every
+    # rendered SLS field is value-checked — log fields (hex flags,
+    # attribute JSON, content, timeUnixNano), span fields (µs times,
+    # short kind, status strings, blank invalid parent), and metric
+    # logs (__name__ sanitize, sorted #$# labels, histogram/summary
+    # expansion with le/quantile labels, Go %g value strings)
+    def sls_legs(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        from opentelemetry_collector_contrib_ray.stages.alibaba_sls import (
+            SlsLogTranslator,
+            SlsSpanTranslator,
+            sls_metric_logs,
+        )
+
+        e = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        et = t["event_type"].to_pylist()
+        epoch = pc.cast(
+            pc.cast(t["ts"], pa.timestamp("s"), safe=False), pa.int64()
+        ).to_numpy()
+        dur = np.floor(t["value"].to_numpy(zero_copy_only=False)).astype(np.int64)
+
+        lin = pa.table(
+            {
+                "ts_ns": pa.array(epoch * 1_000_000_000, pa.int64()),
+                "severity_number": pa.array(e % 25, pa.int64()),
+                "severity_text": pa.array(et, pa.string()),
+                "log_name": pa.array(et, pa.string()),
+                "body": pa.array(
+                    [None if x % 7 == 0 else f"b{x}" for x in e], pa.string()
+                ),
+                "flags": pa.array(np.full(len(e), 255, np.int64), pa.int64()),
+                "k1": pa.array([f"v{x % 5}" for x in e], pa.string()),
+            }
+        )
+        lt = SlsLogTranslator(
+            resource_attrs={"host.name": "h1", "service.name": "svc"},
+            instrumentation=("lib", "1"),
+            attr_cols=["k1"],
+        )(lin).to_pandas()
+        log_keys = (
+            "log@" + lt["flags"] + "@" + lt["severityNumber"] + "@"
+            + lt["attribute"] + "@" + lt["content"] + "@" + lt["timeUnixNano"]
+        )
+
+        sin = pa.table(
+            {
+                "trace_id": pa.array([f"{x + 1:032x}" for x in e], pa.string()),
+                "span_id": pa.array([f"{x + 1:016x}" for x in e], pa.string()),
+                "parent_span_id": pa.array(["0" * 16] * len(e), pa.string()),
+                "kind": pa.array(
+                    ["server" if x % 2 == 0 else "client" for x in e], pa.string()
+                ),
+                "name": pa.array(et, pa.string()),
+                "start_ns": pa.array(epoch * 1_000_000_000, pa.int64()),
+                "end_ns": pa.array((epoch + dur) * 1_000_000_000, pa.int64()),
+                "status_code": pa.array(
+                    [
+                        2 if t_ == "error" else (1 if x % 13 == 0 else 0)
+                        for x, t_ in zip(e, et)
+                    ],
+                    pa.int64(),
+                ),
+            }
+        )
+        st = SlsSpanTranslator()(sin).to_pandas()
+        span_keys = (
+            "span@" + st["kind"] + "@" + st["start"] + "@" + st["duration"]
+            + "@" + st["statusCode"] + "@" + st["parentSpanID"]
+        )
+
+        m = e % 4 == 0
+        em, um = e[m], u[m]
+        ns = (epoch[m] * 1_000_000_000).astype(np.int64)
+        mdf = pd.concat(
+            [
+                pd.DataFrame(
+                    {"name": "cpu.usage", "dtype": "gauge",
+                     "value": em + 0.5, "ts_ns": ns,
+                     "host": [f"h{x}" for x in um]}
+                ),
+                pd.DataFrame(
+                    {"name": "lat", "dtype": "histogram", "value": 0.0,
+                     "ts_ns": ns, "sum": (em % 10) + 0.5,
+                     "count": np.full(len(em), 2, np.int64),
+                     "bounds": [[1.0, 5.0]] * len(em),
+                     "bucket_counts": [
+                         [int(x % 3), int(x % 2), 1] for x in em
+                     ],
+                     "host": [f"h{x}" for x in um]}
+                ),
+                pd.DataFrame(
+                    {"name": "rt", "dtype": "summary", "value": 0.0,
+                     "ts_ns": ns, "sum": (em % 9) + 0.25,
+                     "count": np.full(len(em), 3, np.int64),
+                     "quantiles": [[0.5, 0.99]] * len(em),
+                     "qvalues": [
+                         [x % 7 + 0.5, x % 11 + 0.5] for x in em
+                     ],
+                     "host": [f"h{x}" for x in um]}
+                ),
+            ],
+            ignore_index=True,
+        )
+        mt = sls_metric_logs(mdf, label_cols=["host"])
+        m_keys = (
+            "m@" + mt["__name__"] + "@" + mt["__labels__"] + "@"
+            + mt["__time_nano__"] + "@" + mt["__value__"]
+        )
+
+        sinks = (
+            ["sls_log"] * len(log_keys)
+            + ["sls_span"] * len(span_keys)
+            + ["sls_m"] * len(m_keys)
+        )
+        keys = list(log_keys) + list(span_keys) + list(m_keys)
+        nrows = len(keys)
+        return pa.table(
+            {
+                "sink": pa.array(sinks, pa.string()),
+                "key": pa.array(keys, pa.string()),
+                "n_dims": pa.array([0] * nrows, pa.int64()),
+                "latency": pa.array([0] * nrows, pa.int64()),
+                "requests": pa.array([1] * nrows, pa.int64()),
+                "unit": pa.array([""] * nrows, pa.string()),
+            }
+        )
+
+    sls = _read(
+        sf_dir, "events", ["event_id", "user_id", "event_type", "ts", "value"]
+    ).map_batches(sls_legs, batch_format="pyarrow", batch_size=4096)
+    return loki.union(emf).union(emf_decl).union(dt).union(sls)
 
 
 def _q_mt_aggregate_label_values(sf_dir: str):
@@ -3952,6 +4085,65 @@ def oracle_sql() -> dict[str, str]:
                      || CAST(CAST(FLOOR(epoch(ts)) AS BIGINT) * 1000 AS VARCHAR),
                    CAST(0 AS BIGINT), CAST(0 AS BIGINT), 1, ''
             FROM events
+            -- alibaba SLS legs: every rendered field composed in SQL
+            UNION ALL
+            SELECT 'sls_log',
+                   'log@ff@' || CAST(event_id % 25 AS VARCHAR)
+                     || '@{"k1":"v' || CAST(event_id % 5 AS VARCHAR) || '"}@b'
+                     || CAST(event_id AS VARCHAR) || '@'
+                     || CAST(CAST(FLOOR(epoch(ts)) AS BIGINT) * 1000000000 AS VARCHAR),
+                   CAST(0 AS BIGINT), CAST(0 AS BIGINT), 1, ''
+            FROM events WHERE event_id % 7 <> 0
+            UNION ALL
+            SELECT 'sls_span',
+                   'span@'
+                     || CASE WHEN event_id % 2 = 0 THEN 'server' ELSE 'client' END
+                     || '@' || CAST(CAST(FLOOR(epoch(ts)) AS BIGINT) * 1000000 AS VARCHAR)
+                     || '@' || CAST(CAST(FLOOR(value) AS BIGINT) * 1000000 AS VARCHAR)
+                     || '@' || CASE WHEN event_type = 'error' THEN 'ERROR'
+                                    WHEN event_id % 13 = 0 THEN 'OK'
+                                    ELSE 'UNSET' END
+                     || '@',
+                   CAST(0 AS BIGINT), CAST(0 AS BIGINT), 1, ''
+            FROM events
+            UNION ALL
+            SELECT 'sls_m', 'm@' || part, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+                   1, ''
+            FROM events, LATERAL (
+                SELECT unnest(ARRAY[
+                    'cpu_usage@host#$#h' || CAST(user_id AS VARCHAR) || '@'
+                      || CAST(CAST(FLOOR(epoch(ts)) AS BIGINT) * 1000000000 AS VARCHAR)
+                      || '@' || CAST(event_id AS VARCHAR) || '.5',
+                    'lat_sum@host#$#h' || CAST(user_id AS VARCHAR) || '@'
+                      || CAST(CAST(FLOOR(epoch(ts)) AS BIGINT) * 1000000000 AS VARCHAR)
+                      || '@' || CAST(event_id % 10 AS VARCHAR) || '.5',
+                    'lat_count@host#$#h' || CAST(user_id AS VARCHAR) || '@'
+                      || CAST(CAST(FLOOR(epoch(ts)) AS BIGINT) * 1000000000 AS VARCHAR)
+                      || '@2',
+                    'lat_bucket@host#$#h' || CAST(user_id AS VARCHAR) || '|le#$#1@'
+                      || CAST(CAST(FLOOR(epoch(ts)) AS BIGINT) * 1000000000 AS VARCHAR)
+                      || '@' || CAST(event_id % 3 AS VARCHAR),
+                    'lat_bucket@host#$#h' || CAST(user_id AS VARCHAR) || '|le#$#5@'
+                      || CAST(CAST(FLOOR(epoch(ts)) AS BIGINT) * 1000000000 AS VARCHAR)
+                      || '@' || CAST(event_id % 2 AS VARCHAR),
+                    'lat_bucket@host#$#h' || CAST(user_id AS VARCHAR) || '|le#$#+Inf@'
+                      || CAST(CAST(FLOOR(epoch(ts)) AS BIGINT) * 1000000000 AS VARCHAR)
+                      || '@1',
+                    'rt_sum@host#$#h' || CAST(user_id AS VARCHAR) || '@'
+                      || CAST(CAST(FLOOR(epoch(ts)) AS BIGINT) * 1000000000 AS VARCHAR)
+                      || '@' || CAST(event_id % 9 AS VARCHAR) || '.25',
+                    'rt_count@host#$#h' || CAST(user_id AS VARCHAR) || '@'
+                      || CAST(CAST(FLOOR(epoch(ts)) AS BIGINT) * 1000000000 AS VARCHAR)
+                      || '@3',
+                    'rt@host#$#h' || CAST(user_id AS VARCHAR) || '|quantile#$#0.5@'
+                      || CAST(CAST(FLOOR(epoch(ts)) AS BIGINT) * 1000000000 AS VARCHAR)
+                      || '@' || CAST(event_id % 7 AS VARCHAR) || '.5',
+                    'rt@host#$#h' || CAST(user_id AS VARCHAR) || '|quantile#$#0.99@'
+                      || CAST(CAST(FLOOR(epoch(ts)) AS BIGINT) * 1000000000 AS VARCHAR)
+                      || '@' || CAST(event_id % 11 AS VARCHAR) || '.5'
+                ]) AS part
+            ) parts
+            WHERE event_id % 4 = 0
         """,
         "mt_aggregate_label_values": """
             SELECT CASE WHEN event_type IN ('click', 'view') THEN 'engagement'
