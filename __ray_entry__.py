@@ -1902,9 +1902,94 @@ def _q_trace_decoders(sf_dir: str):
              if jback["process"]["service_name"] == "svc" else 0, 0),
         ]
 
+        # ---- humio + uptrace exporter legs (stages/humio.py) ----
+        from opentelemetry_collector_contrib_ray.stages.humio import (
+            HumioSpanEvents,
+            UptraceSpanTransformer,
+        )
+
+        hin = pa.table(
+            {
+                "trace_id": pa.array([f"{x + 1:032x}" for x in eid], pa.string()),
+                "span_id": pa.array([f"{x + 1:016x}" for x in eid], pa.string()),
+                "parent_span_id": pa.array(
+                    [f"{x + 3:016x}" if x % 3 == 0 else None for x in eid],
+                    pa.string(),
+                ),
+                "name": pa.array(et, pa.string()),
+                "kind": pa.array(
+                    [_NR_KINDS[x % 6] for x in eid], pa.string()
+                ),
+                "status_code": pa.array(
+                    [
+                        2 if t_ == "error" else (1 if x % 13 == 0 else 0)
+                        for x, t_ in zip(eid, et)
+                    ],
+                    pa.int64(),
+                ),
+                "status_message": pa.array(
+                    ["bad" if t_ == "error" else "" for t_ in et], pa.string()
+                ),
+                "start_ns": pa.array(epoch * 1_000_000_000, pa.int64()),
+                "end_ns": pa.array((epoch + dur) * 1_000_000_000, pa.int64()),
+                "http.method": pa.array(
+                    ["GET" if x % 4 == 0 else None for x in eid], pa.string()
+                ),
+                "n_links": pa.array((eid % 3).astype(np.int64), pa.int64()),
+            }
+        )
+        hout = HumioSpanEvents(
+            resource_attrs={"service.name": "svc", "env": "prod"},
+            instrumentation=("lib", "2.0"),
+            tag_strategy="service_name",
+            attr_cols=["http.method"],
+        )(hin).to_pandas()
+        hdrop = HumioSpanEvents(resource_attrs={"env": "prod"})(
+            hin.filter(pa.array((eid % 4 == 0).tolist()))
+        ).to_pandas()
+        humio_rows = [
+            ("humio", "events", len(hout), 0),
+            ("humio", "kind_server",
+             int((hout["kind"] == "SPAN_KIND_SERVER").sum()), 0),
+            ("humio", "status_ok",
+             int((hout["status_code"] == "STATUS_CODE_OK").sum()), 0),
+            ("humio", "status_error",
+             int((hout["status_code"] == "STATUS_CODE_ERROR").sum()), 0),
+            ("humio", "svc_hoisted",
+             int((~hout["attrs"].str.contains("service.name=", regex=False)).sum()),
+             0),
+            ("humio", "lib_attr",
+             int(hout["attrs"].str.contains(
+                 "instrumentation.library.name=lib", regex=False).sum()), 0),
+            ("humio", "tagged",
+             int((hout["tag"] == "svc").sum()), 0),
+            ("humio", "links", int(hout["n_links"].sum()), 0),
+            ("humio", "dropped_no_service", int(hdrop["n_dropped"].sum()), 0),
+        ]
+
+        uout = UptraceSpanTransformer(instrumentation=("tracer", "0.1"))(
+            hin
+        ).to_pandas()
+        expected_le = np.array(
+            [int(x) + 1 for x in eid], dtype=np.uint64
+        ).byteswap()
+        uptr_rows = [
+            ("uptr", "n", len(uout),
+             int((uout["end_ns"] - uout["start_ns"]).sum() // 1_000_000_000) * 100),
+            ("uptr", "id_byteswap",
+             int((uout["id"].to_numpy() == expected_le).sum()), 0),
+            ("uptr", "kind_internal",
+             int((uout["kind"] == "internal").sum()), 0),
+            ("uptr", "status_ok", int((uout["status_code"] == "ok").sum()), 0),
+            ("uptr", "status_error",
+             int((uout["status_code"] == "error").sum()), 0),
+            ("uptr", "parented", int((uout["parent_id"] != 0).sum()), 0),
+        ]
+
         allrows = (
             xray_rows + sfx_rows + sapm_rows + xrayx_rows + tanzu_rows + azmon_rows
             + sentry_rows + honey_rows + nr_rows + apm_rows + jthrift_rows
+            + humio_rows + uptr_rows
         )
         return pa.table(
             {
@@ -4596,7 +4681,52 @@ def oracle_sql() -> dict[str, str]:
             FROM e WHERE event_id % 101 <> 0 AND event_type = 'error'
             UNION ALL
             SELECT 'jthrift', 'proc_svc', COUNT(*), CAST(0 AS DECIMAL(18,2))
-            FROM e WHERE event_id % 101 <> 0)
+            FROM e WHERE event_id % 101 <> 0
+            -- humio leg (traces_exporter.go): service.name hoisted out
+            -- of attrs, enum-name kind/status strings, service_name
+            -- tagging, missing-service resource drop (%4 subsample)
+            UNION ALL
+            SELECT 'humio', 'events', COUNT(*), CAST(0 AS DECIMAL(18,2)) FROM e
+            UNION ALL
+            SELECT 'humio', 'kind_server', COUNT(*), CAST(0 AS DECIMAL(18,2))
+            FROM e WHERE event_id % 6 = 0
+            UNION ALL
+            SELECT 'humio', 'status_ok', COUNT(*), CAST(0 AS DECIMAL(18,2))
+            FROM e WHERE event_id % 13 = 0 AND event_type <> 'error'
+            UNION ALL
+            SELECT 'humio', 'status_error', COUNT(*), CAST(0 AS DECIMAL(18,2))
+            FROM e WHERE event_type = 'error'
+            UNION ALL
+            SELECT 'humio', 'svc_hoisted', COUNT(*), CAST(0 AS DECIMAL(18,2)) FROM e
+            UNION ALL
+            SELECT 'humio', 'lib_attr', COUNT(*), CAST(0 AS DECIMAL(18,2)) FROM e
+            UNION ALL
+            SELECT 'humio', 'tagged', COUNT(*), CAST(0 AS DECIMAL(18,2)) FROM e
+            UNION ALL
+            SELECT 'humio', 'links', CAST(COALESCE(SUM(event_id % 3), 0) AS BIGINT),
+                   CAST(0 AS DECIMAL(18,2))
+            FROM e
+            UNION ALL
+            SELECT 'humio', 'dropped_no_service', COUNT(*), CAST(0 AS DECIMAL(18,2))
+            FROM e WHERE event_id % 4 = 0
+            -- uptrace leg (exporter.go/translator.go): little-endian
+            -- uint64 ids, internal-collapsed kinds, lowercase status
+            UNION ALL
+            SELECT 'uptr', 'n', COUNT(*), CAST(SUM(dur) AS DECIMAL(18,2)) FROM e
+            UNION ALL
+            SELECT 'uptr', 'id_byteswap', COUNT(*), CAST(0 AS DECIMAL(18,2)) FROM e
+            UNION ALL
+            SELECT 'uptr', 'kind_internal', COUNT(*), CAST(0 AS DECIMAL(18,2))
+            FROM e WHERE event_id % 6 >= 4
+            UNION ALL
+            SELECT 'uptr', 'status_ok', COUNT(*), CAST(0 AS DECIMAL(18,2))
+            FROM e WHERE event_id % 13 = 0 AND event_type <> 'error'
+            UNION ALL
+            SELECT 'uptr', 'status_error', COUNT(*), CAST(0 AS DECIMAL(18,2))
+            FROM e WHERE event_type = 'error'
+            UNION ALL
+            SELECT 'uptr', 'parented', COUNT(*), CAST(0 AS DECIMAL(18,2))
+            FROM e WHERE event_id % 3 = 0)
         """,
         "statsd_parse_agg": """
             -- leg 'agg': DECIMAL sum = exact integer arithmetic matching
