@@ -3069,6 +3069,110 @@ def _q_scraper_parse(sf_dir: str):
                 }
             )
         )
+
+        # ---- kafkametrics leg (sources/kafka_lag.py): cluster-state
+        # rows → consumer lag/offset math (+ the -1 sentinel rules,
+        # unconsumed-topic suppression, group/topic regex filters) and
+        # topic-scraper partition gauges. Batch-additive rows only —
+        # the per-group members gauge is unit-tested, not summed. ----
+        from opentelemetry_collector_contrib_ray.sources.kafka_lag import (
+            kafka_consumer_metrics,
+            kafka_topic_metrics,
+        )
+
+        ke = e
+        n_k = len(ke)
+        kid = pd.Series(ke).astype(str)
+        g_ids = ("g" + kid).tolist()
+        t_ids = ("t" + kid).tolist()
+        idle_ids = ("idle" + kid).tolist()
+        zz_ids = ("zz" + kid).tolist()
+        state = pa.table(
+            {
+                "group": pa.array(
+                    g_ids * 2 + g_ids + [f"skip{g}" for g in g_ids], pa.string()
+                ),
+                "topic": pa.array(
+                    t_ids * 2 + idle_ids + zz_ids, pa.string()
+                ),
+                "partition": pa.array(
+                    np.concatenate(
+                        [ke * 3, ke * 3 + 1, ke * 3 + 2, ke * 3]
+                    ).astype(np.int64),
+                    pa.int64(),
+                ),
+                "consumer_offset": pa.array(
+                    np.concatenate(
+                        [
+                            ke % 100,
+                            np.where(ke % 5 == 0, -1, ke % 50),
+                            np.full(n_k, -1),
+                            np.full(n_k, 10**6),  # excluded by filters
+                        ]
+                    ).astype(np.int64),
+                    pa.int64(),
+                ),
+                "partition_offset": pa.array(
+                    np.concatenate(
+                        [
+                            (ke % 100) + (ke % 7),
+                            (ke % 50) + (ke % 11),
+                            ke % 9,
+                            np.full(n_k, 10**6),
+                        ]
+                    ).astype(np.int64),
+                    pa.int64(),
+                ),
+                "oldest_offset": pa.array(
+                    np.concatenate(
+                        [ke % 13, np.zeros(n_k), np.zeros(n_k), np.zeros(n_k)]
+                    ).astype(np.int64),
+                    pa.int64(),
+                ),
+                "replicas": pa.array(
+                    np.concatenate(
+                        [np.full(n_k, 3), np.full(n_k, 3), np.full(n_k, 1),
+                         np.full(n_k, 9)]
+                    ).astype(np.int64),
+                    pa.int64(),
+                ),
+                "in_sync": pa.array(
+                    np.concatenate(
+                        [
+                            np.where(ke % 2 == 0, 2, 3),
+                            np.full(n_k, 3),
+                            np.full(n_k, 1),
+                            np.full(n_k, 9),
+                        ]
+                    ).astype(np.int64),
+                    pa.int64(),
+                ),
+                "group_members": pa.array(
+                    np.full(4 * n_k, 4).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+        kc = kafka_consumer_metrics(
+            state, group_match=r"^g\d", topic_match=r"^(t|idle)\d"
+        )
+        kt = kafka_topic_metrics(state, topic_match=r"^(t|idle)\d")
+        kall = pa.concat_tables([kc, kt])
+        knames = pd.Series(kall["name"].to_numpy(zero_copy_only=False))
+        keep_k = (knames != "kafka.consumer_group.members").to_numpy()
+        kall = kall.filter(pa.array(keep_k))
+        parts.append(
+            pa.table(
+                {
+                    "leg": pa.array(["kafka"] * kall.num_rows, pa.string()),
+                    "name": kall["name"],
+                    "label_value": pa.array([""] * kall.num_rows, pa.string()),
+                    "value_int": kall["value"],
+                    "value_double": pa.array(
+                        np.zeros(kall.num_rows), pa.float64()
+                    ),
+                }
+            )
+        )
         return pa.concat_tables(parts)
 
     # explicit small batch_size: the render+parse UDF costs ~0.3 ms/row,
@@ -3740,6 +3844,35 @@ def _scraper_parse_oracle() -> str:
         f"ROUND(CAST(COALESCE({sd}, 0) AS DOUBLE), 6) AS sum_double "
         f"FROM events WHERE {where}"
         for leg, name, lv, where, si, sd in legs
+    ]
+    # kafkametrics leg (sources/kafka_lag.py): per event one mini
+    # cluster — two consumed partitions on topic t<e> (p1's consumer
+    # offset -1 on %5), one fully-unconsumed idle topic (no consumer
+    # datapoints), one regex-filtered group+topic. Row multiplicities
+    # differ per metric, so counts are explicit.
+    kafka = [
+        ("kafka.consumer_group.offset", "2 * COUNT(*)",
+         f"SUM(({e} % 100) + CASE WHEN {e} % 5 = 0 THEN -1 ELSE {e} % 50 END)"),
+        ("kafka.consumer_group.lag", "2 * COUNT(*)",
+         f"SUM(({e} % 7) + CASE WHEN {e} % 5 = 0 THEN -1 ELSE {e} % 11 END)"),
+        ("kafka.consumer_group.offset_sum", "COUNT(*)",
+         f"SUM(({e} % 100) + CASE WHEN {e} % 5 = 0 THEN -1 ELSE {e} % 50 END)"),
+        ("kafka.consumer_group.lag_sum", "COUNT(*)",
+         f"SUM(({e} % 7) + CASE WHEN {e} % 5 = 0 THEN 0 ELSE {e} % 11 END)"),
+        ("kafka.topic.partitions", "2 * COUNT(*)", "SUM(3)"),
+        ("kafka.partition.current_offset", "3 * COUNT(*)",
+         f"SUM(({e} % 100) + ({e} % 7) + ({e} % 50) + ({e} % 11) + ({e} % 9))"),
+        ("kafka.partition.oldest_offset", "3 * COUNT(*)", f"SUM({e} % 13)"),
+        ("kafka.partition.replicas", "3 * COUNT(*)", "SUM(7)"),
+        ("kafka.partition.replicas_in_sync", "3 * COUNT(*)",
+         f"SUM(CASE WHEN {e} % 2 = 0 THEN 2 ELSE 3 END + 4)"),
+    ]
+    parts += [
+        f"SELECT 'kafka' AS leg, '{name}' AS name, '' AS label_value, "
+        f'CAST({cnt} AS BIGINT) AS "count", '
+        f"CAST(COALESCE({si}, 0) AS BIGINT) AS sum_int, "
+        f"ROUND(CAST(0 AS DOUBLE), 6) AS sum_double FROM events"
+        for name, cnt, si in kafka
     ]
     return " UNION ALL ".join(parts)
 
