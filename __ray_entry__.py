@@ -1024,18 +1024,74 @@ def _q_embedding_knn(sf_dir: str):
 
 
 def _q_embedding_neardup(sf_dir: str):
-    """Multi-table hyperplane-LSH cosine near-dup. Every emitted pair
-    is exact-cosine verified (no false positives), so the pair COUNT is
-    oracle-checkable against DuckDB's exhaustive self-join at the same
-    threshold (the synthetic embeddings have max pairwise cosine ≈0.51,
-    so both sides must report zero)."""
+    """Two legs over the embeddings table.
+
+    1. Multi-table hyperplane-LSH cosine near-dup: every emitted pair
+       is exact-cosine verified (no false positives), so the pair COUNT
+       is oracle-checkable against DuckDB's exhaustive self-join at the
+       same threshold (the synthetic embeddings have max pairwise
+       cosine ≈0.51, so both sides must report zero).
+    2. SemDeDup semantic dedup (stages/semdedup.py, Abbas et al. 2023):
+       inject an EXACT copy of every 20th vector at vec_id+10_000_000,
+       k-means-cluster + within-cluster cosine prune at 0.9 with
+       keep='min_id'. An exact copy always lands in its original's
+       cluster with cosine 1.0, and no organic pair exceeds the
+       threshold (leg 1 proves that), so the survivor counts are SQL
+       closed forms: every original survives, every injected copy drops.
+    """
     import pandas as pd
 
     from opentelemetry_collector_contrib_ray.stages.dedup import embedding_neardup_pairs
+    from opentelemetry_collector_contrib_ray.stages.semdedup import semantic_dedup
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     n = embedding_neardup_pairs(ds, threshold=0.9).count()
-    return pd.DataFrame({"n_pairs": [n]})
+
+    def inject(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        dup = batch.filter(pa.array(ids % 20 == 0))
+        dup = dup.set_column(
+            dup.schema.get_field_index("vec_id"),
+            "vec_id",
+            pc.add(dup["vec_id"], 10_000_000),
+        )
+        return pa.concat_tables([batch, dup])
+
+    injected = ds.map_batches(inject, batch_format="pyarrow")
+    survivors = semantic_dedup(
+        injected, threshold=0.9, keep="min_id"
+    )
+
+    def part_counts(t: pa.Table) -> pa.Table:
+        inj = pc.sum(
+            pc.cast(pc.greater_equal(t["vec_id"], 10_000_000), pa.int64())
+        ).as_py() or 0
+        return pa.table(
+            {"n": pa.array([len(t)], pa.int64()), "inj": pa.array([inj], pa.int64())}
+        )
+
+    agg = survivors.map_batches(part_counts, batch_format="pyarrow").to_pandas().sum()
+    base = ds.map_batches(
+        lambda t: pa.table(
+            {
+                "n": pa.array([len(t)], pa.int64()),
+                "inj": pa.array(
+                    [int((t["vec_id"].to_numpy(zero_copy_only=False) % 20 == 0).sum())],
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    ).to_pandas().sum()
+    return pd.DataFrame(
+        {
+            "n_pairs": pd.array([n], dtype="int64"),
+            "n_base": pd.array([int(base["n"])], dtype="int64"),
+            "n_injected": pd.array([int(base["inj"])], dtype="int64"),
+            "n_survivors": pd.array([int(agg["n"])], dtype="int64"),
+            "n_injected_kept": pd.array([int(agg["inj"])], dtype="int64"),
+        }
+    )
 
 
 # ------------------------------------------------- line-protocol round-trips
@@ -5061,9 +5117,20 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 10
         """,
         "embedding_neardup": """
-            SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs
-            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9
+            -- leg 1: exhaustive cosine self-join pair count;
+            -- legs 2-5: SemDeDup closed forms — exact copies injected at
+            -- vec_id+10M for every 20th vector must all drop (cosine 1.0
+            -- to their in-cluster original) while every original
+            -- survives (no organic pair reaches 0.9, proven by leg 1)
+            SELECT (SELECT CAST(COUNT(*) AS BIGINT)
+                    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+                    WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9
+                   ) AS n_pairs,
+                   CAST(COUNT(*) AS BIGINT) AS n_base,
+                   CAST(SUM(CASE WHEN vec_id % 20 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_injected,
+                   CAST(COUNT(*) AS BIGINT) AS n_survivors,
+                   CAST(0 AS BIGINT) AS n_injected_kept
+            FROM embeddings
         """,
         "sampling_contracts": """
             -- probabilistic sampler (determinism + fraction) and the

@@ -24,6 +24,12 @@ def _mat(batch: pa.Table, emb_col: str) -> np.ndarray:
     col = batch[emb_col]
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    if isinstance(col.type, pa.ExtensionType):
+        # Ray's ArrowTensorType (from_pandas path): to_numpy gives (n, d)
+        m = col.to_numpy(zero_copy_only=False)
+        if m.dtype == object:
+            m = np.stack(m)
+        return np.ascontiguousarray(m, dtype=np.float32)
     lens = pc.list_value_length(col).to_numpy()
     flat = np.asarray(col.flatten(), dtype=np.float32)
     if len(lens) and (lens == lens[0]).all():
