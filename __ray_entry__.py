@@ -3369,6 +3369,133 @@ def _q_llm_ops(sf_dir: str):
         }
     )
 
+    # --- c4 leg: C4-style line cleaning over deterministic injected
+    # multi-line docs; the oracle re-applies the same line rules with
+    # DuckDB list lambdas (different kernels, same public semantics)
+    from opentelemetry_collector_contrib_ray.stages.llmdata import (
+        c4_clean,
+        resample_mixture,
+    )
+
+    def inj_c4(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ds_ = pd.Series(d).astype(str)
+        last = np.where(
+            d % 3 == 0, "Third good line appears here.", "no terminal punct line"
+        )
+        txt = (
+            "Alpha line number one.\nDocument "
+            + ds_
+            + " body line.\nbad { brace line.\ntiny line.\n"
+            + "Uses javascript inside here.\nlorem ipsum dolor sit amet.\n"
+            + pd.Series(last)
+        )
+        cleaned = c4_clean(
+            pa.table(
+                {
+                    "doc_id": t["doc_id"],
+                    "text": pa.array(txt.to_numpy(dtype=object), pa.string()),
+                }
+            )
+        )
+        return pa.table(
+            {
+                "leg": pa.array(["c4"] * len(d), pa.string()),
+                "key": pc.cast(cleaned["doc_id"], pa.string()),
+                "n": pc.cast(cleaned["n_lines_kept"], pa.int64()),
+                "n2": pc.cast(pc.cast(cleaned["kept"], pa.int8()), pa.int64()),
+                "n3": pa.array(np.zeros(len(d), np.int64)),
+                "v_str": cleaned["clean_text"],
+            }
+        )
+
+    c4_rows = docs.map_batches(inj_c4, batch_format="pyarrow").to_pandas()
+
+    # --- mix leg: deterministic domain-mixture resampling, weight
+    # w(source) = (source index % 4) + 0.5 → floor copies + one more
+    # for ids with doc_id % 1000 < 500; per-source emitted and distinct
+    # counts are SQL closed forms
+    u = (
+        docs.map_batches(
+            lambda t: pa.table({"source": pc.unique(t["source"])}),
+            batch_format="pyarrow",
+        )
+        .to_pandas()["source"]
+        .unique()
+    )
+    mix_w = {s: (int(s[3:]) % 4) + 0.5 for s in u}
+    mixed = resample_mixture(
+        docs.select_columns(["doc_id", "source"]), mix_w, mod=1000
+    )
+
+    def mix_part(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = df.groupby("source")["doc_id"].agg(["count", "nunique"]).reset_index()
+        return pa.table(
+            {
+                "source": pa.array(g["source"].to_numpy(dtype=object), pa.string()),
+                "count": pa.array(g["count"].to_numpy(np.int64)),
+                "nunique": pa.array(g["nunique"].to_numpy(np.int64)),
+            }
+        )
+
+    mix_agg = (
+        mixed.map_batches(mix_part, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("source")[["count", "nunique"]]
+        .sum()
+        .reset_index()
+    )
+    mix_rows = pd.DataFrame(
+        {
+            "leg": "mix",
+            "key": mix_agg["source"],
+            "n": mix_agg["count"].astype(np.int64),
+            "n2": mix_agg["nunique"].astype(np.int64),
+            "n3": np.int64(0),
+            "v_str": "",
+        }
+    )
+
+    # --- dup leg: corpus-level repeated-passage detection. A fixed
+    # 40-word passage is appended to every doc_id % 25 == 0 document;
+    # the engine groups 64-bit WINDOW HASHES while the oracle
+    # independently groups the window STRINGS in SQL (the organic
+    # corpus repeats windows too — both sides must find the same
+    # repeated-window count, max doc-spread and min owner id).
+    from opentelemetry_collector_contrib_ray.stages.llmdata import duplicate_passages
+
+    _PASSAGE = " ".join(f"zq{j}" for j in range(40))
+
+    def inj_dup(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = pd.Series(t["text"].to_numpy(zero_copy_only=False), dtype=object).fillna("")
+        s = s.where(pd.Series(d % 25 != 0), s + " " + _PASSAGE)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "text": pa.array(s.to_numpy(dtype=object), pa.string()),
+            }
+        )
+
+    dup_out = duplicate_passages(
+        docs.map_batches(inj_dup, batch_format="pyarrow"), window=32
+    ).to_pandas()
+    dup_rows = pd.DataFrame(
+        {
+            "leg": ["dup"],
+            "key": ["passages"],
+            "n": np.array([len(dup_out)], np.int64),
+            "n2": np.array(
+                [int(dup_out["n_docs"].max()) if len(dup_out) else 0], np.int64
+            ),
+            "n3": np.array(
+                [int(dup_out["min_doc_id"].min()) if len(dup_out) else -1], np.int64
+            ),
+            "v_str": [""],
+        }
+    )
+
     chunks = pack_sequences(docs, "source", "doc_id", "text", seq_len=64).to_pandas()
     grp = []
     for src, sub in chunks.groupby("source", sort=False):
@@ -3383,7 +3510,10 @@ def _q_llm_ops(sf_dir: str):
                 "v_str": f"{sub.iloc[0]['first_tok']}:{sub.iloc[-1]['last_tok']}",
             }
         )
-    return pd.concat([pii, pd.DataFrame(grp), decon_rows], ignore_index=True)
+    return pd.concat(
+        [pii, pd.DataFrame(grp), decon_rows, c4_rows, mix_rows, dup_rows],
+        ignore_index=True,
+    )
 
 
 def _q_splunk_hec_parse(sf_dir: str):
@@ -5004,6 +5134,73 @@ def oracle_sql() -> dict[str, str]:
                    ) THEN 1 ELSE 0 END,
                    CAST(0 AS BIGINT), CAST(0 AS BIGINT), ''
             FROM documents d
+            UNION ALL
+            -- c4 leg: same injected multi-line doc, line rules applied
+            -- with DuckDB list lambdas (terminal punct, >=3 non-empty
+            -- words, no javascript/lorem ipsum/brace); doc gate >= 3
+            SELECT 'c4', CAST(doc_id AS VARCHAR),
+                   CAST(len(kept_lines) AS BIGINT),
+                   CAST(CASE WHEN len(kept_lines) >= 3 THEN 1 ELSE 0 END AS BIGINT),
+                   CAST(0 AS BIGINT),
+                   array_to_string(kept_lines, chr(10))
+            FROM (
+                SELECT doc_id, list_filter(
+                    string_split(
+                        'Alpha line number one.' || chr(10) ||
+                        'Document ' || CAST(doc_id AS VARCHAR) || ' body line.' || chr(10) ||
+                        'bad { brace line.' || chr(10) ||
+                        'tiny line.' || chr(10) ||
+                        'Uses javascript inside here.' || chr(10) ||
+                        'lorem ipsum dolor sit amet.' || chr(10) ||
+                        CASE WHEN doc_id % 3 = 0 THEN 'Third good line appears here.'
+                             ELSE 'no terminal punct line' END,
+                        chr(10)),
+                    x -> regexp_matches(x, '[.!?"]$')
+                         AND len(list_filter(string_split(x, ' '), w -> w <> '')) >= 3
+                         AND NOT contains(lower(x), 'javascript')
+                         AND NOT contains(lower(x), 'lorem ipsum')
+                         AND NOT contains(x, '{')
+                ) AS kept_lines
+                FROM documents
+            )
+            UNION ALL
+            -- mix leg: w(source) = (idx % 4) + 0.5 → floor(w) copies
+            -- plus one when doc_id % 1000 < 500; emitted + distinct
+            SELECT 'mix', source,
+                   CAST(SUM(reps) AS BIGINT),
+                   CAST(SUM(CASE WHEN reps > 0 THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(0 AS BIGINT), ''
+            FROM (
+                SELECT source, (CAST(SUBSTR(source, 4) AS INT) % 4)
+                       + CASE WHEN doc_id % 1000 < 500 THEN 1 ELSE 0 END AS reps
+                FROM documents
+            ) GROUP BY source
+            UNION ALL
+            -- dup leg: repeated 32-word windows across documents (with
+            -- the injected 40-word passage on doc_id % 25 == 0),
+            -- INDEPENDENTLY derived by exact string grouping — the
+            -- engine groups 64-bit window hashes, the oracle groups
+            -- the window strings themselves
+            SELECT 'dup', 'passages',
+                   CAST(COUNT(*) AS BIGINT),
+                   CAST(MAX(nd) AS BIGINT),
+                   CAST(MIN(mid) AS BIGINT), ''
+            FROM (
+                SELECT win, COUNT(DISTINCT doc_id) AS nd, MIN(doc_id) AS mid
+                FROM (
+                    SELECT doc_id,
+                           array_to_string(list_slice(ws, i, i + 31), ' ') AS win
+                    FROM (
+                        SELECT doc_id,
+                               string_split(text || CASE WHEN doc_id % 25 = 0
+                                    THEN ' zq0 zq1 zq2 zq3 zq4 zq5 zq6 zq7 zq8 zq9 zq10 zq11 zq12 zq13 zq14 zq15 zq16 zq17 zq18 zq19 zq20 zq21 zq22 zq23 zq24 zq25 zq26 zq27 zq28 zq29 zq30 zq31 zq32 zq33 zq34 zq35 zq36 zq37 zq38 zq39'
+                                    ELSE '' END, ' ') AS ws
+                        FROM documents
+                    ), unnest(generate_series(1, greatest(len(ws) - 31, 0))) AS t(i)
+                )
+                GROUP BY win
+                HAVING COUNT(DISTINCT doc_id) >= 2
+            )
         """,
         "sfx_translation": """
             -- closed forms of the 8-rule chain in _q_sfx_translation:

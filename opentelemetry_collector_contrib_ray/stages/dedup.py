@@ -380,12 +380,14 @@ def lsh_candidate_pairs(exploded, id_col: str, *, num_buckets: int = 64):
             )
         a = np.concatenate(out_a)
         b = np.concatenate(out_b)
-        # local dedupe first (same pair can recur within this bucket)
-        _, first = np.unique(
-            np.char.add(np.char.add(a.astype(str), "\x00"), b.astype(str)),
-            return_index=True,
-        )
-        a, b = a[first], b[first]
+        # local dedupe first (same pair can recur within this bucket):
+        # lexsort + neighbor equality — exact, and avoids the per-pair
+        # np.char string concatenation (Python-level per element)
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        keep = np.ones(len(a), bool)
+        keep[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        a, b = a[keep], b[keep]
         from .._util import hash_str_u64
 
         with np.errstate(over="ignore"):

@@ -1,5 +1,6 @@
 """Training-data pipeline operators: PII redaction, Gopher-style
-repetition/quality filters, and sequence packing.
+repetition/quality filters, sequence packing, C4-style line cleaning,
+and deterministic domain-mixture resampling.
 
 These are engine additions beyond the reference's telemetry operators
 (build mandate: "the operations a large-scale training-data pipeline
@@ -148,31 +149,110 @@ class NgramDecontaminator:
         self.text_col = text_col
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        from .._util import hash_str_u64
-
         s = pd.Series(t[self.text_col].to_numpy(zero_copy_only=False), dtype=object).fillna("")
-        words = s.str.split(" ")
-        lens = words.str.len().to_numpy(dtype=np.int64)
-        n = self.n
         flags = np.zeros(len(s), dtype=bool)
-        n_wins = np.maximum(lens - n + 1, 0)
-        if n_wins.sum() > 0 and len(self.grams):
-            # flat window render: docs side by side, windows per doc
-            flat_words = np.concatenate(
-                [np.asarray(w, dtype=object) for w in words.to_numpy()]
-            )
-            starts = np.repeat(np.cumsum(lens) - lens, n_wins) + np.concatenate(
-                [np.arange(k, dtype=np.int64) for k in n_wins]
-            ) if len(n_wins) else np.array([], dtype=np.int64)
-            doc_of = np.repeat(np.arange(len(s)), n_wins)
-            # windows as joined strings (vectorized char add per position)
-            win = flat_words[starts].astype(object)
-            for off in range(1, n):
-                win = win + " " + flat_words[starts + off]
-            h = hash_str_u64(win.astype(object))
+        if len(self.grams):
+            h, doc_of = _window_hashes(s, self.n)
             hit = np.isin(h, self.grams)
             np.add.at(flags, doc_of[hit], True)
         return t.append_column("contaminated", pa.array(flags, pa.bool_()))
+
+
+def _window_hashes(s: pd.Series, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Hash every n-word window of every text in ``s`` in one flat
+    pass. Returns ``(hashes uint64, doc_index int64)`` — the window
+    render is positional string adds over the flat word array, the
+    same joined-string hashing as ``build_eval_grams``."""
+    from .._util import hash_str_u64
+
+    words = s.str.split(" ")
+    lens = words.str.len().to_numpy(dtype=np.int64) if len(s) else np.empty(0, np.int64)
+    n_wins = np.maximum(lens - n + 1, 0)
+    if n_wins.sum() == 0:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    flat_words = np.concatenate(
+        [np.asarray(w, dtype=object) for w in words.to_numpy()]
+    )
+    starts = np.repeat(np.cumsum(lens) - lens, n_wins) + np.concatenate(
+        [np.arange(k, dtype=np.int64) for k in n_wins]
+    )
+    doc_of = np.repeat(np.arange(len(s), dtype=np.int64), n_wins)
+    win = flat_words[starts].astype(object)
+    for off in range(1, n):
+        win = win + " " + flat_words[starts + off]
+    return hash_str_u64(win.astype(object)), doc_of
+
+
+def duplicate_passages(
+    ds,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 32,
+    min_docs: int = 2,
+    num_buckets: int | None = None,
+):
+    """Corpus-level repeated-passage detection — the hash-window
+    approximation of ExactSubstr dedup (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better"): find every
+    ``window``-word span that occurs in at least ``min_docs`` DISTINCT
+    documents (boilerplate, licence blocks, templated headers).
+
+    Shuffle-light: each batch hashes its windows in one flat pass and
+    PRE-AGGREGATES to (hash, distinct-docs-in-batch, min-id-in-batch)
+    triples via lexsort + reduceat — a document's windows live in one
+    batch, so per-batch distinct-doc counts sum exactly. One bucketed
+    groupby on the hash merges partials; only triples move, never text.
+    Returns a Dataset ``(gram_hash, n_docs, min_doc_id)`` filtered to
+    ``n_docs >= min_docs``.
+    """
+    from .aggregate import bucketed_aggregate
+
+    def partials(t: pa.Table) -> pa.Table:
+        s = pd.Series(t[text_col].to_numpy(zero_copy_only=False), dtype=object).fillna("")
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        h, doc_of = _window_hashes(s, window)
+        if not len(h):
+            return pa.table(
+                {
+                    "gram_hash": pa.array([], pa.uint64()),
+                    "n_docs": pa.array([], pa.int64()),
+                    "min_doc_id": pa.array([], pa.int64()),
+                }
+            )
+        # unique (hash, doc) pairs, then distinct-doc count per hash
+        order = np.lexsort((doc_of, h))
+        hs, ds_ = h[order], doc_of[order]
+        keep = np.ones(len(hs), bool)
+        keep[1:] = (hs[1:] != hs[:-1]) | (ds_[1:] != ds_[:-1])
+        hs, ds_ = hs[keep], ds_[keep]
+        bounds = np.ones(len(hs), bool)
+        bounds[1:] = hs[1:] != hs[:-1]
+        starts = np.flatnonzero(bounds)
+        counts = np.diff(np.append(starts, len(hs)))
+        did = ids[ds_].astype(np.int64)
+        min_ids = np.minimum.reduceat(did, starts)
+        return pa.table(
+            {
+                "gram_hash": pa.array(hs[starts], pa.uint64()),
+                "n_docs": pa.array(counts.astype(np.int64)),
+                "min_doc_id": pa.array(min_ids),
+            }
+        )
+
+    parts = ds.map_batches(partials, batch_format="pyarrow")
+    merged = bucketed_aggregate(
+        parts,
+        ["gram_hash"],
+        [("n_docs", "sum", "n_docs"), ("min_doc_id", "min", "min_doc_id")],
+        num_buckets=num_buckets,
+    )
+    import pyarrow.compute as pc
+
+    return merged.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["n_docs"], min_docs)),
+        batch_format="pyarrow",
+    )
 
 
 def pack_sequences(
@@ -223,3 +303,91 @@ def pack_sequences(
         )
 
     return bucketed_group_apply(ds, group_col, per_bucket, num_buckets=num_buckets)
+
+
+# --------------------------------------------------------------- C4 cleaning
+
+# C4-style line filters (Raffel et al. 2020 §2.2, public rules): a line
+# survives iff it ends in terminal punctuation, has >= min_words words,
+# and contains none of the bad substrings; a document survives iff it
+# retains >= min_lines lines. Substring checks are case-insensitive
+# except the brace (C4 drops any page with "{" — here applied per line
+# so the cleaner is also usable as a line filter).
+C4_TERMINAL = ('.', '!', '?', '"')
+C4_BAD_LOWER = ("javascript", "lorem ipsum")
+C4_BAD_RAW = ("{",)
+
+
+def c4_clean(
+    batch: pa.Table,
+    text_col: str = "text",
+    out_col: str = "clean_text",
+    min_words: int = 3,
+    min_lines: int = 3,
+) -> pa.Table:
+    """C4-style line-level cleaning, fully vectorized: one explode of
+    the newline-split lines (Arrow list offsets), pandas str kernels
+    for every predicate over the FLAT line array, and an Arrow
+    ``binary_join`` to reassemble kept lines per document — no per-row
+    Python. Adds ``out_col`` (cleaned text), ``n_lines_kept`` and
+    ``kept`` (doc-level gate)."""
+    s = pd.Series(batch[text_col].to_numpy(zero_copy_only=False), dtype=object).fillna("")
+    n = len(s)
+    lines = s.str.split("\n")
+    counts = lines.str.len().to_numpy().astype(np.int64) if n else np.empty(0, np.int64)
+    flat = pd.Series(
+        np.concatenate(lines.to_numpy()) if n else np.empty(0, object), dtype=object
+    )
+    ok = flat.str.endswith(C4_TERMINAL).to_numpy(dtype=bool)
+    # word count = runs of non-space chars (mirrors SQL list_filter of
+    # non-empty tokens after a split on ' ')
+    ok &= (flat.str.count(r"[^ ]+") >= min_words).to_numpy(dtype=bool)
+    low = flat.str.lower()
+    for bad in C4_BAD_LOWER:
+        ok &= ~low.str.contains(bad, regex=False).to_numpy(dtype=bool)
+    for bad in C4_BAD_RAW:
+        ok &= ~flat.str.contains(bad, regex=False).to_numpy(dtype=bool)
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
+    kept_counts = np.bincount(doc_idx[ok], minlength=n).astype(np.int64)
+    kept_lines = pa.array(flat.to_numpy()[ok], pa.string())
+    offs = pa.array(np.concatenate([[0], np.cumsum(kept_counts)]).astype(np.int32))
+    joined = pa.compute.binary_join(
+        pa.ListArray.from_arrays(offs, kept_lines), "\n"
+    )
+    batch = batch.append_column(out_col, joined)
+    batch = batch.append_column("n_lines_kept", pa.array(kept_counts, pa.int64()))
+    return batch.append_column("kept", pa.array(kept_counts >= min_lines))
+
+
+# ------------------------------------------------------- mixture resampling
+
+
+def resample_mixture(
+    ds,
+    weights: dict[str, float],
+    *,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    mod: int = 1000,
+):
+    """Deterministic epoch-style domain-mixture resampling (the
+    up/down-sampling step of public LLM data recipes — e.g. The Pile's
+    per-set epochs, LLaMA's sampling proportions): a row with weight
+    ``w = weights[source]`` (missing source → 1.0) is emitted
+    ``floor(w)`` times, plus one more iff ``id % mod < round(mod *
+    frac(w))`` — so expected multiplicity equals ``w`` with a
+    deterministic, SQL-mirrorable residual instead of RNG. Weight 0
+    drops a source; fractional weight < 1 downsamples. Stateless
+    ``map_batches`` (np.repeat on row indices, Arrow ``take``) — no
+    shuffle, order preserved within blocks."""
+
+    def rep(t: pa.Table) -> pa.Table:
+        src = pd.Series(t[source_col].to_numpy(zero_copy_only=False), dtype=object)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = src.map(weights).astype(float).fillna(1.0).to_numpy()
+        fl = np.floor(w)
+        extra = (ids % mod) < np.round(mod * (w - fl))
+        reps = (fl + extra).astype(np.int64)
+        return t.take(pa.array(np.repeat(np.arange(len(t), dtype=np.int64), reps)))
+
+    return ds.map_batches(rep, batch_format="pyarrow")

@@ -8,9 +8,11 @@ import pytest
 import ray
 
 from opentelemetry_collector_contrib_ray.stages.llmdata import (
+    c4_clean,
     gopher_stats,
     pack_sequences,
     redact_pii,
+    resample_mixture,
 )
 
 
@@ -158,3 +160,107 @@ class TestPackSequences:
         )
         out = pack_sequences(ray.data.from_pandas(df), seq_len=5).to_pandas()
         assert list(out.sort_values("chunk_id")["chunk_len"]) == [5, 5]
+
+
+class TestC4Clean:
+    def _run(self, texts, **kw):
+        t = pa.table({"text": pa.array(texts, pa.string())})
+        return c4_clean(t, **kw)
+
+    def test_line_rules(self):
+        doc = "\n".join(
+            [
+                "Good first line here.",          # kept
+                "two words.",                     # < 3 words
+                "no terminal punctuation at all", # no terminal punct
+                "Uses JavaScript for rendering.", # bad substring (ci)
+                "Lorem Ipsum dolor sit amet.",    # bad substring (ci)
+                "brace { inside this line.",      # raw brace
+                'Quoted line ends with a quote."',  # kept (quote terminal)
+                "Another good line right here!",  # kept
+            ]
+        )
+        out = self._run([doc])
+        assert out["clean_text"][0].as_py() == (
+            'Good first line here.\nQuoted line ends with a quote."\n'
+            "Another good line right here!"
+        )
+        assert out["n_lines_kept"][0].as_py() == 3
+        assert out["kept"][0].as_py() is True
+
+    def test_doc_gate_and_empty(self):
+        out = self._run(["One good line is fine.", "", None], min_lines=2)
+        assert out["n_lines_kept"].to_pylist() == [1, 0, 0]
+        assert out["kept"].to_pylist() == [False, False, False]
+        assert out["clean_text"].to_pylist() == ["One good line is fine.", "", ""]
+
+    def test_multi_space_word_count(self):
+        # runs of spaces must not inflate the word count
+        out = self._run(["a  b."], min_lines=1)
+        assert out["n_lines_kept"][0].as_py() == 0
+        out = self._run(["a  b  c."], min_lines=1)
+        assert out["n_lines_kept"][0].as_py() == 1
+
+
+class TestResampleMixture:
+    def test_multiplicities(self, ray_session):
+        df = pd.DataFrame(
+            {
+                "doc_id": np.arange(1000),
+                "source": ["a" if i % 2 == 0 else "b" for i in range(1000)],
+            }
+        )
+        ds = ray.data.from_pandas(df)
+        out = resample_mixture(
+            ds, {"a": 2.5, "b": 0.25}, mod=1000
+        ).to_pandas()
+        cnt = out.groupby("source")["doc_id"].agg(["count", "nunique"])
+        # a: 500 docs × (2 + [id%1000 < 500]) → even ids 0..998; 250 ids
+        # below 500 get 3 copies, 250 get 2 → 1250
+        assert cnt.loc["a", "count"] == 1250
+        assert cnt.loc["a", "nunique"] == 500
+        # b: floor 0; only odd ids < 250 survive (125 of them), 1 copy
+        assert cnt.loc["b", "count"] == 125
+        assert cnt.loc["b", "nunique"] == 125
+
+    def test_missing_source_defaults_to_one(self, ray_session):
+        df = pd.DataFrame({"doc_id": [1, 2], "source": ["x", "x"]})
+        out = resample_mixture(ray.data.from_pandas(df), {}).to_pandas()
+        assert len(out) == 2
+
+
+class TestDuplicatePassages:
+    def test_injected_passage_found(self, ray_session):
+        from opentelemetry_collector_contrib_ray.stages.llmdata import (
+            duplicate_passages,
+        )
+
+        passage = " ".join(f"shared{j}" for j in range(10))
+        rows = []
+        for i in range(20):
+            base = " ".join(f"w{i}x{j}" for j in range(30))
+            text = base + " " + passage if i in (3, 7, 9) else base
+            rows.append({"doc_id": i, "text": text})
+        ds = ray.data.from_pandas(pd.DataFrame(rows))
+        out = duplicate_passages(
+            ds, window=8, min_docs=2, num_buckets=4
+        ).to_pandas()
+        # the 10-word passage contributes 10-8+1 = 3 repeated windows;
+        # nothing else repeats across docs
+        assert len(out) == 3
+        assert set(out["n_docs"]) == {3}
+        assert set(out["min_doc_id"]) == {3}
+
+    def test_no_repeats(self, ray_session):
+        from opentelemetry_collector_contrib_ray.stages.llmdata import (
+            duplicate_passages,
+        )
+
+        rows = [
+            {"doc_id": i, "text": " ".join(f"u{i}v{j}" for j in range(40))}
+            for i in range(10)
+        ]
+        out = duplicate_passages(
+            ray.data.from_pandas(pd.DataFrame(rows)), window=8, num_buckets=4
+        ).to_pandas()
+        assert len(out) == 0
