@@ -2494,6 +2494,10 @@ def _q_ivf_knn(sf_dir: str):
     q = mat[0]
     idx = IvfIndex(n_lists=8).train(mat)
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    # distributed Lloyd refinement over the FULL corpus (the scale
+    # path when the sample-trained quantizer must track the whole
+    # distribution) — recall contract below covers the refined index
+    idx.refine(ds, iters=1)
     approx = set(
         ivf_topk(ds, idx, q, k=10, nprobe=4).select_columns(["vec_id"]).to_pandas()[
             "vec_id"
@@ -3496,6 +3500,125 @@ def _q_llm_ops(sf_dir: str):
         }
     )
 
+    # --- lm leg: CCNet-style unigram LM stats vs the corpus top-50
+    # vocabulary (distributed word-count groupby → per-block top-k →
+    # broadcast scorer). The oracle re-derives n_in_vocab / n_oov /
+    # sum_freq with an unnest + join in SQL — all-integer contracts.
+    from opentelemetry_collector_contrib_ray.stages.llmdata import (
+        UnigramScorer,
+        corpus_word_counts,
+        top_vocab,
+    )
+
+    counts = corpus_word_counts(docs)
+    total_words = int(counts.sum("c") or 0)
+    vocab = top_vocab(counts, 50)
+    lm = (
+        docs.map_batches(
+            UnigramScorer(vocab["word"].to_numpy(), vocab["c"].to_numpy(), total_words),
+            batch_format="pyarrow",
+        )
+        .select_columns(["doc_id", "n_in_vocab", "n_oov", "sum_freq"])
+        .to_pandas()
+    )
+    lm_rows = pd.DataFrame(
+        {
+            "leg": "lm",
+            "key": lm["doc_id"].astype(str),
+            "n": lm["n_in_vocab"].astype(np.int64),
+            "n2": lm["n_oov"].astype(np.int64),
+            "n3": lm["sum_freq"].astype(np.int64),
+            "v_str": "",
+        }
+    )
+
+    # --- dsir leg: DSIR hashed-bigram importance scoring (target
+    # distribution = lang == 'en' docs). Integer probability-difference
+    # score Σ (tgt_c·N_raw − raw_c·N_tgt) over the doc's bigram
+    # buckets; the oracle recomputes buckets with the same
+    # SQL-expressible first-codepoint/length mix.
+    from opentelemetry_collector_contrib_ray.stages.llmdata import (
+        DsirScorer,
+        dsir_bucket_counts,
+    )
+
+    docs_l = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def add_target(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "is_target", pc.equal(t["lang"], pa.scalar("en", pa.string()))
+        )
+
+    docs_t = docs_l.map_batches(add_target, batch_format="pyarrow")
+    dcnt = dsir_bucket_counts(docs_t)
+    dsir = (
+        docs_t.map_batches(
+            DsirScorer(dcnt["raw_c"].to_numpy(), dcnt["tgt_c"].to_numpy()),
+            batch_format="pyarrow",
+        )
+        .select_columns(["doc_id", "dsir_score", "dsir_keep", "n_bigrams"])
+        .to_pandas()
+    )
+    dsir_rows = pd.DataFrame(
+        {
+            "leg": "dsir",
+            "key": dsir["doc_id"].astype(str),
+            "n": dsir["dsir_score"].astype(np.int64),
+            "n2": dsir["dsir_keep"].astype(np.int64),
+            "n3": dsir["n_bigrams"].astype(np.int64),
+            "v_str": "",
+        }
+    )
+
+    # --- ldedup leg: RefinedWeb-style corpus-wide exact line dedup
+    # over injected multi-line docs (a header line shared by ALL docs
+    # + a doc_id%50 group line + the original text as one line); the
+    # engine groups 64-bit line hashes while the oracle groups the
+    # line STRINGS, and both apply first-owner-wins removal.
+    from opentelemetry_collector_contrib_ray.stages.llmdata import (
+        LineDeduper,
+        duplicate_lines,
+    )
+
+    def inj_lines(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = pd.Series(t["text"].to_numpy(zero_copy_only=False), dtype=object).fillna("")
+        txt = (
+            "Common header boilerplate line.\nGroup "
+            + pd.Series(d % 50).astype(str)
+            + " shared body line.\n"
+            + s.reset_index(drop=True)
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "text": pa.array(txt.to_numpy(dtype=object), pa.string()),
+            }
+        )
+
+    lined = docs.select_columns(["doc_id", "text"]).map_batches(
+        inj_lines, batch_format="pyarrow"
+    )
+    ldup = duplicate_lines(lined).to_pandas()
+    ld = (
+        lined.map_batches(
+            LineDeduper(ldup["line_hash"].to_numpy(), ldup["min_doc_id"].to_numpy()),
+            batch_format="pyarrow",
+        )
+        .select_columns(["doc_id", "n_lines", "n_removed"])
+        .to_pandas()
+    )
+    ld_rows = pd.DataFrame(
+        {
+            "leg": "ldedup",
+            "key": ld["doc_id"].astype(str),
+            "n": ld["n_lines"].astype(np.int64),
+            "n2": ld["n_removed"].astype(np.int64),
+            "n3": np.int64(0),
+            "v_str": "",
+        }
+    )
+
     chunks = pack_sequences(docs, "source", "doc_id", "text", seq_len=64).to_pandas()
     grp = []
     for src, sub in chunks.groupby("source", sort=False):
@@ -3511,7 +3634,17 @@ def _q_llm_ops(sf_dir: str):
             }
         )
     return pd.concat(
-        [pii, pd.DataFrame(grp), decon_rows, c4_rows, mix_rows, dup_rows],
+        [
+            pii,
+            pd.DataFrame(grp),
+            decon_rows,
+            c4_rows,
+            mix_rows,
+            dup_rows,
+            lm_rows,
+            dsir_rows,
+            ld_rows,
+        ],
         ignore_index=True,
     )
 
@@ -5109,6 +5242,80 @@ def oracle_sql() -> dict[str, str]:
                        arg_min(string_split(text, ' ')[1], doc_id) AS fw,
                        arg_max(string_split(text, ' ')[-1], doc_id) AS lw
                 FROM documents GROUP BY source
+            ),
+            -- lm leg: corpus top-50 vocab by (count DESC, word ASC),
+            -- then per-doc in-vocab/oov occurrence counts + summed
+            -- corpus frequency (all integers)
+            wdoc AS (
+                SELECT doc_id,
+                       unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS w
+                FROM documents
+            ),
+            wc AS (
+                SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM wdoc
+                GROUP BY w ORDER BY c DESC, w ASC LIMIT 50
+            ),
+            lmagg AS (
+                SELECT wd.doc_id,
+                       CAST(SUM(CASE WHEN wc.c IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_in,
+                       CAST(SUM(CASE WHEN wc.c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+                       CAST(SUM(COALESCE(wc.c, 0)) AS BIGINT) AS sf
+                FROM wdoc wd LEFT JOIN wc ON wd.w = wc.w
+                GROUP BY wd.doc_id
+            ),
+            -- dsir leg: hashed-bigram buckets via the same
+            -- first-codepoint/length mix as the engine; target
+            -- distribution = lang = 'en'
+            dtok AS (
+                SELECT doc_id, lang,
+                       list_filter(string_split(text, ' '), w -> w <> '') AS ws
+                FROM documents
+            ),
+            dbig AS (
+                SELECT doc_id, lang,
+                       (ord(ws[i]) * 31 + ord(ws[i+1]) * 7
+                        + len(ws[i]) * 3 + len(ws[i+1])) % 64 AS b
+                FROM dtok,
+                     unnest(generate_series(1, greatest(len(ws) - 1, 0))) AS t(i)
+            ),
+            dcnt AS (
+                SELECT b, CAST(COUNT(*) AS BIGINT) AS raw_c,
+                       CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS tgt_c
+                FROM dbig GROUP BY b
+            ),
+            dtot AS (
+                SELECT CAST(SUM(raw_c) AS BIGINT) AS n_raw,
+                       CAST(SUM(tgt_c) AS BIGINT) AS n_tgt
+                FROM dcnt
+            ),
+            dsc AS (
+                SELECT g.doc_id,
+                       CAST(SUM(c.tgt_c * t.n_raw - c.raw_c * t.n_tgt) AS BIGINT) AS score,
+                       CAST(COUNT(*) AS BIGINT) AS nb
+                FROM dbig g JOIN dcnt c ON g.b = c.b CROSS JOIN dtot t
+                GROUP BY g.doc_id
+            ),
+            -- ldedup leg: same injected multi-line docs; duplicated =
+            -- line string in >= 2 distinct docs; first-owner-wins
+            llin AS (
+                SELECT doc_id, unnest(string_split(
+                    'Common header boilerplate line.' || chr(10) ||
+                    'Group ' || CAST(doc_id % 50 AS VARCHAR) || ' shared body line.'
+                    || chr(10) || text,
+                    chr(10))) AS ln
+                FROM documents
+            ),
+            ldup AS (
+                SELECT ln, MIN(doc_id) AS owner
+                FROM llin GROUP BY ln
+                HAVING COUNT(DISTINCT doc_id) >= 2
+            ),
+            lagg AS (
+                SELECT l.doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
+                       CAST(SUM(CASE WHEN d.ln IS NOT NULL AND d.owner <> l.doc_id
+                                THEN 1 ELSE 0 END) AS BIGINT) AS n_rm
+                FROM llin l LEFT JOIN ldup d ON l.ln = d.ln
+                GROUP BY l.doc_id
             )
             SELECT 'pii' AS leg, CAST(doc_id AS VARCHAR) AS "key",
                    n_email AS n, n_ip AS n2, n_phone AS n3, txt AS v_str
@@ -5201,6 +5408,22 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY win
                 HAVING COUNT(DISTINCT doc_id) >= 2
             )
+            UNION ALL
+            SELECT 'lm', CAST(d0.doc_id AS VARCHAR),
+                   CAST(COALESCE(a.n_in, 0) AS BIGINT),
+                   CAST(COALESCE(a.n_oov, 0) AS BIGINT),
+                   CAST(COALESCE(a.sf, 0) AS BIGINT), ''
+            FROM documents d0 LEFT JOIN lmagg a ON d0.doc_id = a.doc_id
+            UNION ALL
+            SELECT 'dsir', CAST(d0.doc_id AS VARCHAR),
+                   CAST(COALESCE(s.score, 0) AS BIGINT),
+                   CAST(CASE WHEN COALESCE(s.score, 0) > 0 THEN 1 ELSE 0 END AS BIGINT),
+                   CAST(COALESCE(s.nb, 0) AS BIGINT), ''
+            FROM documents d0 LEFT JOIN dsc s ON d0.doc_id = s.doc_id
+            UNION ALL
+            SELECT 'ldedup', CAST(doc_id AS VARCHAR), n_lines, n_rm,
+                   CAST(0 AS BIGINT), ''
+            FROM lagg
         """,
         "sfx_translation": """
             -- closed forms of the 8-rule chain in _q_sfx_translation:

@@ -109,6 +109,50 @@ class IvfIndex:
         self.centroids = c
         return self
 
+    def refine(self, ds, iters: int = 2, emb_col: str = "embedding") -> "IvfIndex":
+        """Distributed Lloyd refinement of the sample-trained
+        centroids over the FULL dataset: each iteration is one
+        streaming pass where every batch computes per-centroid partial
+        (sum-vector, count) against the broadcast centroid matrix, and
+        the driver merges ``num_batches × n_lists`` tiny partials into
+        the new centroids (k × dim floats — never the corpus). The
+        standard scale recipe when the coarse quantizer must reflect
+        the whole 100-TB distribution, not just the training sample;
+        empty clusters keep their previous centroid."""
+        import ray
+
+        for _ in range(iters):
+            c_ref = ray.put(self.centroids)
+            n_lists = self.n_lists
+
+            def partials(batch: pa.Table, c=c_ref) -> pa.Table:
+                cm = ray.get(c) if isinstance(c, ray.ObjectRef) else c
+                mat = _normalize(_mat(batch, emb_col))
+                assign = np.argmax(mat @ cm.T, axis=1)
+                dim = mat.shape[1]
+                sums = np.zeros((n_lists, dim), np.float64)
+                np.add.at(sums, assign, mat)
+                counts = np.bincount(assign, minlength=n_lists).astype(np.int64)
+                return pa.table(
+                    {
+                        "list_id": pa.array(np.arange(n_lists, dtype=np.int32)),
+                        "vsum": pa.array(list(sums), pa.list_(pa.float64())),
+                        "cnt": pa.array(counts),
+                    }
+                )
+
+            agg = ds.map_batches(partials, batch_format="pyarrow").to_pandas()
+            sums = np.zeros_like(self.centroids, dtype=np.float64)
+            counts = np.zeros(self.n_lists, dtype=np.int64)
+            for lid, grp in agg.groupby("list_id"):
+                sums[lid] = np.sum(np.stack(grp["vsum"].to_numpy()), axis=0)
+                counts[lid] = grp["cnt"].sum()
+            new_c = self.centroids.astype(np.float64).copy()
+            nz = counts > 0
+            new_c[nz] = sums[nz] / counts[nz, None]
+            self.centroids = _normalize(new_c.astype(np.float32))
+        return self
+
     def assigner(self, emb_col: str = "embedding"):
         """Returns a task-pool function; the centroid matrix is small
         (n_lists × dim) so it ships in the function closure."""

@@ -1,6 +1,8 @@
 """Training-data pipeline operators: PII redaction, Gopher-style
 repetition/quality filters, sequence packing, C4-style line cleaning,
-and deterministic domain-mixture resampling.
+deterministic domain-mixture resampling, CCNet-style unigram LM
+quality scoring, DSIR hashed-n-gram importance scoring, and
+RefinedWeb-style corpus-wide exact line dedup.
 
 These are engine additions beyond the reference's telemetry operators
 (build mandate: "the operations a large-scale training-data pipeline
@@ -360,6 +362,356 @@ def c4_clean(
 
 
 # ------------------------------------------------------- mixture resampling
+
+
+def corpus_word_counts(ds, text_col: str = "text", num_buckets: int | None = None):
+    """Corpus-wide word-frequency table as a Dataset ``(word, c)``.
+
+    The unigram-count half of CCNet-style LM quality scoring (Wenzek
+    et al. 2020 build KenLM perplexity buckets; the distributed shape
+    is identical for any unigram model). Tokens are the NON-EMPTY
+    whitespace words. Per-batch pre-aggregation (np.unique counts) so
+    the shuffle moves (word, partial-count) pairs, never text; one
+    bucketed hash groupby merges partials."""
+    from .aggregate import bucketed_aggregate
+
+    def partials(t: pa.Table) -> pa.Table:
+        s = pd.Series(t[text_col].to_numpy(zero_copy_only=False), dtype=object).fillna("")
+        words = s.str.split(" ")
+        flat = (
+            np.concatenate([np.asarray(w, dtype=object) for w in words.to_numpy()])
+            if len(s)
+            else np.array([], dtype=object)
+        )
+        flat = flat[flat != ""]
+        uniq, counts = np.unique(flat.astype(str), return_counts=True)
+        return pa.table(
+            {
+                "word": pa.array(uniq.astype(object), pa.string()),
+                "c": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    parts = ds.map_batches(partials, batch_format="pyarrow")
+    return bucketed_aggregate(parts, ["word"], [("c", "sum", "c")], num_buckets=num_buckets)
+
+
+def top_vocab(counts_ds, v: int) -> pd.DataFrame:
+    """Top-``v`` vocabulary by (count DESC, word ASC) from a
+    ``corpus_word_counts`` Dataset. Distributed top-k: each block
+    contributes its own top-``v`` partial (a block's non-top-v words
+    can never reach the global top-v), the driver merges only
+    ``num_blocks × v`` rows — never the full vocabulary."""
+
+    def block_top(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(
+            ["c", "word"], ascending=[False, True], kind="stable"
+        )
+        return table_from_pandas(df.head(v))
+
+    merged = counts_ds.map_batches(block_top, batch_format="pyarrow").to_pandas()
+    return (
+        merged.sort_values(["c", "word"], ascending=[False, True], kind="stable")
+        .head(v)
+        .reset_index(drop=True)
+    )
+
+
+class UnigramScorer:
+    """CCNet-style unigram LM scoring as an actor-pool stage: the
+    top-V vocabulary (word → corpus count) is broadcast once per actor
+    (pass a ``ray.put`` handle; Ray de-references it in ``__init__``),
+    each batch explodes its words and scores them with one
+    ``searchsorted`` membership pass. Adds per-document columns:
+
+    * ``n_in_vocab`` / ``n_oov`` — word OCCURRENCES in/out of vocab;
+    * ``sum_freq`` — int64 sum of the corpus counts of in-vocab
+      occurrences (an exactly-SQL-mirrorable integer quality signal);
+    * ``mean_logprob`` — add-1-smoothed mean unigram log-probability
+      (the float score CCNet thresholds into head/middle/tail).
+    """
+
+    def __init__(self, vocab_words, vocab_counts, total_words: int, text_col: str = "text"):
+        order = np.argsort(np.asarray(vocab_words, dtype=object))
+        self.words = np.asarray(vocab_words, dtype=object)[order]
+        self.counts = np.asarray(vocab_counts, dtype=np.int64)[order]
+        self.total = int(total_words)
+        self.text_col = text_col
+        v = len(self.words)
+        self.logp = np.log((self.counts + 1.0) / (self.total + v + 1.0))
+        self.logp_oov = float(np.log(1.0 / (self.total + v + 1.0)))
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        s = pd.Series(t[self.text_col].to_numpy(zero_copy_only=False), dtype=object).fillna("")
+        words = s.str.split(" ")
+        lens = words.str.len().to_numpy(dtype=np.int64) if len(s) else np.empty(0, np.int64)
+        flat = (
+            np.concatenate([np.asarray(w, dtype=object) for w in words.to_numpy()])
+            if len(s)
+            else np.array([], dtype=object)
+        )
+        nonempty = flat != ""
+        doc_of = np.repeat(np.arange(len(s), dtype=np.int64), lens)[nonempty]
+        flat = flat[nonempty]
+        pos = np.searchsorted(self.words, flat)
+        pos_c = np.clip(pos, 0, max(len(self.words) - 1, 0))
+        hit = (
+            (self.words[pos_c] == flat)
+            if len(self.words)
+            else np.zeros(len(flat), dtype=bool)
+        )
+        n = len(s)
+        n_in = np.bincount(doc_of[hit], minlength=n).astype(np.int64)
+        n_tok = np.bincount(doc_of, minlength=n).astype(np.int64)
+        sum_freq = np.zeros(n, dtype=np.int64)
+        np.add.at(sum_freq, doc_of[hit], self.counts[pos_c[hit]])
+        logsum = np.full(n, 0.0)
+        np.add.at(logsum, doc_of[hit], self.logp[pos_c[hit]])
+        np.add.at(logsum, doc_of[~hit], self.logp_oov)
+        mean_lp = logsum / np.maximum(n_tok, 1)
+        for name, arr, typ in [
+            ("n_in_vocab", n_in, pa.int64()),
+            ("n_oov", (n_tok - n_in), pa.int64()),
+            ("sum_freq", sum_freq, pa.int64()),
+            ("mean_logprob", mean_lp, pa.float64()),
+        ]:
+            t = t.append_column(name, pa.array(arr, typ))
+        return t
+
+
+# ------------------------------------------------------------------ DSIR
+
+DSIR_NUM_BUCKETS = 64
+
+
+def _dsir_bigram_buckets(s: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """Hashed word-bigram features per document (DSIR, Xie et al.
+    2023: importance resampling on hashed n-gram counts). Returns
+    ``(bucket int64, doc_index int64)`` for every consecutive
+    non-empty-word pair. The hash is a cheap SQL-expressible mix of
+    the two words' first code points and lengths so a DuckDB oracle
+    can recompute buckets exactly; swap in ``hash_str_u64`` for
+    production corpora (same downstream shape)."""
+    words = s.str.split(" ").map(lambda w: [x for x in w if x != ""] if isinstance(w, list) else [])
+    lens = words.str.len().to_numpy(dtype=np.int64) if len(s) else np.empty(0, np.int64)
+    n_big = np.maximum(lens - 1, 0)
+    if n_big.sum() == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    flat = np.concatenate([np.asarray(w, dtype=object) for w in words.to_numpy()])
+    starts = np.repeat(np.cumsum(lens) - lens, n_big) + np.concatenate(
+        [np.arange(k, dtype=np.int64) for k in n_big]
+    )
+    doc_of = np.repeat(np.arange(len(s), dtype=np.int64), n_big)
+    first_cp = np.array(
+        pd.Series(flat).str.slice(0, 1).tolist(), dtype="U1"
+    ).view(np.uint32).astype(np.int64)
+    wlen = pd.Series(flat).str.len().to_numpy(dtype=np.int64)
+    b = (
+        first_cp[starts] * 31
+        + first_cp[starts + 1] * 7
+        + wlen[starts] * 3
+        + wlen[starts + 1]
+    ) % DSIR_NUM_BUCKETS
+    return b, doc_of
+
+
+def dsir_bucket_counts(ds, text_col: str = "text", target_col: str = "is_target"):
+    """Raw- and target-distribution hashed-bigram bucket counts over
+    the corpus: per-batch ``bincount`` into ``DSIR_NUM_BUCKETS``
+    buckets (so the shuffle moves two tiny count vectors per batch),
+    one bucketed groupby to merge. ``target_col`` is a bool column
+    marking the target-domain rows. Returns a small pandas frame
+    ``(bucket, raw_c, tgt_c)`` for broadcasting to ``DsirScorer``."""
+    from .aggregate import bucketed_aggregate
+
+    def partials(t: pa.Table) -> pa.Table:
+        s = pd.Series(t[text_col].to_numpy(zero_copy_only=False), dtype=object).fillna("")
+        tgt = t[target_col].to_numpy(zero_copy_only=False).astype(bool)
+        b, doc_of = _dsir_bigram_buckets(s)
+        raw = np.bincount(b, minlength=DSIR_NUM_BUCKETS).astype(np.int64)
+        tgt_c = np.bincount(
+            b[tgt[doc_of]], minlength=DSIR_NUM_BUCKETS
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(np.arange(DSIR_NUM_BUCKETS, dtype=np.int64)),
+                "raw_c": pa.array(raw),
+                "tgt_c": pa.array(tgt_c),
+            }
+        )
+
+    merged = bucketed_aggregate(
+        ds.map_batches(partials, batch_format="pyarrow"),
+        ["bucket"],
+        [("raw_c", "sum", "raw_c"), ("tgt_c", "sum", "tgt_c")],
+    ).to_pandas()
+    return merged.sort_values("bucket").reset_index(drop=True)
+
+
+class DsirScorer:
+    """DSIR importance scoring as an actor-pool stage: the two bucket
+    count vectors are broadcast once per actor; each batch runs one
+    flat bigram-bucket pass and two per-doc scatter-adds. Adds:
+
+    * ``dsir_score`` — int64 Σ over the doc's bigrams of
+      ``tgt_c[b]·N_raw − raw_c[b]·N_tgt`` (the sign of the
+      probability-difference per bucket; exact integer arithmetic so
+      an SQL oracle matches bit-for-bit — fine while
+      ``count × corpus_total`` fits int64, i.e. test scale);
+    * ``dsir_weight`` — the float add-1-smoothed log importance
+      weight ``Σ log(p̂_tgt(b)/p̂_raw(b))`` the paper resamples with;
+    * ``dsir_keep`` — ``dsir_score > 0`` (target-leaning).
+    """
+
+    def __init__(self, raw_c, tgt_c, text_col: str = "text"):
+        self.raw_c = np.asarray(raw_c, dtype=np.int64)
+        self.tgt_c = np.asarray(tgt_c, dtype=np.int64)
+        self.n_raw = int(self.raw_c.sum())
+        self.n_tgt = int(self.tgt_c.sum())
+        self.text_col = text_col
+        b = DSIR_NUM_BUCKETS
+        self.int_val = self.tgt_c * self.n_raw - self.raw_c * self.n_tgt
+        self.log_val = np.log((self.tgt_c + 1.0) / (self.n_tgt + b)) - np.log(
+            (self.raw_c + 1.0) / (self.n_raw + b)
+        )
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        s = pd.Series(t[self.text_col].to_numpy(zero_copy_only=False), dtype=object).fillna("")
+        b, doc_of = _dsir_bigram_buckets(s)
+        n = len(s)
+        score = np.zeros(n, dtype=np.int64)
+        np.add.at(score, doc_of, self.int_val[b])
+        weight = np.zeros(n, dtype=np.float64)
+        np.add.at(weight, doc_of, self.log_val[b])
+        n_big = np.bincount(doc_of, minlength=n).astype(np.int64)
+        t = t.append_column("dsir_score", pa.array(score, pa.int64()))
+        t = t.append_column("dsir_weight", pa.array(weight, pa.float64()))
+        t = t.append_column("n_bigrams", pa.array(n_big, pa.int64()))
+        return t.append_column("dsir_keep", pa.array(score > 0))
+
+
+# ------------------------------------------------------- exact line dedup
+
+
+def duplicate_lines(
+    ds,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+    num_buckets: int | None = None,
+):
+    """Corpus-wide duplicated-LINE table — the discovery half of
+    RefinedWeb/MassiveText exact line dedup (Penedo et al. 2023 §3.3
+    remove lines duplicated across documents; boilerplate headers,
+    nav bars, licence lines). Same shuffle-light shape as
+    ``duplicate_passages``: per batch, hash the newline-split lines
+    and pre-aggregate to (hash, distinct-docs, min-doc) triples; ONE
+    bucketed hash groupby merges partials. Returns a Dataset
+    ``(line_hash uint64, n_docs, min_doc_id)`` of lines seen in
+    ``>= min_docs`` distinct documents — ``min_doc_id`` is the
+    occurrence that survives dedup (first-owner-wins)."""
+    from .._util import hash_str_u64
+    from .aggregate import bucketed_aggregate
+    import pyarrow.compute as pc
+
+    def partials(t: pa.Table) -> pa.Table:
+        s = pd.Series(t[text_col].to_numpy(zero_copy_only=False), dtype=object).fillna("")
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        lines = s.str.split("\n")
+        counts = lines.str.len().to_numpy(dtype=np.int64) if len(s) else np.empty(0, np.int64)
+        if counts.sum() == 0:
+            return pa.table(
+                {
+                    "line_hash": pa.array([], pa.uint64()),
+                    "n_docs": pa.array([], pa.int64()),
+                    "min_doc_id": pa.array([], pa.int64()),
+                }
+            )
+        flat = np.concatenate(lines.to_numpy())
+        doc_of = np.repeat(np.arange(len(s), dtype=np.int64), counts)
+        h = hash_str_u64(flat.astype(object))
+        order = np.lexsort((doc_of, h))
+        hs, ds_ = h[order], doc_of[order]
+        keep = np.ones(len(hs), bool)
+        keep[1:] = (hs[1:] != hs[:-1]) | (ds_[1:] != ds_[:-1])
+        hs, ds_ = hs[keep], ds_[keep]
+        bounds = np.ones(len(hs), bool)
+        bounds[1:] = hs[1:] != hs[:-1]
+        starts = np.flatnonzero(bounds)
+        return pa.table(
+            {
+                "line_hash": pa.array(hs[starts], pa.uint64()),
+                "n_docs": pa.array(np.diff(np.append(starts, len(hs))).astype(np.int64)),
+                "min_doc_id": pa.array(np.minimum.reduceat(ids[ds_], starts)),
+            }
+        )
+
+    merged = bucketed_aggregate(
+        ds.map_batches(partials, batch_format="pyarrow"),
+        ["line_hash"],
+        [("n_docs", "sum", "n_docs"), ("min_doc_id", "min", "min_doc_id")],
+        num_buckets=num_buckets,
+    )
+    return merged.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["n_docs"], min_docs)),
+        batch_format="pyarrow",
+    )
+
+
+class LineDeduper:
+    """The removal half of exact line dedup: an actor-pool stage
+    holding the broadcast duplicated-line table (sorted hashes +
+    first-owner doc ids — pass ``ray.put`` handles). A line occurrence
+    is removed iff its line is corpus-duplicated AND this document is
+    not the first owner; the owner keeps every occurrence. Adds
+    ``n_lines``, ``n_removed`` and the reassembled ``clean_text``
+    (Arrow ``binary_join``, no per-row Python).
+
+    Partitioning note: broadcast is right while the duplicated-line
+    table fits a worker heap (it holds only lines seen in ≥2 docs).
+    For corpora where it does not, run the same decision as a
+    bucketed join of exploded (line_hash, doc_id, line_idx) against
+    ``duplicate_lines`` output on the hash — the stage's semantics
+    are unchanged."""
+
+    def __init__(self, dup_hashes, dup_owners, text_col: str = "text", id_col: str = "doc_id"):
+        order = np.argsort(np.asarray(dup_hashes, dtype=np.uint64))
+        self.hashes = np.asarray(dup_hashes, dtype=np.uint64)[order]
+        self.owners = np.asarray(dup_owners, dtype=np.int64)[order]
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from .._util import hash_str_u64
+
+        s = pd.Series(t[self.text_col].to_numpy(zero_copy_only=False), dtype=object).fillna("")
+        ids = t[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(s)
+        lines = s.str.split("\n")
+        counts = lines.str.len().to_numpy(dtype=np.int64) if n else np.empty(0, np.int64)
+        flat = (
+            np.concatenate(lines.to_numpy()) if counts.sum() else np.empty(0, object)
+        )
+        doc_of = np.repeat(np.arange(n, dtype=np.int64), counts)
+        if len(self.hashes) and len(flat):
+            h = hash_str_u64(flat.astype(object))
+            pos = np.clip(np.searchsorted(self.hashes, h), 0, len(self.hashes) - 1)
+            dup = self.hashes[pos] == h
+            removed = dup & (self.owners[pos] != ids[doc_of])
+        else:
+            removed = np.zeros(len(flat), dtype=bool)
+        kept = ~removed
+        kept_counts = np.bincount(doc_of[kept], minlength=n).astype(np.int64)
+        offs = pa.array(np.concatenate([[0], np.cumsum(kept_counts)]).astype(np.int32))
+        joined = pa.compute.binary_join(
+            pa.ListArray.from_arrays(offs, pa.array(flat[kept], pa.string())), "\n"
+        )
+        t = t.append_column("n_lines", pa.array(counts, pa.int64()))
+        t = t.append_column(
+            "n_removed", pa.array(np.bincount(doc_of[removed], minlength=n).astype(np.int64))
+        )
+        return t.append_column("clean_text", joined)
 
 
 def resample_mixture(

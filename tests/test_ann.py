@@ -77,3 +77,54 @@ def test_ivf_store_and_pruned_search(tmp_path):
     exact = set(np.argsort(-(norm @ qn))[:10].tolist())
     recall = len(set(out["vec_id"]) & exact) / 10
     assert recall >= 0.7
+
+
+def test_distributed_refine_matches_local_lloyd():
+    # refine() over the full dataset must equal a single-process Lloyd
+    # run from the same starting centroids (same assignment → mean →
+    # renormalize update, empty clusters frozen).
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((3, 8)).astype(np.float32) * 4
+    m = np.concatenate(
+        [c + rng.standard_normal((60, 8)).astype(np.float32) for c in centers]
+    )
+    idx = IvfIndex(n_lists=4, iters=1).train(m[:10])
+    start = idx.centroids.copy()
+
+    # local reference: two Lloyd iterations
+    def normalize(x):
+        n = np.linalg.norm(x, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        return x / n
+
+    xm = normalize(m.astype(np.float32))
+    c = start.copy()
+    for _ in range(2):
+        assign = np.argmax(xm @ c.T, axis=1)
+        new_c = c.astype(np.float64).copy()
+        for j in range(len(c)):
+            if (assign == j).any():
+                new_c[j] = xm[assign == j].astype(np.float64).mean(axis=0)
+        c = normalize(new_c.astype(np.float32))
+
+    idx.refine(_ds(m), iters=2)
+    assert np.allclose(idx.centroids, c, atol=1e-5)
+
+
+def test_refine_improves_quantization(tmp_path):
+    # refining on the full corpus should not worsen mean similarity to
+    # the assigned centroid vs the 10-sample-trained start.
+    rng = np.random.default_rng(3)
+    centers = rng.standard_normal((6, 12)).astype(np.float32) * 5
+    m = np.concatenate(
+        [c + rng.standard_normal((50, 12)).astype(np.float32) for c in centers]
+    )
+    norm = m / np.linalg.norm(m, axis=1, keepdims=True)
+    idx = IvfIndex(n_lists=6, iters=2).train(m[:10])
+
+    def mean_sim(c):
+        return float(np.max(norm @ c.T, axis=1).mean())
+
+    before = mean_sim(idx.centroids)
+    idx.refine(_ds(m), iters=3)
+    assert mean_sim(idx.centroids) >= before - 1e-6

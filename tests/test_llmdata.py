@@ -264,3 +264,154 @@ class TestDuplicatePassages:
             ray.data.from_pandas(pd.DataFrame(rows)), window=8, num_buckets=4
         ).to_pandas()
         assert len(out) == 0
+
+
+class TestUnigramLm:
+    def test_vocab_and_scoring(self, ray_session):
+        from opentelemetry_collector_contrib_ray.stages.llmdata import (
+            UnigramScorer,
+            corpus_word_counts,
+            top_vocab,
+        )
+
+        rows = [
+            {"doc_id": 0, "text": "a a a b c"},
+            {"doc_id": 1, "text": "a b b zz"},
+            {"doc_id": 2, "text": "c c qq rr"},
+        ]
+        ds = ray.data.from_pandas(pd.DataFrame(rows))
+        counts = corpus_word_counts(ds)
+        vocab = top_vocab(counts, 3)
+        # counts: a=4 b=3 c=3 zz=1 qq=1 rr=1; top-3 by (count desc,
+        # word asc) = a, b, c
+        assert list(vocab["word"]) == ["a", "b", "c"]
+        assert list(vocab["c"]) == [4, 3, 3]
+        total = int(counts.to_pandas()["c"].sum())
+        assert total == 13
+        scorer = UnigramScorer(
+            vocab["word"].to_numpy(), vocab["c"].to_numpy(), total
+        )
+        out = ds.map_batches(scorer, batch_format="pyarrow").to_pandas()
+        out = out.set_index("doc_id").sort_index()
+        assert list(out["n_in_vocab"]) == [5, 3, 2]
+        assert list(out["n_oov"]) == [0, 1, 2]
+        # doc0: 3*4 + 3 + 3 = 18; doc1: 4 + 3 + 3 = 10; doc2: 3+3=6
+        assert list(out["sum_freq"]) == [18, 10, 6]
+        # mean_logprob: doc0 = (3*log(5/17)+log(4/17)+log(4/17))/5
+        exp0 = (3 * np.log(5 / 17) + 2 * np.log(4 / 17)) / 5
+        assert abs(out["mean_logprob"].iloc[0] - exp0) < 1e-12
+
+    def test_oov_scoring_smoothed(self, ray_session):
+        from opentelemetry_collector_contrib_ray.stages.llmdata import UnigramScorer
+
+        scorer = UnigramScorer(np.array(["x"], object), np.array([5]), 5)
+        t = pa.table({"doc_id": [0], "text": ["y y"]})
+        out = scorer(t).to_pandas()
+        assert out["n_oov"].iloc[0] == 2
+        assert abs(out["mean_logprob"].iloc[0] - np.log(1 / 7)) < 1e-12
+
+
+class TestDsir:
+    def test_score_signs_and_exact_ints(self, ray_session):
+        from opentelemetry_collector_contrib_ray.stages.llmdata import (
+            DSIR_NUM_BUCKETS,
+            DsirScorer,
+            _dsir_bigram_buckets,
+            dsir_bucket_counts,
+        )
+
+        # target docs use "aa bb" style bigrams, raw-only docs use
+        # "cc dd" — distinct buckets, so the sign is predictable.
+        rows = [
+            {"doc_id": 0, "text": "aa bb aa bb aa", "is_target": True},
+            {"doc_id": 1, "text": "aa bb aa", "is_target": True},
+            {"doc_id": 2, "text": "cc dd cc dd", "is_target": False},
+            {"doc_id": 3, "text": "cc dd", "is_target": False},
+        ]
+        ds = ray.data.from_pandas(pd.DataFrame(rows))
+        cnt = dsir_bucket_counts(ds)
+        assert len(cnt) == DSIR_NUM_BUCKETS
+        assert cnt["raw_c"].sum() == 4 + 2 + 3 + 1
+        assert cnt["tgt_c"].sum() == 4 + 2
+        scorer = DsirScorer(cnt["raw_c"].to_numpy(), cnt["tgt_c"].to_numpy())
+        out = (
+            ds.map_batches(scorer, batch_format="pyarrow")
+            .to_pandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+        # target-style docs lean positive, raw-only negative
+        assert bool(out["dsir_keep"].loc[0]) and bool(out["dsir_keep"].loc[1])
+        assert not bool(out["dsir_keep"].loc[2]) and not bool(out["dsir_keep"].loc[3])
+        assert list(out["n_bigrams"]) == [4, 2, 3, 1]
+        # exact integer: doc3's single "cc dd" bigram bucket b has
+        # tgt_c=0, raw_c=4 → score = 0*10 - 4*6 = -24
+        b, _ = _dsir_bigram_buckets(pd.Series(["cc dd"]))
+        raw_b = int(cnt["raw_c"].iloc[int(b[0])])
+        assert out["dsir_score"].loc[3] == -raw_b * 6
+        # float weight agrees in sign with the integer score here
+        assert out["dsir_weight"].loc[0] > 0 > out["dsir_weight"].loc[3]
+
+    def test_empty_and_single_word_docs(self, ray_session):
+        from opentelemetry_collector_contrib_ray.stages.llmdata import DsirScorer
+
+        scorer = DsirScorer(np.ones(64, np.int64), np.zeros(64, np.int64))
+        t = pa.table({"doc_id": [0, 1], "text": ["", "solo"]})
+        out = scorer(t).to_pandas()
+        assert list(out["n_bigrams"]) == [0, 0]
+        assert list(out["dsir_score"]) == [0, 0]
+        assert not out["dsir_keep"].any()
+
+
+class TestLineDedup:
+    def test_owner_keeps_duplicates_removed_elsewhere(self, ray_session):
+        from opentelemetry_collector_contrib_ray.stages.llmdata import (
+            LineDeduper,
+            duplicate_lines,
+        )
+
+        boiler = "Shared boilerplate line."
+        rows = [
+            {"doc_id": 5, "text": boiler + "\nunique five."},
+            {"doc_id": 2, "text": boiler + "\nunique two.\n" + boiler},
+            {"doc_id": 9, "text": "unique nine.\n" + boiler},
+            {"doc_id": 7, "text": "all unique seven."},
+        ]
+        ds = ray.data.from_pandas(pd.DataFrame(rows))
+        dup = duplicate_lines(ds, num_buckets=4).to_pandas()
+        assert len(dup) == 1
+        assert dup["n_docs"].iloc[0] == 3
+        assert dup["min_doc_id"].iloc[0] == 2
+        dd = LineDeduper(dup["line_hash"].to_numpy(), dup["min_doc_id"].to_numpy())
+        out = (
+            ds.map_batches(dd, batch_format="pyarrow")
+            .to_pandas()
+            .set_index("doc_id")
+        )
+        # doc 2 owns the boilerplate: keeps BOTH occurrences
+        assert out.loc[2, "n_removed"] == 0
+        assert out.loc[2, "clean_text"] == boiler + "\nunique two.\n" + boiler
+        assert out.loc[5, "n_removed"] == 1
+        assert out.loc[5, "clean_text"] == "unique five."
+        assert out.loc[9, "n_removed"] == 1
+        assert out.loc[9, "clean_text"] == "unique nine."
+        assert out.loc[7, "n_removed"] == 0
+        assert list(out["n_lines"].loc[[5, 2, 9, 7]]) == [2, 3, 2, 1]
+
+    def test_no_duplicates_is_identity(self, ray_session):
+        from opentelemetry_collector_contrib_ray.stages.llmdata import (
+            LineDeduper,
+            duplicate_lines,
+        )
+
+        rows = [{"doc_id": i, "text": f"only line {i}."} for i in range(6)]
+        ds = ray.data.from_pandas(pd.DataFrame(rows))
+        dup = duplicate_lines(ds, num_buckets=4).to_pandas()
+        assert len(dup) == 0
+        dd = LineDeduper(
+            dup["line_hash"].to_numpy() if len(dup) else np.array([], np.uint64),
+            dup["min_doc_id"].to_numpy() if len(dup) else np.array([], np.int64),
+        )
+        out = ds.map_batches(dd, batch_format="pyarrow").to_pandas()
+        assert (out["n_removed"] == 0).all()
+        assert (out["clean_text"] == out["text"]).all()
