@@ -714,6 +714,104 @@ class LineDeduper:
         return t.append_column("clean_text", joined)
 
 
+def line_dedup_joined(
+    ds,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+    num_buckets: int = 64,
+):
+    """Exact line dedup WITHOUT the broadcast: the scale path for
+    corpora whose duplicated-line table outgrows a worker heap.
+
+    Plan: explode docs to (doc_id, line_idx, line, line_hash) rows,
+    bucketed hash join against the ``duplicate_lines`` table on the
+    hash (the dup table is shuffled, never collected), decide
+    first-owner-wins removal per occurrence, then ONE bucketed
+    group-apply on the doc id reassembles surviving lines in order.
+    Line text moves through two shuffles — that is the honest cost of
+    join-based dedup; prefer the broadcast ``LineDeduper`` whenever
+    the dup table fits in memory. Returns ``(doc_id, n_lines,
+    n_removed, clean_text)`` — identical decisions to LineDeduper."""
+    from .._util import hash_str_u64
+    from .aggregate import bucketed_group_apply
+    from .join import bucketed_hash_join
+
+    dup = duplicate_lines(
+        ds, text_col=text_col, id_col=id_col, min_docs=min_docs
+    )
+
+    def explode(t: pa.Table) -> pa.Table:
+        s = pd.Series(t[text_col].to_numpy(zero_copy_only=False), dtype=object).fillna("")
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        lines = s.str.split("\n")
+        counts = lines.str.len().to_numpy(dtype=np.int64) if len(s) else np.empty(0, np.int64)
+        flat = (
+            np.concatenate(lines.to_numpy()) if counts.sum() else np.empty(0, object)
+        )
+        doc_of = np.repeat(np.arange(len(s), dtype=np.int64), counts)
+        line_idx = (
+            np.concatenate([np.arange(k, dtype=np.int64) for k in counts])
+            if counts.sum()
+            else np.empty(0, np.int64)
+        )
+        return pa.table(
+            {
+                id_col: pa.array(ids[doc_of]),
+                "line_idx": pa.array(line_idx),
+                "line": pa.array(flat, pa.string()),
+                "line_hash": pa.array(hash_str_u64(flat.astype(object)), pa.uint64()),
+            }
+        )
+
+    lines_ds = ds.map_batches(explode, batch_format="pyarrow")
+    joined = bucketed_hash_join(
+        lines_ds,
+        dup.select_columns(["line_hash", "min_doc_id"]),
+        "line_hash",
+        how="left",
+        num_buckets=num_buckets,
+    )
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([id_col, "line_idx"], kind="stable").reset_index(drop=True)
+        owner = df["min_doc_id"]
+        rm = (owner.notna() & (owner.fillna(-1).astype(np.int64) != df[id_col])).to_numpy(
+            dtype=bool
+        )
+        ids = df[id_col].to_numpy(dtype=np.int64)
+        # ids are sorted, so per-doc segments are contiguous
+        bounds = np.ones(len(ids), dtype=bool)
+        bounds[1:] = ids[1:] != ids[:-1]
+        seg_starts = np.flatnonzero(bounds)
+        seg_ids = ids[seg_starts]
+        seg_sizes = np.diff(np.append(seg_starts, len(ids)))
+        seg_of = np.repeat(np.arange(len(seg_starts)), seg_sizes)
+        n_removed = np.zeros(len(seg_starts), np.int64)
+        np.add.at(n_removed, seg_of, rm.astype(np.int64))
+        kept = ~rm
+        kept_counts = np.zeros(len(seg_starts), np.int64)
+        np.add.at(kept_counts, seg_of, kept.astype(np.int64))
+        offs = pa.array(np.concatenate([[0], np.cumsum(kept_counts)]).astype(np.int32))
+        joined_txt = pa.compute.binary_join(
+            pa.ListArray.from_arrays(
+                offs, pa.array(df["line"].to_numpy()[kept], pa.string())
+            ),
+            "\n",
+        ).to_pandas()
+        return pd.DataFrame(
+            {
+                id_col: seg_ids,
+                "n_lines": seg_sizes.astype(np.int64),
+                "n_removed": n_removed,
+                "clean_text": joined_txt.to_numpy(dtype=object),
+            }
+        )
+
+    return bucketed_group_apply(joined, id_col, per_bucket, num_buckets=num_buckets)
+
+
 def resample_mixture(
     ds,
     weights: dict[str, float],

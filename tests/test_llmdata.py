@@ -415,3 +415,46 @@ class TestLineDedup:
         out = ds.map_batches(dd, batch_format="pyarrow").to_pandas()
         assert (out["n_removed"] == 0).all()
         assert (out["clean_text"] == out["text"]).all()
+
+    def test_joined_path_matches_broadcast(self, ray_session):
+        from opentelemetry_collector_contrib_ray.stages.llmdata import (
+            LineDeduper,
+            duplicate_lines,
+            line_dedup_joined,
+        )
+
+        rng = list(range(40))
+        rows = []
+        for i in rng:
+            parts = [f"unique line {i}."]
+            if i % 2 == 0:
+                parts.append("even boilerplate line.")
+            if i % 3 == 0:
+                parts.append("third boilerplate line.")
+            if i % 2 == 0 and i % 4 == 0:
+                parts.append("even boilerplate line.")  # repeat in-doc
+            rows.append({"doc_id": i, "text": "\n".join(parts)})
+        ds = ray.data.from_pandas(pd.DataFrame(rows))
+
+        dup = duplicate_lines(ds, num_buckets=4).to_pandas()
+        bc = (
+            ds.map_batches(
+                LineDeduper(dup["line_hash"].to_numpy(), dup["min_doc_id"].to_numpy()),
+                batch_format="pyarrow",
+            )
+            .to_pandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+        jn = (
+            line_dedup_joined(ds, num_buckets=4)
+            .to_pandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+        assert list(jn.index) == list(bc.index)
+        for col in ("n_lines", "n_removed", "clean_text"):
+            assert list(jn[col]) == list(bc[col]), col
+        # owner of "even boilerplate line." is doc 0 → keeps both copies
+        assert bc.loc[0, "n_removed"] == 0
+        assert jn.loc[2, "n_removed"] >= 1
