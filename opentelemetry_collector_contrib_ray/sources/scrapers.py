@@ -87,6 +87,7 @@ _REDIS_TABLE = pd.DataFrame(
 )
 
 _REDIS_MAX_DBS = 16  # info.go:58 RedisMaxDbs
+_REDIS_KEY_IDX = {k: i for i, k in enumerate(_REDIS_TABLE["key"])}
 
 _OUT_SCHEMA_TYPES = {
     "name": pa.string(),
@@ -100,29 +101,75 @@ _OUT_SCHEMA_TYPES = {
 }
 
 
+def _explode_lines_arrow(
+    t: pa.Table, id_col: str, payload_col: str
+) -> tuple[np.ndarray, pa.StringArray]:
+    """payload rows -> (_id per line, Arrow line array). The split runs
+    in Arrow C++ (no per-line Python boxing); callers keep working on
+    the Arrow array as long as possible."""
+    import pyarrow.compute as pc
+
+    ids = t[id_col].to_numpy(zero_copy_only=False)
+    pay = t[payload_col]
+    if isinstance(pay, pa.ChunkedArray):
+        pay = pay.combine_chunks()
+    ll = pc.split_pattern(pc.fill_null(pay, ""), "\n")
+    counts = pc.list_value_length(ll).to_numpy().astype(np.int64)
+    return np.repeat(ids, counts), pc.list_flatten(ll)
+
+
 def _explode_lines(t: pa.Table, id_col: str, payload_col: str) -> pd.DataFrame:
     """payload rows -> one DataFrame row per line, keyed by id_col."""
-    ids = t[id_col].to_numpy(zero_copy_only=False)
-    pay = pd.Series(t[payload_col].to_numpy(zero_copy_only=False), dtype=object).fillna("")
-    lines = pay.str.split("\n")
-    counts = lines.str.len().to_numpy(dtype=np.int64)
-    flat = pd.DataFrame(
+    line_ids, flat_arr = _explode_lines_arrow(t, id_col, payload_col)
+    return pd.DataFrame(
+        {"_id": line_ids, "line": flat_arr.to_pandas().astype(object)}
+    )
+
+
+def _explode_extract_kv(
+    t: pa.Table, id_col: str, payload_col: str, pattern: str
+) -> pd.DataFrame:
+    """Explode payload lines and extract a two-group ``(?P<k>)(?P<v>)``
+    regex with Arrow's re2 kernel; returns only the matching lines as
+    ``(_id, key, val)``. The whole path (split, match, extract) runs in
+    C++ — strings are boxed to Python objects only for the final
+    (usually much smaller) matched set."""
+    import pyarrow.compute as pc
+
+    line_ids, line_arr = _explode_lines_arrow(t, id_col, payload_col)
+    r = pc.extract_regex(line_arr, pattern)
+    ok = pc.is_valid(r)
+    hit = ok.to_numpy(zero_copy_only=False).astype(bool)
+    matched = r.filter(ok)
+    return pd.DataFrame(
         {
-            "_id": np.repeat(ids, counts),
-            "line": np.concatenate([np.asarray(v, dtype=object) for v in lines.to_numpy()])
-            if len(lines)
-            else np.array([], dtype=object),
+            "_id": line_ids[hit],
+            "key": pc.struct_field(matched, "k").to_pandas().astype(object),
+            "val": pc.struct_field(matched, "v").to_pandas().astype(object),
         }
     )
-    return flat
+
+
+def _integral_mask(vals: pd.Series, pattern: str = r"^-?\d+$") -> pd.Series:
+    """Arrow re2 integer-string check (ParseInt gate) as a bool Series
+    aligned to ``vals`` — replaces per-row pandas fullmatch."""
+    import pyarrow.compute as pc
+
+    m = pc.match_substring_regex(
+        pa.array(vals.to_numpy(dtype=object), pa.string(), from_pandas=True), pattern
+    ).to_numpy(zero_copy_only=False)
+    return pd.Series(m, index=vals.index).fillna(False).astype(bool)
 
 
 def _finish(out: pd.DataFrame, id_col: str, id_type: pa.DataType) -> pa.Table:
     cols = {id_col: pa.array(out["_id"].to_numpy(), type=id_type)}
     for c, typ in _OUT_SCHEMA_TYPES.items():
         if typ == pa.int64():
-            vals = out[c].to_numpy(dtype=object)
-            cols[c] = pa.array([None if v is None or (isinstance(v, float) and np.isnan(v)) else int(v) for v in vals], type=typ)
+            # values are parsed integers (or NaN/None); float64 is exact
+            # here and from_pandas turns NaN into null without a row loop
+            cols[c] = pa.array(
+                pd.to_numeric(out[c], errors="coerce"), type=typ, from_pandas=True
+            )
         elif typ == pa.float64():
             cols[c] = pa.array(pd.to_numeric(out[c], errors="coerce").to_numpy(dtype=np.float64), type=typ, from_pandas=True)
         elif typ == pa.bool_():
@@ -136,9 +183,16 @@ def _num_split(vals: pd.Series, vkind: pd.Series):
     """Split a string value series into (value_int, value_double, ok)
     following redis_metric.parseMetric (redis_metric.go:20-80): int
     metrics use ParseInt, double metrics ParseFloat; failures skip."""
+    import pyarrow.compute as pc
+
     as_int = pd.to_numeric(vals.where(vkind == "int"), errors="coerce")
     # ParseInt rejects floats like "1.5" — require integral strings
-    int_ok = as_int.notna() & vals.str.fullmatch(r"[+-]?\d+").fillna(False)
+    # (Arrow re2 match: C++ kernel instead of a per-row Python regex)
+    integral = pc.match_substring_regex(
+        pa.array(vals.to_numpy(dtype=object), pa.string(), from_pandas=True),
+        r"^[+-]?\d+$",
+    ).to_numpy(zero_copy_only=False)
+    int_ok = as_int.notna() & pd.Series(integral, index=vals.index).fillna(False)
     as_dbl = pd.to_numeric(vals.where(vkind == "double"), errors="coerce")
     dbl_ok = as_dbl.notna()
     ok = np.where(vkind == "int", int_ok, dbl_ok)
@@ -152,57 +206,136 @@ def parse_redis_info(
 ) -> pa.Table:
     """Vectorized INFO-text → metric rows (info.go:32-74 fixed table +
     :53-74 keyspace loop with break-on-first-missing-db)."""
-    id_type = t.schema.field(id_col).type
-    flat = _explode_lines(t, id_col, payload_col)
-    kv = flat["line"].str.rstrip("\r").str.extract(r"^([^:#\s][^:]*):(.*)$")
-    flat = flat.assign(key=kv[0], val=kv[1])
-    flat = flat[flat["key"].notna()]
+    import pyarrow.compute as pc
 
-    # --- fixed metrics: inner-merge against the startup table ---
-    fixed = flat.merge(_REDIS_TABLE, on="key", how="inner")
+    id_type = t.schema.field(id_col).type
+    # Arrow-native line/kv split (the hot path: every payload line).
+    # Equivalent to rstrip("\r") + ^([^:#\s][^:]*):(.*)$ — the key is
+    # everything before the FIRST colon and may not start with '#' or
+    # whitespace or be empty; the value keeps any further colons.
+    line_ids, line_arr = _explode_lines_arrow(t, id_col, payload_col)
+    kv = pc.split_pattern(line_arr, ":", max_splits=1)
+    two = pc.equal(pc.list_value_length(kv), 2)
+    kv2 = kv.filter(two)
+    key_arr = pc.list_element(kv2, 0)
+    val_arr = pc.utf8_rtrim(pc.list_element(kv2, 1), "\r")
+    okkey = pc.match_substring_regex(key_arr, r"^[^#\s]")
+    isdb_arr = pc.match_substring_regex(key_arr, r"^db\d+$")
+    keep = okkey.to_numpy(zero_copy_only=False).astype(bool)
+    flat = pd.DataFrame(
+        {
+            "_id": line_ids[two.to_numpy(zero_copy_only=False).astype(bool)][keep],
+            "key": key_arr.filter(okkey).to_pandas().astype(object),
+            "val": val_arr.filter(okkey).to_pandas().astype(object),
+            "isdb": isdb_arr.filter(okkey).to_pandas().astype(bool),
+        }
+    )
+
+    # --- fixed metrics: dict-map into the startup table (cheaper than
+    # a hash-join merge: one lookup per line, then positional takes) ---
+    ridx = flat["key"].map(_REDIS_KEY_IDX)
+    hit = ridx.notna().to_numpy(dtype=bool)
+    tix = ridx.to_numpy()[hit].astype(np.int64)
+    fixed = pd.DataFrame(
+        {
+            "_id": flat["_id"].to_numpy()[hit],
+            "val": flat["val"].to_numpy(dtype=object)[hit],
+            **{
+                c: _REDIS_TABLE[c].to_numpy()[tix]
+                for c in (
+                    "name", "units", "vkind", "mtype",
+                    "monotonic", "label_key", "label_value",
+                )
+            },
+        }
+    )
     # empty string value → skipped entirely (info.go:40-42)
     fixed = fixed[fixed["val"] != ""]
     vi, vd, ok = _num_split(fixed["val"], fixed["vkind"])
     fixed = fixed.assign(value_int=vi, value_double=vd)[ok]
 
     # --- keyspace: db0..db15, break at first missing db per server ---
-    ks = flat[flat["key"].str.fullmatch(r"db\d+").fillna(False)].copy()
+    ks = flat[flat["isdb"]].copy()
     rows = [
         fixed[["_id", "name", "units", "mtype", "monotonic", "label_key", "label_value", "value_int", "value_double"]]
     ]
     if len(ks):
         ks["db"] = ks["key"].str[2:].astype(np.int64)
         ks = ks[ks["db"] < _REDIS_MAX_DBS]
-        # contiguous-prefix mask: db N survives only if db0..N all present
-        present = ks.pivot_table(index="_id", columns="db", aggfunc="size", fill_value=0)
-        present = present.reindex(columns=range(_REDIS_MAX_DBS), fill_value=0)
-        keep = present.gt(0).cumprod(axis=1).astype(bool)
-        keep_long = keep.stack().rename("keep").reset_index()
-        ks = ks.merge(keep_long, on=["_id", "db"], how="left")
-        ks = ks[ks["keep"].fillna(False)]
+        # contiguous-prefix mask: db N survives only if db0..N all
+        # present. Sort the UNIQUE (_id, db) pairs; within a server the
+        # ascending unique dbs are contiguous-from-zero exactly where
+        # db == rank, so one lexsort replaces the pivot/cumprod.
+        u = ks[["_id", "db"]].drop_duplicates().sort_values(["_id", "db"], kind="stable")
+        uid = u["_id"].to_numpy()
+        udb = u["db"].to_numpy(dtype=np.int64)
+        first = np.ones(len(u), dtype=bool)
+        first[1:] = uid[1:] != uid[:-1]
+        starts = np.flatnonzero(first)
+        rank = np.arange(len(u), dtype=np.int64) - np.repeat(
+            starts, np.diff(np.append(starts, len(u)))
+        )
+        contig = udb == rank
+        # a later db after a gap has db > rank, so db==rank IS the prefix
+        ks_db = ks["db"].to_numpy(dtype=np.int64)
+        if np.issubdtype(np.asarray(uid).dtype, np.number):
+            ok_keys = uid[contig].astype(np.int64) * _REDIS_MAX_DBS + udb[contig]
+            ks_keys = ks["_id"].to_numpy().astype(np.int64) * _REDIS_MAX_DBS + ks_db
+            ks = ks[np.isin(ks_keys, ok_keys)]
+        else:  # non-numeric ids: string composite key, still vectorized
+            ok_keys = pd.Series(uid[contig]).astype(str) + ":" + pd.Series(udb[contig]).astype(str)
+            ks_keys = ks["_id"].astype(str) + ":" + pd.Series(ks_db, index=ks.index).astype(str)
+            ks = ks[ks_keys.isin(set(ok_keys)).to_numpy()]
         if len(ks):
-            # "keys=1,expires=2,avg_ttl=3" → wide columns (keyspace.go:35-66)
-            pairs = ks["val"].str.extractall(r"(?:^|,)(\w+)=(\d+)")
-            pairs = pairs.rename(columns={0: "pk", 1: "pv"}).reset_index(level=1, drop=True)
-            # a pair without '=' anywhere fails the whole db string; approximate
-            # the error path by requiring every comma-piece to match k=v
-            n_pieces = ks["val"].str.count(",") + 1
-            n_matched = pairs.groupby(level=0).size().reindex(ks.index, fill_value=0)
-            valid = n_matched >= n_pieces
-            ks = ks[valid]
-            pairs = pairs[pairs.index.isin(ks.index)]
+            # "keys=1,expires=2,avg_ttl=3" → wide columns, faithful to
+            # keyspace.go:35-66: every comma-piece must split on '=' into
+            # EXACTLY two parts (a second '=' fails the whole db string);
+            # only the three known keys parse their value with Atoi
+            # (signed integers; failure fails the db); unknown keys are
+            # ignored whatever their value; absent keys default 0.
+            ks = ks.reset_index(drop=True)
+            val_a = pa.array(ks["val"].to_numpy(dtype=object), pa.string())
+            pieces = pc.split_pattern(val_a, ",")
+            row_of = np.repeat(
+                np.arange(len(ks), dtype=np.int64),
+                pc.list_value_length(pieces).to_numpy().astype(np.int64),
+            )
+            piece_flat = pc.list_flatten(pieces)
+            eq = pc.split_pattern(piece_flat, "=")
+            two = pc.list_value_length(eq).to_numpy() == 2
+            eq2 = eq.filter(pa.array(two))
+            pk2 = np.asarray(pc.list_element(eq2, 0).to_pandas(), dtype=object)
+            pv2_arr = pc.list_element(eq2, 1)
+            known2 = np.isin(pk2, ("keys", "expires", "avg_ttl"))
+            intok2 = (
+                pc.match_substring_regex(pv2_arr, r"^[+-]?\d+$")
+                .to_numpy(zero_copy_only=False)
+                .astype(bool)
+            )
+            bad_piece = np.ones(len(piece_flat), dtype=bool)
+            bad_piece[two] = known2 & ~intok2
+            bad_piece[~two] = True
+            n_bad = np.zeros(len(ks), np.int64)
+            np.add.at(n_bad, row_of, bad_piece.astype(np.int64))
+            valid_rows = n_bad == 0
+            rows2 = row_of[two]
+            pv_num = pd.to_numeric(pd.Series(pv2_arr.to_pandas()), errors="coerce")
+            wide = {}
+            for pk_name in ("keys", "expires", "avg_ttl"):
+                full = np.zeros(len(ks), np.int64)
+                m = (pk2 == pk_name) & intok2
+                full[rows2[m]] = pv_num[m].to_numpy(dtype=np.int64)
+                wide[pk_name] = full
+            ks = ks.assign(
+                _keys=wide["keys"], _expires=wide["expires"], _avg_ttl=wide["avg_ttl"]
+            )[valid_rows]
             triplet = []
             for pk, nm, units in (
                 ("keys", "redis/db/keys", None),
                 ("expires", "redis/db/expires", None),
                 ("avg_ttl", "redis/db/avg_ttl", "ms"),
             ):
-                sub = pairs[pairs["pk"] == pk]
-                vals = sub["pv"].astype(np.int64)
-                got = ks.loc[ks.index.isin(sub.index)]
-                # default 0 when the pair key is absent (keyspace struct zero value)
-                full = pd.Series(0, index=ks.index, dtype=np.int64)
-                full.loc[vals.index] = vals
+                full = ks[f"_{pk}"]
                 triplet.append(
                     pd.DataFrame(
                         {
@@ -262,10 +395,9 @@ def parse_zk_mntr(
 ) -> pa.Table:
     """Vectorized mntr-response → metric + resource rows."""
     id_type = t.schema.field(id_col).type
-    flat = _explode_lines(t, id_col, payload_col)
-    kv = flat["line"].str.extract(r"^(zk_\w+)\s+([\w\.\-]+)")
-    flat = flat.assign(key=kv[0], val=kv[1])
-    flat = flat[flat["key"].notna()]
+    flat = _explode_extract_kv(
+        t, id_col, payload_col, r"^(?P<k>zk_\w+)\s+(?P<v>[\w\.\-]+)"
+    )
 
     res = flat[flat["key"].isin(_ZK_RESOURCE)]
     res_out = pd.DataFrame(
@@ -285,7 +417,7 @@ def parse_zk_mntr(
     met = flat.merge(_ZK_TABLE, on="key", how="inner")
     ival = pd.to_numeric(met["val"], errors="coerce")
     # non-integer values skipped (scraper.go:170-177)
-    ok = ival.notna() & met["val"].str.fullmatch(r"-?\d+").fillna(False)
+    ok = ival.notna() & _integral_mask(met["val"])
     met = met[ok]
     met_out = pd.DataFrame(
         {
@@ -324,12 +456,12 @@ def parse_memcached_stats(
 ) -> pa.Table:
     """Vectorized ``STAT <key> <value>`` text → the five mapped metrics."""
     id_type = t.schema.field(id_col).type
-    flat = _explode_lines(t, id_col, payload_col)
-    kv = flat["line"].str.extract(r"^STAT\s+(\S+)\s+(\S+)\s*$")
-    flat = flat.assign(key=kv[0], val=kv[1])
-    met = flat[flat["key"].notna()].merge(_MEMCACHED_TABLE, on="key", how="inner")
+    flat = _explode_extract_kv(
+        t, id_col, payload_col, r"^STAT\s+(?P<k>\S+)\s+(?P<v>\S+)\s*$"
+    )
+    met = flat.merge(_MEMCACHED_TABLE, on="key", how="inner")
     ival = pd.to_numeric(met["val"], errors="coerce")
-    ok = ival.notna() & met["val"].str.fullmatch(r"-?\d+").fillna(False)
+    ok = ival.notna() & _integral_mask(met["val"])
     met = met[ok]
     out = pd.DataFrame(
         {
@@ -386,18 +518,43 @@ def parse_prometheus_text(
     ``label_value`` (label_key='labels' when any label is present).
     Unparseable sample lines and samples with non-numeric values are
     skipped; NaN/±Inf values parse (prom allows them)."""
+    import pyarrow.compute as pc
+
     id_type = t.schema.field(id_col).type
-    flat = _explode_lines(t, id_col, payload_col)
+    line_ids, line_arr = _explode_lines_arrow(t, id_col, payload_col)
 
     # --- TYPE declarations: (payload row, base name) -> prom type ---
-    ty = flat["line"].str.extract(_PROM_TYPE_RE)
-    types = flat[["_id"]].assign(base=ty[0], ptype=ty[1])
-    types = types[types["base"].notna()]
+    tyr = pc.extract_regex(
+        line_arr,
+        r"^#\s*TYPE\s+(?P<base>[a-zA-Z_:][a-zA-Z0-9_:]*)\s+(?P<ptype>\w+)\s*$",
+    )
+    tok = pc.is_valid(tyr)
+    tmatch = tyr.filter(tok)
+    types = pd.DataFrame(
+        {
+            "_id": line_ids[tok.to_numpy(zero_copy_only=False).astype(bool)],
+            "base": pc.struct_field(tmatch, "base").to_pandas().astype(object),
+            "ptype": pc.struct_field(tmatch, "ptype").to_pandas().astype(object),
+        }
+    )
 
-    # --- samples ---
-    sm = flat["line"].str.extract(_PROM_SAMPLE_RE)
-    samples = flat[["_id"]].assign(name=sm[0], lbl=sm[1], val=sm[2])
-    samples = samples[samples["name"].notna() & ~flat["line"].str.startswith("#").fillna(False)]
+    # --- samples (a '#' comment line can never match: '#' is not in
+    # the metric-name start class) ---
+    smr = pc.extract_regex(
+        line_arr,
+        r"^(?P<name>[a-zA-Z_:][a-zA-Z0-9_:]*)(?:\{(?P<lbl>.*)\})?"
+        r"\s+(?P<val>\S+)(?:\s+(?P<ts>-?\d+))?\s*$",
+    )
+    sok = pc.is_valid(smr)
+    smatch = smr.filter(sok)
+    samples = pd.DataFrame(
+        {
+            "_id": line_ids[sok.to_numpy(zero_copy_only=False).astype(bool)],
+            "name": pc.struct_field(smatch, "name").to_pandas().astype(object),
+            "lbl": pc.struct_field(smatch, "lbl").to_pandas().astype(object),
+            "val": pc.struct_field(smatch, "val").to_pandas().astype(object),
+        }
+    )
     vals = pd.to_numeric(
         samples["val"].str.replace("+Inf", "inf", regex=False).str.replace("-Inf", "-inf", regex=False),
         errors="coerce",
@@ -1203,6 +1360,14 @@ _NGINX_RE = (
     r"Reading:\s*(\d+)\s*Writing:\s*(\d+)\s*Waiting:\s*(\d+)"
 )
 
+# same pattern with named groups for Arrow's re2 extract_regex kernel
+_NGINX_RE_NAMED = (
+    r"Active connections:\s+(?P<g0>\d+)\s*\n"
+    r"server accepts handled requests\s*\n"
+    r"\s*(?P<g1>\d+)\s+(?P<g2>\d+)\s+(?P<g3>\d+)\s*\n"
+    r"Reading:\s*(?P<g4>\d+)\s*Writing:\s*(?P<g5>\d+)\s*Waiting:\s*(?P<g6>\d+)"
+)
+
 
 def parse_nginx_stub_status(
     t: pa.Table, id_col: str = "server_id", payload_col: str = "payload"
@@ -1211,15 +1376,23 @@ def parse_nginx_stub_status(
     handled) + state-labelled current-connections gauges. Payloads that
     don't match the stub_status shape produce no rows (the reference
     client errors the scrape)."""
+    import pyarrow.compute as pc
+
     id_type = t.schema.field(id_col).type
     ids = t[id_col].to_numpy(zero_copy_only=False)
-    pay = pd.Series(t[payload_col].to_numpy(zero_copy_only=False), dtype=object).fillna("")
-    ext = pay.str.extract(_NGINX_RE)
-    ok = ext.notna().all(axis=1)
-    ext = ext[ok].astype(np.int64)
-    ids = ids[ok.to_numpy()]
-    active, accepts, handled, requests = (ext[i] for i in range(4))
-    reading, writing, waiting = ext[4], ext[5], ext[6]
+    pay = t[payload_col]
+    if isinstance(pay, pa.ChunkedArray):
+        pay = pay.combine_chunks()
+    r = pc.extract_regex(pc.fill_null(pay, ""), _NGINX_RE_NAMED)
+    okm = pc.is_valid(r)
+    m = r.filter(okm)
+    ids = ids[okm.to_numpy(zero_copy_only=False).astype(bool)]
+    g = [
+        pd.Series(pc.struct_field(m, f"g{i}").to_pandas()).astype(np.int64)
+        for i in range(7)
+    ]
+    active, accepts, handled, requests = g[0], g[1], g[2], g[3]
+    reading, writing, waiting = g[4], g[5], g[6]
 
     frames = [
         pd.DataFrame({"_id": ids, "name": "nginx.requests", "units": "requests", "mtype": "sum", "monotonic": True, "label_key": None, "label_value": None, "value_int": requests.to_numpy(), "value_double": np.nan}),
