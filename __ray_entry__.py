@@ -748,6 +748,48 @@ def _q_sketch_contracts(sf_dir: str):
             rp["stable"].sum() / max(1, rp["long_n"].sum()) >= 0.7,
         )
     )
+
+    # --- Misra-Gries heavy hitters (mergeable-summaries guarantee):
+    # every event_type with true count > n/(k+1) must be present with
+    # true − n/(k+1) ≤ est ≤ true
+    from opentelemetry_collector_contrib_ray.stages.sketch import heavy_hitters
+
+    hh, n_tot = heavy_hitters(_read(sf_dir, "events", ["event_type"]), "event_type", k=10)
+
+    def exact_partial(t: pa.Table) -> pa.Table:
+        u, c = np.unique(
+            t["event_type"].to_numpy(zero_copy_only=False).astype(str),
+            return_counts=True,
+        )
+        return pa.table(
+            {
+                "item": pa.array(u.astype(object), pa.string()),
+                "c": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    exact_cnt = (
+        _read(sf_dir, "events", ["event_type"])
+        .map_batches(exact_partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("item")["c"]
+        .sum()
+    )
+    bound = n_tot / 11.0
+    est = dict(zip(hh["item"], hh["est"]))
+    hot = exact_cnt[exact_cnt > bound]
+    rows.append(("mg_recovered_all", bool(all(i in est for i in hot.index))))
+    rows.append(
+        (
+            "mg_within_bound",
+            bool(
+                all(
+                    tc - bound <= est.get(i, -1) <= tc
+                    for i, tc in hot.items()
+                )
+            ),
+        )
+    )
     return pd.DataFrame(rows, columns=["check", "within_bound"])
 
 
@@ -4374,7 +4416,8 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT * FROM (VALUES ('kll_0.5', TRUE), ('kll_0.9', TRUE),
                 ('kll_0.99', TRUE), ('rolling_append_monotone', TRUE),
-                ('rolling_edit_stable', TRUE)) AS t("check", within_bound)
+                ('rolling_edit_stable', TRUE), ('mg_recovered_all', TRUE),
+                ('mg_within_bound', TRUE)) AS t("check", within_bound)
         """,
         "severity_map": f"""
             SELECT {sev_case_text} AS severity_text,

@@ -247,3 +247,67 @@ def quantiles(ds, value_col: str, qs=(0.5, 0.9, 0.99), *, k: int = 256):
         sk = pickle.loads(prt["sketch"])
         merged = sk if merged is None else merged.merge(sk)
     return {q: merged.quantile(q) for q in qs}
+
+
+# ----------------------------------------------------- Misra-Gries heavy hitters
+
+
+def _mg_compress(items: np.ndarray, counts: np.ndarray, k: int):
+    """Compress an (item, count) summary to at most ``k`` entries by
+    the Misra-Gries rule: subtract the (k+1)-th largest count from all
+    and keep the positive remainder. Summing summaries then
+    compressing preserves the mergeable-summaries guarantee (Agarwal
+    et al. 2012): estimates undercount true frequency by at most
+    n/(k+1)."""
+    if len(items) <= k:
+        return items, counts
+    kth = np.partition(counts, len(counts) - k - 1)[len(counts) - k - 1]
+    dec = counts - kth
+    keep = dec > 0
+    return items[keep], dec[keep]
+
+
+def heavy_hitters(ds, value_col: str, *, k: int = 16):
+    """Distributed Misra-Gries heavy hitters over ``value_col``.
+
+    Per batch: exact value counts (np.unique — a batch is bounded) are
+    compressed to a k-entry MG summary, so each task ships at most k
+    (item, weight) pairs regardless of batch cardinality. The driver
+    merges ``num_blocks × k`` tiny partials (sum per item, one final
+    compress) — never rows. Returns ``(DataFrame(item, est), n_total)``
+    with the standard guarantee: every item whose true frequency
+    exceeds ``n_total/(k+1)`` is present, and
+    ``true - n_total/(k+1) <= est <= true``."""
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        vals = batch[value_col].to_numpy(zero_copy_only=False)
+        items, counts = np.unique(vals.astype(str), return_counts=True)
+        items, counts = _mg_compress(items, counts.astype(np.int64), k)
+        return pa.table(
+            {
+                "item": pa.array(items.astype(object), pa.string()),
+                "w": pa.array(counts.astype(np.int64)),
+                "n": pa.array(np.full(len(items), len(vals), np.int64))
+                if len(items)
+                else pa.array([], pa.int64()),
+                "bn": pa.array(
+                    np.r_[len(vals), np.zeros(max(len(items) - 1, 0), np.int64)]
+                    if len(items)
+                    else [],
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    parts = ds.map_batches(per_batch, batch_format="pyarrow").to_pandas()
+    n_total = int(parts["bn"].sum())
+    merged = parts.groupby("item", sort=False)["w"].sum()
+    items, counts = _mg_compress(
+        merged.index.to_numpy(dtype=object), merged.to_numpy(np.int64), k
+    )
+    out = (
+        pd.DataFrame({"item": items, "est": counts})
+        .sort_values("est", ascending=False, kind="stable")
+        .reset_index(drop=True)
+    )
+    return out, n_total

@@ -73,3 +73,40 @@ def test_quantiles_distributed():
     df = pd.DataFrame({"v": np.arange(100_000, dtype=np.float64)})
     out = quantiles(ray.data.from_pandas(df), "v", qs=(0.5,))
     assert abs(out[0.5] - 50_000) / 100_000 < 0.05
+
+
+class TestHeavyHitters:
+    def test_guarantee_on_skewed_stream(self, ray_session):
+        import ray
+
+        from opentelemetry_collector_contrib_ray.stages.sketch import heavy_hitters
+
+        # zipf-ish: item0 40%, item1 25%, item2 10%, 25 rare items 1% each
+        vals = (
+            ["hot0"] * 4000 + ["hot1"] * 2500 + ["hot2"] * 1300
+            + [f"rare{i}" for i in range(25) for _ in range(100)]
+        )
+        rng = np.random.default_rng(5)
+        rng.shuffle(vals)
+        ds = ray.data.from_pandas(pd.DataFrame({"v": vals})).repartition(8)
+        out, n = heavy_hitters(ds, "v", k=9)
+        assert n == len(vals)
+        bound = n / 10
+        true = {"hot0": 4000, "hot1": 2500, "hot2": 1300}
+        got = dict(zip(out["item"], out["est"]))
+        for item, tc in true.items():
+            assert tc > bound  # they are true heavy hitters at k=9
+            assert item in got
+            assert tc - bound <= got[item] <= tc
+        assert len(out) <= 9
+
+    def test_small_exact(self, ray_session):
+        import ray
+
+        from opentelemetry_collector_contrib_ray.stages.sketch import heavy_hitters
+
+        ds = ray.data.from_pandas(pd.DataFrame({"v": ["a", "a", "b"]}))
+        out, n = heavy_hitters(ds, "v", k=16)
+        assert n == 3
+        got = dict(zip(out["item"], out["est"]))
+        assert got == {"a": 2, "b": 1}
