@@ -131,7 +131,12 @@ def _partial_stage(keys, aggs, exact_sums):
                     if col in exact_sums:
                         out[f"{col}__isum"] = g[f"_int_{col}"].sum()
                     else:
-                        out[f"{col}__sum"] = g[col].sum()
+                        # float64 ALWAYS: an all-int block would emit an
+                        # int64 partial while a block with nulls emits
+                        # float64, giving per-block schema flapping (Ray
+                        # warns on every RefBundle) and a dtype decided
+                        # by data placement instead of the plan
+                        out[f"{col}__sum"] = g[col].sum().astype(np.float64)
                 elif fn == "min":
                     out[f"{col}__min"] = g[col].min()
                 elif fn == "max":
