@@ -3661,6 +3661,32 @@ def _q_llm_ops(sf_dir: str):
         }
     )
 
+    # --- tpack leg: token-array-native packing over the deterministic
+    # synth corpus (the pre-tokenized list<int32> input shape): chunk
+    # math + first/last packed token id per source are SQL closed forms
+    # over the same corpus parquet the oracle reads.
+    import ray.data
+
+    from opentelemetry_collector_contrib_ray.stages.llmdata import pack_token_sequences
+
+    cpath = _corpus_dir(sf_dir)  # sf-dependent, same path the oracle reads
+    cds = ray.data.read_parquet(cpath, columns=["doc_id", "source", "tokens"])
+    tchunks = pack_token_sequences(cds, "source", "doc_id", "tokens", seq_len=2048).to_pandas()
+    tgrp = []
+    for src, sub in tchunks.groupby("source", sort=False):
+        sub = sub.sort_values("chunk_id")
+        tgrp.append(
+            {
+                "leg": "tpack",
+                "key": src,
+                "n": len(sub),
+                "n2": int((sub["chunk_len"] == 2048).sum()),
+                "n3": int(sub["chunk_len"][sub["chunk_len"] < 2048].sum()),
+                "v_str": f"{sub.iloc[0]['first_tok']}:{sub.iloc[-1]['last_tok']}",
+            }
+        )
+    tpack_rows = pd.DataFrame(tgrp)
+
     chunks = pack_sequences(docs, "source", "doc_id", "text", seq_len=64).to_pandas()
     grp = []
     for src, sub in chunks.groupby("source", sort=False):
@@ -3686,6 +3712,7 @@ def _q_llm_ops(sf_dir: str):
             lm_rows,
             dsir_rows,
             ld_rows,
+            tpack_rows,
         ],
         ignore_index=True,
     )
@@ -4348,7 +4375,7 @@ def oracle_sql() -> dict[str, str]:
         "CASE event_type WHEN 'error' THEN 'oncall' WHEN 'purchase' THEN 'billing' "
         "WHEN 'signup' THEN 'crm' ELSE 'archive' END"
     )
-    return {
+    _d = {
         "flagship_route_counts": f"""
             -- parse→severity→route semantics over the raw corpus lines
             -- (routing.go:133-162 table + multi-exporter fan-out via the
@@ -5467,6 +5494,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'ldedup', CAST(doc_id AS VARCHAR), n_lines, n_rm,
                    CAST(0 AS BIGINT), ''
             FROM lagg
+            UNION ALL
+            -- tpack leg: token-array packing closed forms over the
+            -- deterministic synth corpus (seq_len=2048 per source)
+            SELECT 'tpack', source,
+                   CAST(CEIL(s / 2048.0) AS BIGINT),
+                   CAST(s // 2048 AS BIGINT),
+                   CAST(s % 2048 AS BIGINT),
+                   fw || ':' || lw
+            FROM (
+                SELECT source, CAST(SUM(n_tok) AS BIGINT) AS s,
+                       CAST(arg_min(tokens[1], doc_id) AS VARCHAR) AS fw,
+                       CAST(arg_max(tokens[-1], doc_id) AS VARCHAR) AS lw
+                FROM __CORPUS__ GROUP BY source
+            )
         """,
         "sfx_translation": """
             -- closed forms of the 8-rule chain in _q_sfx_translation:
@@ -5620,3 +5661,5 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
         """,
     }
+    _d["llm_ops"] = _d["llm_ops"].replace("__CORPUS__", corpus_rel)
+    return _d

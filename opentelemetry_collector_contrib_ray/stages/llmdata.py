@@ -307,6 +307,57 @@ def pack_sequences(
     return bucketed_group_apply(ds, group_col, per_bucket, num_buckets=num_buckets)
 
 
+def pack_token_sequences(
+    ds,
+    group_col: str = "source",
+    order_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    seq_len: int = 2048,
+    emit_tokens: bool = False,
+    num_buckets: int = 64,
+):
+    """Token-array-native concat-and-chunk packing: the same semantics
+    as ``pack_sequences`` but over a pre-tokenized ``list<int32>``
+    column (the training-corpus input shape) instead of whitespace
+    words — documents are concatenated per group in ``order_col``
+    order and the flat int32 token stream is sliced into ``seq_len``
+    chunks, final partial kept. One bucketed shuffle on the group key;
+    per group one numpy concatenate + stride slice. Returns chunk rows
+    ``(group, chunk_id, chunk_len, first_tok, last_tok[, tokens])``
+    with int64 first/last token ids."""
+    from .aggregate import bucketed_group_apply
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for grp, sub in df.groupby(group_col, sort=False):
+            sub = sub.sort_values(order_col, kind="stable")
+            arrs = [np.asarray(a, dtype=np.int64) for a in sub[tokens_col].to_numpy()]
+            flat = np.concatenate(arrs) if arrs else np.empty(0, np.int64)
+            total = len(flat)
+            n_chunks = (total + seq_len - 1) // seq_len
+            starts = np.arange(n_chunks, dtype=np.int64) * seq_len
+            ends = np.minimum(starts + seq_len, total)
+            rec = {
+                group_col: grp,
+                "chunk_id": np.arange(n_chunks, dtype=np.int64),
+                "chunk_len": (ends - starts).astype(np.int64),
+                "first_tok": flat[starts] if n_chunks else np.empty(0, np.int64),
+                "last_tok": flat[ends - 1] if n_chunks else np.empty(0, np.int64),
+            }
+            if emit_tokens:
+                rec["tokens"] = [flat[a:b].astype(np.int32).tolist() for a, b in zip(starts, ends)]
+            out.append(pd.DataFrame(rec))
+        return (
+            pd.concat(out, ignore_index=True)
+            if out
+            else pd.DataFrame(
+                columns=[group_col, "chunk_id", "chunk_len", "first_tok", "last_tok"]
+            )
+        )
+
+    return bucketed_group_apply(ds, group_col, per_bucket, num_buckets=num_buckets)
+
+
 # --------------------------------------------------------------- C4 cleaning
 
 # C4-style line filters (Raffel et al. 2020 §2.2, public rules): a line

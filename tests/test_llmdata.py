@@ -458,3 +458,45 @@ class TestLineDedup:
         # owner of "even boilerplate line." is doc 0 → keeps both copies
         assert bc.loc[0, "n_removed"] == 0
         assert jn.loc[2, "n_removed"] >= 1
+
+
+class TestPackTokenSequences:
+    def test_token_conservation_and_order(self, ray_session):
+        from opentelemetry_collector_contrib_ray.stages.llmdata import (
+            pack_token_sequences,
+        )
+
+        rows = [
+            {"doc_id": 2, "source": "a", "tokens": [5, 6, 7]},
+            {"doc_id": 1, "source": "a", "tokens": [1, 2, 3, 4]},
+            {"doc_id": 3, "source": "b", "tokens": [9]},
+        ]
+        ds = ray.data.from_pandas(pd.DataFrame(rows))
+        out = (
+            pack_token_sequences(ds, "source", "doc_id", "tokens", seq_len=3,
+                                 emit_tokens=True, num_buckets=2)
+            .to_pandas()
+            .sort_values(["source", "chunk_id"])
+            .reset_index(drop=True)
+        )
+        a = out[out["source"] == "a"]
+        # doc order 1 then 2 → stream 1,2,3,4,5,6,7 → chunks [1,2,3][4,5,6][7]
+        assert list(a["chunk_len"]) == [3, 3, 1]
+        assert list(a["first_tok"]) == [1, 4, 7]
+        assert list(a["last_tok"]) == [3, 6, 7]
+        assert [t for ch in a["tokens"] for t in ch] == [1, 2, 3, 4, 5, 6, 7]
+        b = out[out["source"] == "b"]
+        assert list(b["chunk_len"]) == [1] and list(b["first_tok"]) == [9]
+
+    def test_exact_multiple_no_tail(self, ray_session):
+        from opentelemetry_collector_contrib_ray.stages.llmdata import (
+            pack_token_sequences,
+        )
+
+        rows = [{"doc_id": i, "source": "s", "tokens": [i * 10 + j for j in range(4)]} for i in range(3)]
+        out = pack_token_sequences(
+            ray.data.from_pandas(pd.DataFrame(rows)), "source", "doc_id", "tokens",
+            seq_len=4, num_buckets=2
+        ).to_pandas()
+        assert list(out["chunk_len"]) == [4, 4, 4]
+        assert int(out["chunk_len"].sum()) == 12
