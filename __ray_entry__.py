@@ -3574,6 +3574,48 @@ def _q_llm_ops(sf_dir: str):
         }
     )
 
+    # --- tok leg: VocabEncoder — text → list<int32> token ids from the
+    # same top-50 vocabulary (id = rank in (count DESC, word ASC); OOV
+    # id = 50). Per-doc sum-of-ids / OOV count / token count and the
+    # first:last ids are SQL re-derivable via a ROW_NUMBER vocab.
+    from opentelemetry_collector_contrib_ray.stages.llmdata import VocabEncoder
+
+    def tok_stats(t: pa.Table) -> pa.Table:
+        col = t["tokens"]
+        la = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        offs = la.offsets.to_numpy().astype(np.int64)
+        vals = la.values.to_numpy().astype(np.int64)
+        counts = np.diff(offs)
+        nrows = len(counts)
+        sid = np.zeros(nrows, np.int64)
+        nz = counts > 0
+        if nz.any() and len(vals):
+            seg = np.add.reduceat(vals, np.minimum(offs[:-1], len(vals) - 1))
+            sid[nz] = seg[nz]
+        first = np.where(nz, vals[np.minimum(offs[:-1], max(len(vals) - 1, 0))], -1)
+        last = np.where(nz, vals[np.maximum(offs[1:] - 1, 0)], -1)
+        fl = pd.Series(first).astype(str) + ":" + pd.Series(last).astype(str)
+        return pa.table(
+            {
+                "leg": pa.array(["tok"] * nrows, pa.string()),
+                "key": pc.cast(t["doc_id"], pa.string()),
+                "n": pa.array(sid),
+                "n2": pc.cast(t["n_oov"], pa.int64()),
+                "n3": pc.cast(t["n_tok"], pa.int64()),
+                "v_str": pa.array(
+                    np.where(nz, fl.to_numpy(dtype=object), "").astype(object),
+                    pa.string(),
+                ),
+            }
+        )
+
+    tok_rows = (
+        docs.select_columns(["doc_id", "text"])
+        .map_batches(VocabEncoder(vocab["word"].to_numpy()), batch_format="pyarrow")
+        .map_batches(tok_stats, batch_format="pyarrow")
+        .to_pandas()
+    )
+
     # --- dsir leg: DSIR hashed-bigram importance scoring (target
     # distribution = lang == 'en' docs). Integer probability-difference
     # score Σ (tgt_c·N_raw − raw_c·N_tgt) over the doc's bigram
@@ -3713,6 +3755,7 @@ def _q_llm_ops(sf_dir: str):
             dsir_rows,
             ld_rows,
             tpack_rows,
+            tok_rows,
         ],
         ignore_index=True,
     )
@@ -5325,6 +5368,29 @@ def oracle_sql() -> dict[str, str]:
                 SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM wdoc
                 GROUP BY w ORDER BY c DESC, w ASC LIMIT 50
             ),
+            vid AS (
+                SELECT w, ROW_NUMBER() OVER (ORDER BY c DESC, w ASC) - 1 AS tid
+                FROM wc
+            ),
+            tokagg AS (
+                SELECT wd.doc_id,
+                       CAST(SUM(COALESCE(v.tid, 50)) AS BIGINT) AS sid,
+                       CAST(SUM(CASE WHEN v.tid IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS noov,
+                       CAST(COUNT(*) AS BIGINT) AS ntok
+                FROM wdoc wd LEFT JOIN vid v ON wd.w = v.w
+                GROUP BY wd.doc_id
+            ),
+            tokends AS (
+                SELECT d.doc_id,
+                       len(list_filter(string_split(d.text, ' '), w -> w <> '')) AS nw,
+                       COALESCE(vf.tid, 50) AS ft,
+                       COALESCE(vl.tid, 50) AS lt
+                FROM documents d
+                LEFT JOIN vid vf
+                  ON list_filter(string_split(d.text, ' '), w -> w <> '')[1] = vf.w
+                LEFT JOIN vid vl
+                  ON list_filter(string_split(d.text, ' '), w -> w <> '')[-1] = vl.w
+            ),
             lmagg AS (
                 SELECT wd.doc_id,
                        CAST(SUM(CASE WHEN wc.c IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_in,
@@ -5494,6 +5560,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'ldedup', CAST(doc_id AS VARCHAR), n_lines, n_rm,
                    CAST(0 AS BIGINT), ''
             FROM lagg
+            UNION ALL
+            SELECT 'tok', CAST(e.doc_id AS VARCHAR),
+                   CAST(COALESCE(a.sid, 0) AS BIGINT),
+                   CAST(COALESCE(a.noov, 0) AS BIGINT),
+                   CAST(COALESCE(a.ntok, 0) AS BIGINT),
+                   CASE WHEN e.nw > 0
+                        THEN CAST(e.ft AS VARCHAR) || ':' || CAST(e.lt AS VARCHAR)
+                        ELSE '' END
+            FROM tokends e LEFT JOIN tokagg a ON e.doc_id = a.doc_id
             UNION ALL
             -- tpack leg: token-array packing closed forms over the
             -- deterministic synth corpus (seq_len=2048 per source)

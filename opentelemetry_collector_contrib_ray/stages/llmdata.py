@@ -530,6 +530,60 @@ class UnigramScorer:
         return t
 
 
+class VocabEncoder:
+    """Vocabulary tokenizer: encode a text column into ``list<int32>``
+    token ids — the bridge from raw documents to the pre-tokenized
+    training-corpus shape. Token id = rank in the (count DESC, word
+    ASC) vocabulary order (i.e. positional index of ``top_vocab``'s
+    output); out-of-vocabulary words map to id ``V`` (one past the
+    vocabulary), the classic UNK slot.
+
+    Actor-pool stage: the vocab broadcasts once per actor; each batch
+    runs one flat searchsorted pass over the exploded words and one
+    Arrow ``ListArray.from_arrays`` to rebuild per-doc token lists.
+    Adds ``tokens`` (list<int32>), ``n_tok`` and ``n_oov``."""
+
+    def __init__(self, vocab_words, text_col: str = "text", out_col: str = "tokens"):
+        words = np.asarray(vocab_words, dtype=object)
+        order = np.argsort(words)
+        self.sorted_words = words[order]
+        self.ids = np.arange(len(words), dtype=np.int32)[order]
+        self.oov_id = np.int32(len(words))
+        self.text_col = text_col
+        self.out_col = out_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        s = pd.Series(t[self.text_col].to_numpy(zero_copy_only=False), dtype=object).fillna("")
+        words = s.str.split(" ")
+        lens = words.str.len().to_numpy(dtype=np.int64) if len(s) else np.empty(0, np.int64)
+        flat = (
+            np.concatenate([np.asarray(w, dtype=object) for w in words.to_numpy()])
+            if len(s) and lens.sum()
+            else np.array([], dtype=object)
+        )
+        nonempty = flat != ""
+        doc_of = np.repeat(np.arange(len(s), dtype=np.int64), lens)[nonempty]
+        flat = flat[nonempty]
+        if len(self.sorted_words) and len(flat):
+            pos = np.clip(
+                np.searchsorted(self.sorted_words, flat), 0, len(self.sorted_words) - 1
+            )
+            hit = self.sorted_words[pos] == flat
+            toks = np.where(hit, self.ids[pos], self.oov_id).astype(np.int32)
+        else:
+            hit = np.zeros(len(flat), dtype=bool)
+            toks = np.full(len(flat), self.oov_id, np.int32)
+        n = len(s)
+        n_tok = np.bincount(doc_of, minlength=n).astype(np.int32)
+        n_oov = np.bincount(doc_of[~hit], minlength=n).astype(np.int32)
+        offs = pa.array(np.concatenate([[0], np.cumsum(n_tok)]).astype(np.int32))
+        t = t.append_column(
+            self.out_col, pa.ListArray.from_arrays(offs, pa.array(toks, pa.int32()))
+        )
+        t = t.append_column("n_tok", pa.array(n_tok, pa.int32()))
+        return t.append_column("n_oov", pa.array(n_oov, pa.int32()))
+
+
 # ------------------------------------------------------------------ DSIR
 
 DSIR_NUM_BUCKETS = 64

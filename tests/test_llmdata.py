@@ -500,3 +500,37 @@ class TestPackTokenSequences:
         ).to_pandas()
         assert list(out["chunk_len"]) == [4, 4, 4]
         assert int(out["chunk_len"].sum()) == 12
+
+
+class TestVocabEncoder:
+    def test_encoding_ids_and_oov(self, ray_session):
+        from opentelemetry_collector_contrib_ray.stages.llmdata import (
+            VocabEncoder,
+            corpus_word_counts,
+            top_vocab,
+        )
+
+        rows = [
+            {"doc_id": 0, "text": "a a a b c"},
+            {"doc_id": 1, "text": "a b b zz"},
+            {"doc_id": 2, "text": "c c qq"},
+        ]
+        ds = ray.data.from_pandas(pd.DataFrame(rows))
+        vocab = top_vocab(corpus_word_counts(ds), 3)
+        # id = position in (count desc, word asc): a=0, b=1, c=2; OOV=3
+        enc = VocabEncoder(vocab["word"].to_numpy())
+        out = ds.map_batches(enc, batch_format="pyarrow").to_pandas().set_index("doc_id").sort_index()
+        assert list(out.loc[0, "tokens"]) == [0, 0, 0, 1, 2]
+        assert list(out.loc[1, "tokens"]) == [0, 1, 1, 3]
+        assert list(out.loc[2, "tokens"]) == [2, 2, 3]
+        assert list(out["n_tok"]) == [5, 4, 3]
+        assert list(out["n_oov"]) == [0, 1, 1]
+
+    def test_empty_text_and_empty_vocab(self, ray_session):
+        from opentelemetry_collector_contrib_ray.stages.llmdata import VocabEncoder
+
+        enc = VocabEncoder(np.array([], dtype=object))
+        t = pa.table({"doc_id": [0, 1], "text": ["x y", ""]})
+        out = enc(t).to_pandas()
+        assert list(out["tokens"].map(list)) == [[0, 0], []]
+        assert list(out["n_oov"]) == [2, 0]
