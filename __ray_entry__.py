@@ -790,6 +790,37 @@ def _q_sketch_contracts(sf_dir: str):
             ),
         )
     )
+
+    # --- Bloom filter: built distributed (per-batch bit arrays ORed),
+    # zero false negatives on every member user_id, and the measured
+    # false-positive rate on definite non-members stays under 3× the
+    # theoretical (1 − e^{−kn/m})^k
+    from opentelemetry_collector_contrib_ray.stages.sketch import bloom_build
+
+    bf = bloom_build(
+        _read(sf_dir, "events", ["user_id"]), "user_id", m_bits=1 << 20, k=5
+    )
+
+    def member_miss(t: pa.Table) -> pa.Table:
+        vals = t["user_id"].to_numpy(zero_copy_only=False).astype(str)
+        return pa.table(
+            {
+                "miss": pa.array([int((~bf.contains(vals)).sum())], pa.int64()),
+                "n": pa.array([len(vals)], pa.int64()),
+            }
+        )
+
+    mm = (
+        _read(sf_dir, "events", ["user_id"])
+        .map_batches(member_miss, batch_format="pyarrow")
+        .to_pandas()
+    )
+    rows.append(("bloom_no_false_negatives", int(mm["miss"].sum()) == 0))
+    n_users = int(exact_cnt.sum())  # events row count (same read)
+    probes = np.array([f"__bloomprobe{i}" for i in range(20000)], dtype=object)
+    theo = (1.0 - np.exp(-5.0 * n_users / float(1 << 20))) ** 5
+    fp = float(bf.contains(probes).mean())
+    rows.append(("bloom_fp_bounded", bool(fp <= max(3.0 * theo, 0.01))))
     return pd.DataFrame(rows, columns=["check", "within_bound"])
 
 
@@ -4487,7 +4518,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM (VALUES ('kll_0.5', TRUE), ('kll_0.9', TRUE),
                 ('kll_0.99', TRUE), ('rolling_append_monotone', TRUE),
                 ('rolling_edit_stable', TRUE), ('mg_recovered_all', TRUE),
-                ('mg_within_bound', TRUE)) AS t("check", within_bound)
+                ('mg_within_bound', TRUE), ('bloom_no_false_negatives', TRUE),
+                ('bloom_fp_bounded', TRUE)) AS t("check", within_bound)
         """,
         "severity_map": f"""
             SELECT {sev_case_text} AS severity_text,

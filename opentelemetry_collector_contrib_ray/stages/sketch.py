@@ -311,3 +311,71 @@ def heavy_hitters(ds, value_col: str, *, k: int = 16):
         .reset_index(drop=True)
     )
     return out, n_total
+
+
+# ------------------------------------------------------------- Bloom filter
+
+
+class BloomFilter:
+    """Vectorized Bloom filter (Bloom 1970) with double hashing
+    (Kirsch & Mitzenmacher 2006: position_i = h1 + i·h2 mod m).
+    Mergeable by bitwise OR, so per-batch filters union without a
+    shuffle — the scale path for membership gates (e.g. eval-set
+    decontamination) when the key set outgrows a broadcast sorted
+    array. Guarantees: NO false negatives; false-positive rate
+    ≈ (1 − e^{−kn/m})^k."""
+
+    def __init__(self, m_bits: int = 1 << 20, k: int = 5):
+        assert m_bits % 64 == 0
+        self.m = m_bits
+        self.k = k
+        self.words = np.zeros(m_bits // 64, dtype=np.uint64)
+
+    def _positions(self, values) -> np.ndarray:
+        """(k, n) bit positions per value."""
+        h1 = hash_str_u64(values)
+        h2 = splitmix64(h1) | np.uint64(1)  # odd → full-period stepping
+        i = np.arange(self.k, dtype=np.uint64)[:, None]
+        return (h1[None, :] + i * h2[None, :]) % np.uint64(self.m)
+
+    def add(self, values) -> "BloomFilter":
+        pos = self._positions(values).ravel()
+        np.bitwise_or.at(
+            self.words, (pos >> np.uint64(6)).astype(np.int64),
+            np.uint64(1) << (pos & np.uint64(63)),
+        )
+        return self
+
+    def contains(self, values) -> np.ndarray:
+        pos = self._positions(values)
+        bits = (
+            self.words[(pos >> np.uint64(6)).astype(np.int64)]
+            >> (pos & np.uint64(63))
+        ) & np.uint64(1)
+        return bits.all(axis=0)
+
+    def merge(self, other: "BloomFilter") -> "BloomFilter":
+        assert self.m == other.m and self.k == other.k
+        np.bitwise_or(self.words, other.words, out=self.words)
+        return self
+
+    def fill_ratio(self) -> float:
+        return float(np.unpackbits(self.words.view(np.uint8)).mean())
+
+
+def bloom_build(ds, value_col: str, *, m_bits: int = 1 << 20, k: int = 5) -> BloomFilter:
+    """Build one corpus-wide Bloom filter: each batch sets its own bit
+    array locally (one vectorized scatter), ships m/8 bytes, and the
+    driver ORs the per-batch blobs — no row ever shuffles."""
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        bf = BloomFilter(m_bits, k)
+        bf.add(batch[value_col].to_numpy(zero_copy_only=False).astype(str))
+        return pa.table({"blob": pa.array([bf.words.tobytes()], pa.binary())})
+
+    merged = BloomFilter(m_bits, k)
+    for part in ds.map_batches(per_batch, batch_format="pyarrow").to_pandas()["blob"]:
+        np.bitwise_or(
+            merged.words, np.frombuffer(part, dtype=np.uint64), out=merged.words
+        )
+    return merged

@@ -110,3 +110,32 @@ class TestHeavyHitters:
         assert n == 3
         got = dict(zip(out["item"], out["est"]))
         assert got == {"a": 2, "b": 1}
+
+
+class TestBloomFilter:
+    def test_no_false_negatives_and_bounded_fp(self, ray_session):
+        import ray
+
+        from opentelemetry_collector_contrib_ray.stages.sketch import (
+            BloomFilter,
+            bloom_build,
+        )
+
+        members = [f"user{i}" for i in range(20000)]
+        ds = ray.data.from_pandas(pd.DataFrame({"u": members})).repartition(8)
+        bf = bloom_build(ds, "u", m_bits=1 << 18, k=5)
+        # guarantee: every inserted member found
+        assert bf.contains(np.array(members, dtype=object)).all()
+        # FP on definite non-members stays near theory:
+        # n=20000, m=2^18, k=5 → p ≈ (1-e^(-kn/m))^k ≈ 0.022
+        probes = np.array([f"ghost{i}" for i in range(20000)], dtype=object)
+        fp = float(bf.contains(probes).mean())
+        assert fp < 0.1
+
+    def test_merge_equals_single(self):
+        from opentelemetry_collector_contrib_ray.stages.sketch import BloomFilter
+
+        a = BloomFilter(1 << 12, 4).add(np.array(["x", "y"], dtype=object))
+        b = BloomFilter(1 << 12, 4).add(np.array(["z"], dtype=object))
+        one = BloomFilter(1 << 12, 4).add(np.array(["x", "y", "z"], dtype=object))
+        assert np.array_equal(a.merge(b).words, one.words)
