@@ -145,17 +145,48 @@ class NgramDecontaminator:
     window-hash pass per batch and an ``np.isin`` membership against
     the broadcast table. Adds a ``contaminated`` bool column."""
 
-    def __init__(self, eval_grams: np.ndarray, n: int = 8, text_col: str = "text"):
-        self.grams = np.asarray(eval_grams, dtype=np.uint64)
+    def __init__(
+        self,
+        eval_grams: np.ndarray,
+        n: int = 8,
+        text_col: str = "text",
+        backend: str = "sorted",
+        bloom_bits: int = 1 << 22,
+    ):
+        """``backend='sorted'`` holds the exact sorted hash array
+        (np.isin membership — exact, memory ∝ eval-set n-grams).
+        ``backend='bloom'`` packs the hashes into a fixed-size Bloom
+        filter instead — memory is ``bloom_bits/8`` regardless of
+        eval-set size, no false negatives (every contaminated doc is
+        still flagged), a bounded rate of extra flags. The scale
+        choice when the held-out set itself is large."""
         self.n = n
         self.text_col = text_col
+        self.backend = backend
+        grams = np.asarray(eval_grams, dtype=np.uint64)
+        if backend == "bloom":
+            from .sketch import BloomFilter
+
+            self.bloom = BloomFilter(bloom_bits, 5)
+            if len(grams):
+                self.bloom.add_hashes(grams)
+            self.grams = np.empty(0, np.uint64) if len(grams) else grams
+            self._any = bool(len(grams))
+        elif backend == "sorted":
+            self.grams = grams
+            self._any = bool(len(grams))
+        else:
+            raise ValueError(f"backend must be sorted|bloom, got {backend!r}")
 
     def __call__(self, t: pa.Table) -> pa.Table:
         s = pd.Series(t[self.text_col].to_numpy(zero_copy_only=False), dtype=object).fillna("")
         flags = np.zeros(len(s), dtype=bool)
-        if len(self.grams):
+        if self._any:
             h, doc_of = _window_hashes(s, self.n)
-            hit = np.isin(h, self.grams)
+            if self.backend == "bloom":
+                hit = self.bloom.contains_hashes(h) if len(h) else np.zeros(0, bool)
+            else:
+                hit = np.isin(h, self.grams)
             np.add.at(flags, doc_of[hit], True)
         return t.append_column("contaminated", pa.array(flags, pa.bool_()))
 

@@ -338,21 +338,40 @@ class BloomFilter:
         i = np.arange(self.k, dtype=np.uint64)[:, None]
         return (h1[None, :] + i * h2[None, :]) % np.uint64(self.m)
 
-    def add(self, values) -> "BloomFilter":
-        pos = self._positions(values).ravel()
+    def _positions_from_hashes(self, h: np.ndarray) -> np.ndarray:
+        h1 = np.asarray(h, dtype=np.uint64)
+        h2 = splitmix64(h1) | np.uint64(1)
+        i = np.arange(self.k, dtype=np.uint64)[:, None]
+        return (h1[None, :] + i * h2[None, :]) % np.uint64(self.m)
+
+    def _set(self, pos: np.ndarray) -> None:
+        pos = pos.ravel()
         np.bitwise_or.at(
             self.words, (pos >> np.uint64(6)).astype(np.int64),
             np.uint64(1) << (pos & np.uint64(63)),
         )
-        return self
 
-    def contains(self, values) -> np.ndarray:
-        pos = self._positions(values)
+    def _test(self, pos: np.ndarray) -> np.ndarray:
         bits = (
             self.words[(pos >> np.uint64(6)).astype(np.int64)]
             >> (pos & np.uint64(63))
         ) & np.uint64(1)
         return bits.all(axis=0)
+
+    def add(self, values) -> "BloomFilter":
+        self._set(self._positions(values))
+        return self
+
+    def contains(self, values) -> np.ndarray:
+        return self._test(self._positions(values))
+
+    def add_hashes(self, h: np.ndarray) -> "BloomFilter":
+        """Insert pre-hashed uint64 keys (e.g. n-gram window hashes)."""
+        self._set(self._positions_from_hashes(h))
+        return self
+
+    def contains_hashes(self, h: np.ndarray) -> np.ndarray:
+        return self._test(self._positions_from_hashes(h))
 
     def merge(self, other: "BloomFilter") -> "BloomFilter":
         assert self.m == other.m and self.k == other.k

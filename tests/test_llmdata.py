@@ -534,3 +534,38 @@ class TestVocabEncoder:
         out = enc(t).to_pandas()
         assert list(out["tokens"].map(list)) == [[0, 0], []]
         assert list(out["n_oov"]) == [2, 0]
+
+
+class TestDecontaminationBloomBackend:
+    def test_bloom_flags_superset_of_exact(self, ray_session):
+        from opentelemetry_collector_contrib_ray.stages.llmdata import (
+            NgramDecontaminator,
+            build_eval_grams,
+        )
+
+        eval_texts = [" ".join(f"ev{i}w{j}" for j in range(12)) for i in range(5)]
+        rows = []
+        for i in range(50):
+            words = [f"doc{i}w{j}" for j in range(20)]
+            if i % 7 == 0:  # plant a contaminated window
+                words[5:13] = eval_texts[i % 5].split(" ")[2:10]
+            rows.append({"doc_id": i, "text": " ".join(words)})
+        ds = ray.data.from_pandas(pd.DataFrame(rows))
+        grams = build_eval_grams(eval_texts, n=8)
+        exact = (
+            ds.map_batches(NgramDecontaminator(grams, n=8), batch_format="pyarrow")
+            .to_pandas().set_index("doc_id")["contaminated"]
+        )
+        bloom = (
+            ds.map_batches(
+                NgramDecontaminator(grams, n=8, backend="bloom"),
+                batch_format="pyarrow",
+            )
+            .to_pandas().set_index("doc_id")["contaminated"]
+        )
+        # no false negatives: every exactly-contaminated doc is flagged
+        assert (bloom[exact] == True).all()  # noqa: E712
+        # planted docs really are contaminated
+        assert exact[[i for i in range(50) if i % 7 == 0]].all()
+        # at this tiny scale the bloom flags should equal exact (fp ~ 0)
+        assert (bloom == exact).all()
