@@ -35,8 +35,6 @@ Broker scraper (broker_scraper.go:60-70): one ``kafka.brokers`` gauge.
 
 from __future__ import annotations
 
-import re
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -63,14 +61,27 @@ def _out(frames: list[pd.DataFrame]) -> pa.Table:
     )
 
 
+def _re_mask(s: pd.Series, pattern: str) -> np.ndarray:
+    """Vectorized regex-search filter (Go regexp.MatchString semantics)
+    via Arrow's re2 kernel — no per-row Python regex calls."""
+    import pyarrow.compute as pc
+
+    return (
+        pc.match_substring_regex(
+            pa.array(s.to_numpy(dtype=object), pa.string(), from_pandas=True), pattern
+        )
+        .to_numpy(zero_copy_only=False)
+        .astype(bool)
+    )
+
+
 def kafka_topic_metrics(t: pa.Table, topic_match: str = ".*") -> pa.Table:
     """Cluster-state rows → topic-scraper gauges. Input columns:
     topic, partition, partition_offset, oldest_offset, replicas,
     in_sync (one row per topic-partition; group-related columns are
     ignored — the topic scraper sees every partition once)."""
     df = t.to_pandas().drop_duplicates(subset=["topic", "partition"])
-    pat = re.compile(topic_match)
-    df = df[df["topic"].map(lambda s: bool(pat.search(s)))]
+    df = df[_re_mask(df["topic"], topic_match)]
     frames = []
     parts = (
         df.groupby("topic", sort=False)["partition"].size().reset_index(name="value")
@@ -99,9 +110,8 @@ def kafka_consumer_metrics(
     group, topic, partition, consumer_offset (-1 = none),
     partition_offset, group_members (constant per group)."""
     df = t.to_pandas()
-    gpat, tpat = re.compile(group_match), re.compile(topic_match)
-    df = df[df["group"].map(lambda s: bool(gpat.search(s)))]
-    df = df[df["topic"].map(lambda s: bool(tpat.search(s)))]
+    df = df[_re_mask(df["group"], group_match)]
+    df = df[_re_mask(df["topic"], topic_match)]
     frames = []
 
     members = (

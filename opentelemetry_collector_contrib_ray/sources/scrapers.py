@@ -503,11 +503,48 @@ _PROM_TYPE_MAP = {
 }
 
 
+_PROM_PAIR_BODY = r'[a-zA-Z_][a-zA-Z0-9_]*="(?:[^"\\]|\\.)*"'
+_PROM_PAIR_RE = f"({_PROM_PAIR_BODY})"
+
+
 def _prom_canon_labels(raw: pd.Series) -> pd.Series:
     """Canonicalize a label body ('b="2",a="1"') to sorted 'a="1",b="2"'
-    so equal label SETS compare equal (prom semantics are set-based)."""
-    parts = raw.fillna("").str.findall(r'([a-zA-Z_][a-zA-Z0-9_]*="(?:[^"\\]|\\.)*")')
-    return parts.map(lambda ps: ",".join(sorted(ps)) if ps else "")
+    so equal label SETS compare equal (prom semantics are set-based).
+    Fast path: a body without a comma holds at most one pair, so only
+    the (rare) multi-pair rows pay the per-row findall+sort; single-
+    pair rows are validated/extracted with one Arrow re2 pass."""
+    import pyarrow.compute as pc
+
+    raw = raw.fillna("")
+    multi = raw.str.contains(",", regex=False).to_numpy(dtype=bool)
+    out = np.full(len(raw), "", dtype=object)
+    if (~multi).any():
+        singles = raw[~multi]
+        r = pc.extract_regex(
+            pa.array(singles.to_numpy(dtype=object), pa.string()),
+            f"^(?P<p>{_PROM_PAIR_BODY})\\s*$",
+        )
+        ok = pc.is_valid(r)
+        vals = np.full(len(singles), "", dtype=object)
+        okn = ok.to_numpy(zero_copy_only=False).astype(bool)
+        vals[okn] = np.asarray(
+            pc.struct_field(r.filter(ok), "p").to_pandas(), dtype=object
+        )
+        # a malformed body can still EMBED a valid pair (old findall
+        # semantics) — only those few rows pay the python findall
+        odd = (~okn) & (singles.to_numpy(dtype=object) != "")
+        if odd.any():
+            found = singles[odd].str.findall(_PROM_PAIR_RE)
+            vals[odd] = found.map(
+                lambda ps: ",".join(sorted(ps)) if ps else ""
+            ).to_numpy(dtype=object)
+        out[~multi] = vals
+    if multi.any():
+        parts = raw[multi].str.findall(_PROM_PAIR_RE)
+        out[multi] = parts.map(
+            lambda ps: ",".join(sorted(ps)) if ps else ""
+        ).to_numpy(dtype=object)
+    return pd.Series(out, index=raw.index, dtype=object)
 
 
 def parse_prometheus_text(

@@ -628,16 +628,21 @@ def _dsir_bigram_buckets(s: pd.Series) -> tuple[np.ndarray, np.ndarray]:
     the two words' first code points and lengths so a DuckDB oracle
     can recompute buckets exactly; swap in ``hash_str_u64`` for
     production corpora (same downstream shape)."""
-    words = s.str.split(" ").map(lambda w: [x for x in w if x != ""] if isinstance(w, list) else [])
-    lens = words.str.len().to_numpy(dtype=np.int64) if len(s) else np.empty(0, np.int64)
-    n_big = np.maximum(lens - 1, 0)
-    if n_big.sum() == 0:
+    words = s.str.split(" ")
+    raw_lens = words.str.len().to_numpy(dtype=np.int64) if len(s) else np.empty(0, np.int64)
+    if raw_lens.sum() == 0:
         return np.empty(0, np.int64), np.empty(0, np.int64)
-    flat = np.concatenate([np.asarray(w, dtype=object) for w in words.to_numpy()])
-    starts = np.repeat(np.cumsum(lens) - lens, n_big) + np.concatenate(
-        [np.arange(k, dtype=np.int64) for k in n_big]
-    )
-    doc_of = np.repeat(np.arange(len(s), dtype=np.int64), n_big)
+    flat_all = np.concatenate([np.asarray(w, dtype=object) for w in words.to_numpy()])
+    doc_all = np.repeat(np.arange(len(s), dtype=np.int64), raw_lens)
+    keep = flat_all != ""  # drop empty tokens at the FLAT level (no per-row lambda)
+    flat = flat_all[keep]
+    doc_flat = doc_all[keep]
+    # consecutive kept words within the same doc form the bigrams
+    pair = doc_flat[1:] == doc_flat[:-1] if len(doc_flat) else np.empty(0, bool)
+    if not pair.any():
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    starts = np.flatnonzero(pair)
+    doc_of = doc_flat[starts]
     first_cp = np.array(
         pd.Series(flat).str.slice(0, 1).tolist(), dtype="U1"
     ).view(np.uint32).astype(np.int64)
