@@ -3161,14 +3161,16 @@ def _q_scraper_parse(sf_dir: str):
         # ---- dotnet EventPipe leg (sources/dotnet.py): render a full
         # IPC+nettrace binary stream per event (Mean + Sum counters,
         # stack/SP blocks, an unregistered-metadata event on %3 that
-        # must be dropped), decode with the real parser; binary
-        # per-row work → subsampled like ecs/k8sobj ----
+        # must be dropped), decode with the real parser; the binary
+        # codec is ~340 µs/event of inherent per-record work, so this
+        # leg subsamples to %16 (mirrored in the oracle WHERE — still
+        # 625 round-tripped events at the driver's sf0.01) ----
         from opentelemetry_collector_contrib_ray.sources.dotnet import (
             encode_counter_stream,
             parse_dotnet_counters,
         )
 
-        esub = e[sub]
+        esub = e[e % 16 == 0]
         blobs = [
             encode_counter_stream(
                 [
@@ -4295,9 +4297,9 @@ def _scraper_parse_oracle() -> str:
         # dotnet EventPipe counters (sources/dotnet.py): Mean → gauge
         # with Count as the int sum; Sum → delta of e*3; units via
         # converter.go mapUnits ("B" → "By")
-        ("dotnet", "dotnet.cpu-usage.gauge", "%", f"{e} % 4 = 0",
+        ("dotnet", "dotnet.cpu-usage.gauge", "%", f"{e} % 16 = 0",
          f"SUM({e} % 10)", f"SUM(({e} % 100) + 0.25)"),
-        ("dotnet", "dotnet.alloc-rate.sum_delta", "By", f"{e} % 4 = 0",
+        ("dotnet", "dotnet.alloc-rate.sum_delta", "By", f"{e} % 16 = 0",
          "0", f"SUM({e} * 3)"),
     ]
     parts = [
