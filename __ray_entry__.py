@@ -3762,6 +3762,55 @@ def _q_llm_ops(sf_dir: str):
         )
     tpack_rows = pd.DataFrame(tgrp)
 
+    # --- split leg: deterministic multiplicative-hash train/valid/test
+    # split (5%/5%/90%); the oracle recomputes the same BIGINT hash
+    # closed-form. Distributed agg via bucketed_aggregate (count+sum
+    # per split move, never rows).
+    from opentelemetry_collector_contrib_ray.stages.aggregate import bucketed_aggregate
+    from opentelemetry_collector_contrib_ray.stages.llmdata import (
+        assign_split,
+        stratified_sample,
+    )
+
+    spl = bucketed_aggregate(
+        docs.select_columns(["doc_id"]).map_batches(
+            assign_split, batch_format="pyarrow"
+        ),
+        ["split"],
+        [("doc_id", "count", "cnt"), ("doc_id", "sum", "sid")],
+    ).to_pandas()
+    split_rows = pd.DataFrame(
+        {
+            "leg": "split",
+            "key": spl["split"],
+            "n": spl["cnt"].astype(np.int64),
+            "n2": spl["sid"].astype(np.int64),
+            "n3": np.int64(0),
+            "v_str": "",
+        }
+    )
+
+    # --- samp leg: per-source cap of 40 docs by (split_hash, id) rank
+    # (RefinedWeb/LLaMA-style per-domain budget); oracle = ROW_NUMBER
+    # over the identical hash order.
+    samp = stratified_sample(
+        docs.select_columns(["doc_id", "source"]), 40
+    ).to_pandas()
+    sgrp = []
+    for src, sub in samp.groupby("source", sort=False):
+        sub = sub.sort_values("rank")
+        sgrp.append(
+            {
+                "leg": "samp",
+                "key": src,
+                "n": np.int64(len(sub)),
+                "n2": np.int64(sub["doc_id"].sum()),
+                "n3": np.int64(sub["doc_id"].min()),
+                "v_str": str(int(sub.iloc[0]["doc_id"])),
+            }
+        )
+    samp_rows = pd.DataFrame(sgrp)
+
     chunks = pack_sequences(docs, "source", "doc_id", "text", seq_len=64).to_pandas()
     grp = []
     for src, sub in chunks.groupby("source", sort=False):
@@ -3789,6 +3838,8 @@ def _q_llm_ops(sf_dir: str):
             ld_rows,
             tpack_rows,
             tok_rows,
+            split_rows,
+            samp_rows,
         ],
         ignore_index=True,
     )
@@ -5617,6 +5668,39 @@ def oracle_sql() -> dict[str, str]:
                        CAST(arg_max(tokens[-1], doc_id) AS VARCHAR) AS lw
                 FROM __CORPUS__ GROUP BY source
             )
+            UNION ALL
+            -- split leg: deterministic multiplicative-hash 5/5/90
+            -- train/valid/test split (same BIGINT closed form as the
+            -- engine's split_hash; intermediates stay < 2^63)
+            SELECT 'split', sp, CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(doc_id) AS BIGINT), CAST(0 AS BIGINT), ''
+            FROM (
+                SELECT doc_id,
+                       CASE WHEN r < 500 THEN 'test'
+                            WHEN r < 1000 THEN 'valid'
+                            ELSE 'train' END AS sp
+                FROM (
+                    SELECT doc_id,
+                           ((doc_id % 1000000007) * 2654435761)
+                               % 1000000007 % 10000 AS r
+                    FROM documents
+                )
+            ) GROUP BY sp
+            UNION ALL
+            -- samp leg: per-source cap of 40 by (hash, id) rank
+            SELECT 'samp', source, CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(doc_id) AS BIGINT),
+                   CAST(MIN(doc_id) AS BIGINT),
+                   CAST(MIN(CASE WHEN rn = 1 THEN doc_id END) AS VARCHAR)
+            FROM (
+                SELECT source, doc_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY source
+                           ORDER BY ((doc_id % 1000000007) * 2654435761)
+                                        % 1000000007, doc_id
+                       ) AS rn
+                FROM documents
+            ) WHERE rn <= 40 GROUP BY source
         """,
         "sfx_translation": """
             -- closed forms of the 8-rule chain in _q_sfx_translation:

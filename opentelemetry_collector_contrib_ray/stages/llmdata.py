@@ -982,3 +982,104 @@ def resample_mixture(
         return t.take(pa.array(np.repeat(np.arange(len(t), dtype=np.int64), reps)))
 
     return ds.map_batches(rep, batch_format="pyarrow")
+
+
+# --- deterministic held-out split + per-domain caps -----------------
+#
+# Two standard corpus-assembly steps public pipelines apply after
+# filtering/dedup: (1) carving a reproducible train/valid/test split,
+# and (2) capping each domain's contribution (RefinedWeb/LLaMA-style
+# per-source budgets). Both use the same multiplicative integer hash
+# so they are exactly SQL-mirrorable (all arithmetic stays < 2^63:
+# the id is reduced mod SPLIT_MOD < 2^30 before the multiply).
+
+SPLIT_MOD = 1_000_000_007
+SPLIT_MULT = 2_654_435_761  # Knuth's multiplicative constant
+
+
+def split_hash(ids: np.ndarray) -> np.ndarray:
+    """((id % p) * K) % p over int64 — deterministic, overflow-free in
+    both numpy int64 and SQL BIGINT (max intermediate ~2.65e18)."""
+    return ((ids.astype(np.int64) % SPLIT_MOD) * SPLIT_MULT) % SPLIT_MOD
+
+
+def assign_split(
+    batch: pa.Table,
+    *,
+    id_col: str = "doc_id",
+    out_col: str = "split",
+    test_frac: float = 0.05,
+    valid_frac: float = 0.05,
+) -> pa.Table:
+    """Deterministic train/valid/test assignment by integer-hash rank:
+    ``r = split_hash(id) % 10000``; the first ``test_frac`` slice of
+    rank space is 'test', the next ``valid_frac`` 'valid', the rest
+    'train'. Stateless and shuffle-free — every worker labels its rows
+    identically at any cluster size, and the split is stable across
+    reruns / added data (a doc's label never depends on other rows)."""
+    ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    r = split_hash(ids) % 10_000
+    test_cut = int(round(test_frac * 10_000))
+    valid_cut = test_cut + int(round(valid_frac * 10_000))
+    lab = np.where(r < test_cut, "test", np.where(r < valid_cut, "valid", "train"))
+    return batch.append_column(out_col, pa.array(lab, pa.string()))
+
+
+def stratified_sample(
+    ds,
+    n: int,
+    *,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    num_buckets: int | None = None,
+):
+    """Deterministic per-group cap: keep the ``n`` rows of each group
+    with the smallest ``(split_hash(id), id)`` — a uniform-without-
+    replacement sample that any SQL engine reproduces with ROW_NUMBER
+    over the same hash order.
+
+    Distributed as partial-top-n: every batch keeps at most ``n``
+    candidate rows per group it sees (vectorized lexsort + within-
+    group rank, no Python per group), so the single shuffle moves
+    ≤ n × groups × batches candidate (group, id, hash) triples — never
+    the corpus — and one bucketed group-apply takes the global head.
+    Returns a Dataset of ``(group_col, id_col, rank)`` (rank 0-based
+    in hash order); join/broadcast against the corpus to materialize
+    sampled rows. Partitioning assumption: n × (groups in one bucket)
+    rows fit one task."""
+    from .aggregate import bucketed_group_apply
+
+    def partials(t: pa.Table) -> pa.Table:
+        g = t[group_col].to_numpy(zero_copy_only=False)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = split_hash(ids)
+        # lexsort: primary group, then hash, then id
+        order = np.lexsort((ids, h, g))
+        gs = g[order]
+        new = np.empty(len(gs), dtype=bool)
+        if len(gs):
+            new[0] = True
+            new[1:] = gs[1:] != gs[:-1]
+        starts = np.flatnonzero(new)
+        rank = np.arange(len(gs), dtype=np.int64) - np.repeat(
+            starts, np.diff(np.append(starts, len(gs)))
+        )
+        keep = order[rank < n]
+        return pa.table(
+            {
+                group_col: pa.array(g[keep]),
+                id_col: pa.array(ids[keep]),
+                "_h": pa.array(h[keep]),
+            }
+        )
+
+    cand = ds.map_batches(partials, batch_format="pyarrow")
+
+    def head_n(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["_h", id_col], kind="mergesort")
+        out = df.groupby(group_col, sort=False).head(n).copy()
+        out["rank"] = out.groupby(group_col, sort=False).cumcount().astype(np.int64)
+        return out[[group_col, id_col, "rank"]]
+
+    kwargs = {"num_buckets": num_buckets} if num_buckets else {}
+    return bucketed_group_apply(cand, group_col, head_n, **kwargs)

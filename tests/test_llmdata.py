@@ -569,3 +569,81 @@ class TestDecontaminationBloomBackend:
         assert exact[[i for i in range(50) if i % 7 == 0]].all()
         # at this tiny scale the bloom flags should equal exact (fp ~ 0)
         assert (bloom == exact).all()
+
+
+class TestAssignSplit:
+    def test_fractions_and_determinism(self):
+        from opentelemetry_collector_contrib_ray.stages.llmdata import (
+            assign_split,
+            split_hash,
+        )
+
+        ids = np.arange(20_000, dtype=np.int64)
+        t = pa.table({"doc_id": ids})
+        out = assign_split(t, test_frac=0.1, valid_frac=0.05)
+        lab = pd.Series(out["split"].to_numpy(zero_copy_only=False))
+        frac = lab.value_counts(normalize=True)
+        # multiplicative hash is near-uniform: ±1.5% absolute
+        assert abs(frac.get("test", 0) - 0.10) < 0.015
+        assert abs(frac.get("valid", 0) - 0.05) < 0.015
+        assert abs(frac.get("train", 0) - 0.85) < 0.02
+        # per-row determinism + closed form
+        r = split_hash(ids) % 10_000
+        expect = np.where(r < 1000, "test", np.where(r < 1500, "valid", "train"))
+        assert (lab.to_numpy() == expect).all()
+        # labels don't depend on batch composition
+        out2 = assign_split(t.slice(500, 100), test_frac=0.1, valid_frac=0.05)
+        assert out2["split"].to_pylist() == lab[500:600].tolist()
+
+    def test_zero_fracs_all_train(self):
+        from opentelemetry_collector_contrib_ray.stages.llmdata import assign_split
+
+        t = pa.table({"doc_id": pa.array(np.arange(100, dtype=np.int64))})
+        out = assign_split(t, test_frac=0.0, valid_frac=0.0)
+        assert set(out["split"].to_pylist()) == {"train"}
+
+
+class TestStratifiedSample:
+    def test_matches_global_hash_rank(self):
+        from opentelemetry_collector_contrib_ray.stages.llmdata import (
+            split_hash,
+            stratified_sample,
+        )
+
+        rng_ids = np.arange(3_000, dtype=np.int64)
+        df = pd.DataFrame(
+            {"doc_id": rng_ids, "source": [f"src{i % 7}" for i in rng_ids]}
+        )
+        ds = ray.data.from_pandas(df).map_batches(
+            lambda t: t, batch_format="pyarrow", batch_size=173
+        )  # force many small batches so partial top-n actually runs
+        got = stratified_sample(ds, 25, num_buckets=4).to_pandas()
+        # pandas re-derivation: global top-25 per source by (hash, id)
+        df["_h"] = split_hash(df["doc_id"].to_numpy())
+        exp = (
+            df.sort_values(["_h", "doc_id"], kind="mergesort")
+            .groupby("source", sort=False)
+            .head(25)
+        )
+        exp_ids = {
+            s: sub["doc_id"].tolist() for s, sub in exp.groupby("source", sort=False)
+        }
+        got_sorted = got.sort_values(["source", "rank"])
+        for s, sub in got_sorted.groupby("source", sort=False):
+            assert sub["doc_id"].tolist() == exp_ids[s]
+            assert sub["rank"].tolist() == list(range(len(sub)))
+        assert len(got) == 25 * 7
+
+    def test_small_group_kept_whole(self):
+        from opentelemetry_collector_contrib_ray.stages.llmdata import stratified_sample
+
+        df = pd.DataFrame(
+            {
+                "doc_id": np.arange(40, dtype=np.int64),
+                "source": ["big"] * 35 + ["tiny"] * 5,
+            }
+        )
+        got = stratified_sample(ray.data.from_pandas(df), 10).to_pandas()
+        counts = got.groupby("source")["doc_id"].count()
+        assert counts["big"] == 10
+        assert counts["tiny"] == 5
