@@ -2493,7 +2493,79 @@ def _q_loki_streams(sf_dir: str):
     sls = _read(
         sf_dir, "events", ["event_id", "user_id", "event_type", "ts", "value"]
     ).map_batches(sls_legs, batch_format="pyarrow", batch_size=4096)
-    return loki.union(emf).union(emf_decl).union(dt).union(sls)
+
+    # cwl leg: awscloudwatchlogsexporter logToCWLog render
+    # (exporter.go:117-193) — the full InputLogEvent message JSON
+    # (struct-order members, omitempty, sorted map keys, Go HTML-safe
+    # escaping) value-checked against a SQL string closed form, plus
+    # the ms timestamp.
+    def cwl_leg(t: pa.Table) -> pa.Table:
+        from opentelemetry_collector_contrib_ray.stages.sinks import (
+            render_cloudwatch_logs,
+        )
+
+        e = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        epoch = pc.cast(
+            pc.cast(t["ts"], pa.timestamp("s"), safe=False), pa.int64()
+        ).to_numpy()
+        sevt = np.where(e % 3 == 1, "INFO", np.where(e % 3 == 2, "ERROR", ""))
+        lin = pa.table(
+            {
+                "name": pc.binary_join_element_wise(
+                    "ev-", t["event_type"], ""
+                ),
+                "body": pc.binary_join_element_wise(
+                    "payload ", pc.cast(t["event_id"], pa.string()), ""
+                ),
+                "sev": pa.array(e % 25, pa.int64()),
+                "sevt": pa.array(sevt, pa.string()),
+                "drop": pa.array(e % 2, pa.int64()),
+                "flags": pa.array(e % 4, pa.int64()),
+                "tid": pa.array(
+                    [f"{x:032x}" if x % 5 else "" for x in e], pa.string()
+                ),
+                "sid": pa.array(
+                    [f"{x:016x}" if x % 7 else "" for x in e], pa.string()
+                ),
+                "et_a": t["event_type"],
+                "uid": pa.array(u, pa.int64()),
+                "host": pc.binary_join_element_wise(
+                    "h", pa.array((u % 50).astype(str), pa.string()), ""
+                ),
+                "ts_ns": pa.array(epoch * 1_000_000_000, pa.int64()),
+            }
+        )
+        r = render_cloudwatch_logs(
+            lin,
+            ts_ns_col="ts_ns",
+            name_col="name",
+            body_col="body",
+            severity_number_col="sev",
+            severity_text_col="sevt",
+            dropped_count_col="drop",
+            flags_col="flags",
+            trace_id_col="tid",
+            span_id_col="sid",
+            attr_cols={"event_type": "et_a", "user_id": "uid"},
+            resource_cols={"host.name": "host"},
+        )
+        n = len(r)
+        return pa.table(
+            {
+                "sink": pa.array(["cwl"] * n, pa.string()),
+                "key": r["cw_message"],
+                "n_dims": r["sev"],
+                "latency": r["cw_timestamp"],
+                "requests": pa.array(np.ones(n, np.int64)),
+                "unit": pa.array([""] * n, pa.string()),
+            }
+        )
+
+    cwl = _read(
+        sf_dir, "events", ["event_id", "user_id", "event_type", "ts"]
+    ).map_batches(cwl_leg, batch_format="pyarrow", batch_size=4096)
+    return loki.union(emf).union(emf_decl).union(dt).union(sls).union(cwl)
 
 
 def _q_mt_aggregate_label_values(sf_dir: str):
@@ -4879,6 +4951,39 @@ def oracle_sql() -> dict[str, str]:
                 ]) AS part
             ) parts
             WHERE event_id % 4 = 0
+            UNION ALL
+            -- cwl leg: awscloudwatchlogsexporter logToCWLog message
+            -- JSON closed form (struct-order members + omitempty +
+            -- sorted map keys) and the ms timestamp
+            SELECT 'cwl',
+                   '{"name":"ev-' || event_type || '"'
+                     || ',"body":"payload ' || CAST(event_id AS VARCHAR) || '"'
+                     || CASE WHEN event_id % 25 <> 0
+                             THEN ',"severity_number":' || CAST(event_id % 25 AS VARCHAR)
+                             ELSE '' END
+                     || CASE WHEN event_id % 3 = 1 THEN ',"severity_text":"INFO"'
+                             WHEN event_id % 3 = 2 THEN ',"severity_text":"ERROR"'
+                             ELSE '' END
+                     || CASE WHEN event_id % 2 <> 0
+                             THEN ',"dropped_attributes_count":1' ELSE '' END
+                     || CASE WHEN event_id % 4 <> 0
+                             THEN ',"flags":' || CAST(event_id % 4 AS VARCHAR)
+                             ELSE '' END
+                     || CASE WHEN event_id % 5 <> 0
+                             THEN ',"trace_id":"'
+                                  || lpad(lower(to_hex(event_id)), 32, '0') || '"'
+                             ELSE '' END
+                     || CASE WHEN event_id % 7 <> 0
+                             THEN ',"span_id":"'
+                                  || lpad(lower(to_hex(event_id)), 16, '0') || '"'
+                             ELSE '' END
+                     || ',"attributes":{"event_type":"' || event_type
+                     || '","user_id":' || CAST(user_id AS VARCHAR) || '}'
+                     || ',"resource":{"host.name":"h'
+                     || CAST(user_id % 50 AS VARCHAR) || '"}}',
+                   CAST(event_id % 25 AS BIGINT),
+                   CAST(FLOOR(epoch(ts)) AS BIGINT) * 1000, 1, ''
+            FROM events
         """,
         "mt_aggregate_label_values": """
             SELECT CASE WHEN event_type IN ('click', 'view') THEN 'engagement'

@@ -396,3 +396,114 @@ def render_dynatrace_lines(
     from .._util import table_from_pandas
 
     return table_from_pandas(out)
+
+
+# --- awscloudwatchlogsexporter -----------------------------------------
+
+
+def _json_escape_go(s: pd.Series) -> pd.Series:
+    """Go encoding/json escaping = json.dumps escapes PLUS HTML-safe
+    escapes for < > & (Marshal defaults to SetEscapeHTML(true))."""
+    return (
+        _json_escape(s)
+        .str.replace("<", "\\u003c", regex=False)
+        .str.replace(">", "\\u003e", regex=False)
+        .str.replace("&", "\\u0026", regex=False)
+    )
+
+
+def _fold_json_fragments(frags: list[pd.Series]) -> pd.Series:
+    """Comma-join per-row JSON member fragments, skipping omitted
+    ('') members — vectorized equivalent of omitempty marshalling."""
+    out = frags[0]
+    for f in frags[1:]:
+        sep = np.where((out != "") & (f != ""), ",", "")
+        out = out + pd.Series(sep, index=out.index) + f
+    return out
+
+
+def render_cloudwatch_logs(
+    batch: pa.Table,
+    *,
+    ts_ns_col: str,
+    name_col: str | None = None,
+    body_col: str | None = None,
+    severity_number_col: str | None = None,
+    severity_text_col: str | None = None,
+    dropped_count_col: str | None = None,
+    flags_col: str | None = None,
+    trace_id_col: str | None = None,
+    span_id_col: str | None = None,
+    attr_cols: dict[str, str] | None = None,
+    resource_cols: dict[str, str] | None = None,
+) -> pa.Table:
+    """awscloudwatchlogsexporter ``logToCWLog``
+    (exporter/awscloudwatchlogsexporter/exporter.go:117-193): each log
+    record becomes one CloudWatch ``InputLogEvent`` whose ``message``
+    is the JSON body struct in declaration order — name, body,
+    severity_number, severity_text, dropped_attributes_count, flags,
+    trace_id, span_id, attributes, resource — with Go ``omitempty``
+    semantics (empty string / 0 / empty map members dropped), map keys
+    sorted, and Go's HTML-safe string escaping; ``timestamp`` is the
+    record timestamp in milliseconds (ns / 1e6).
+
+    ``attr_cols`` / ``resource_cols``: ``{json_key: column}``; string
+    columns render quoted+escaped, integer columns render bare. A
+    null/empty value omits that key; an empty map omits the member.
+    Fully vectorized (pandas str kernels + numpy masks); appends
+    ``cw_timestamp`` (int64 ms) and ``cw_message`` (string)."""
+    n = len(batch)
+
+    def col(name):
+        return pd.Series(batch[name].to_numpy(zero_copy_only=False)).fillna("")
+
+    def str_member(key, c):
+        if c is None:
+            return pd.Series([""] * n)
+        v = col(c).astype(str)
+        frag = '"' + key + '":"' + _json_escape_go(v) + '"'
+        return pd.Series(np.where(v != "", frag, ""), dtype=object)
+
+    def int_member(key, c):
+        if c is None:
+            return pd.Series([""] * n)
+        v = batch[c].to_numpy(zero_copy_only=False).astype(np.int64)
+        frag = '"' + key + '":' + pd.Series(v).astype(str)
+        return pd.Series(np.where(v != 0, frag, ""), dtype=object)
+
+    def map_member(key, cols):
+        if not cols:
+            return pd.Series([""] * n)
+        pairs = []
+        for k in sorted(cols):  # Go marshals map keys sorted
+            c = cols[k]
+            if pa.types.is_integer(batch.schema.field(c).type):
+                v = pd.Series(
+                    batch[c].to_numpy(zero_copy_only=False).astype(np.int64)
+                ).astype(str)
+                pairs.append(pd.Series(np.asarray('"' + k + '":' + v, dtype=object)))
+            else:
+                v = col(c).astype(str)
+                frag = '"' + k + '":"' + _json_escape_go(v) + '"'
+                pairs.append(pd.Series(np.where(v != "", frag, ""), dtype=object))
+        inner = _fold_json_fragments(pairs)
+        return pd.Series(
+            np.where(inner != "", '"' + key + '":{' + inner + "}", ""), dtype=object
+        )
+
+    members = [
+        str_member("name", name_col),
+        str_member("body", body_col),
+        int_member("severity_number", severity_number_col),
+        str_member("severity_text", severity_text_col),
+        int_member("dropped_attributes_count", dropped_count_col),
+        int_member("flags", flags_col),
+        str_member("trace_id", trace_id_col),
+        str_member("span_id", span_id_col),
+        map_member("attributes", attr_cols or {}),
+        map_member("resource", resource_cols or {}),
+    ]
+    msg = "{" + _fold_json_fragments(members) + "}"
+    ts_ms = batch[ts_ns_col].to_numpy(zero_copy_only=False).astype(np.int64) // 1_000_000
+    out = _set_column(batch, "cw_timestamp", pa.array(ts_ms, pa.int64()))
+    return _set_column(out, "cw_message", pa.array(msg.to_numpy(dtype=object), pa.string()))

@@ -119,3 +119,80 @@ def test_render_influx_roundtrip():
     assert back["measurement"].to_pylist() == ["cpu", "mem"]
     assert back["field_value"].to_pylist() == [0.5, 1024.0]
     assert back["tags"].to_pylist() == ["host=h1", None]
+
+
+class TestCloudWatchLogs:
+    def test_render_matches_go_marshal_semantics(self):
+        import json
+
+        from opentelemetry_collector_contrib_ray.stages.sinks import (
+            render_cloudwatch_logs,
+        )
+
+        t = pa.table(
+            {
+                "name": ["n1", ""],
+                "body": ['he <b> & "q"\n', "b2"],
+                "sev": [0, 9],
+                "sevt": ["", "WARN"],
+                "drop": [2, 0],
+                "flags": [0, 1],
+                "tid": ["ab" * 16, ""],
+                "sid": ["", "cd" * 8],
+                "et": ["click", ""],
+                "uid": [7, 0],
+                "host": ["h1", "h2"],
+                "ts": [1_500_000_000_500_000_000, 2_000_000_123_000_000_000],
+            }
+        )
+        out = render_cloudwatch_logs(
+            t,
+            ts_ns_col="ts",
+            name_col="name",
+            body_col="body",
+            severity_number_col="sev",
+            severity_text_col="sevt",
+            dropped_count_col="drop",
+            flags_col="flags",
+            trace_id_col="tid",
+            span_id_col="sid",
+            attr_cols={"event_type": "et", "user_id": "uid"},
+            resource_cols={"host.name": "host"},
+        )
+        msgs = out["cw_message"].to_pylist()
+        # timestamp is ns // 1e6 (exporter.go:190)
+        assert out["cw_timestamp"].to_pylist() == [1_500_000_000_500, 2_000_000_123_000]
+        # row 0: zero severity/flags omitted, empty sevt/span omitted;
+        # Go HTML-safe escaping on < > &
+        m0 = msgs[0]
+        assert m0.startswith('{"name":"n1","body":"he \\u003cb\\u003e \\u0026 \\"q\\"\\n"')
+        assert '"severity_number"' not in m0 and '"flags"' not in m0
+        assert '"dropped_attributes_count":2' in m0
+        assert '"trace_id":"' + "ab" * 16 + '"' in m0
+        assert '"span_id"' not in m0
+        # struct-member ORDER is Go's declaration order
+        o0 = json.loads(m0)
+        assert list(o0) == [
+            "name", "body", "dropped_attributes_count", "trace_id",
+            "attributes", "resource",
+        ]
+        assert o0["attributes"] == {"event_type": "click", "user_id": 7}
+        assert o0["resource"] == {"host.name": "h1"}
+        # row 1: empty name omitted; zero-int ATTRIBUTE kept (omitempty
+        # applies to struct members, not map entries)
+        o1 = json.loads(msgs[1])
+        assert "name" not in o1
+        assert o1["severity_number"] == 9 and o1["severity_text"] == "WARN"
+        assert o1["attributes"] == {"user_id": 0}
+        assert o1["span_id"] == "cd" * 8
+
+    def test_empty_maps_omitted(self):
+        from opentelemetry_collector_contrib_ray.stages.sinks import (
+            render_cloudwatch_logs,
+        )
+
+        t = pa.table({"body": ["x"], "et": [""], "ts": [10**18]})
+        out = render_cloudwatch_logs(
+            t, ts_ns_col="ts", body_col="body", attr_cols={"event_type": "et"}
+        )
+        assert out["cw_message"].to_pylist() == ['{"body":"x"}']
