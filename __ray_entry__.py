@@ -3175,11 +3175,57 @@ def _q_scraper_parse(sf_dir: str):
             + '"status": {"phase": "' + nsphase + '"}}]'
         )
 
+        # container-insights cluster snapshot (k8sapiserver.go:111-186):
+        # 3 nodes with pressure/network conditions, 4 pods across two
+        # namespaces, 3 services with (q+j)%4 pod keys (q = e//4)
+        from opentelemetry_collector_contrib_ray.sources.scrapers import (
+            parse_container_insights,
+        )
+
+        ci_q = e // 4
+
+        def _ci_node(j):
+            mp = pd.Series(np.where((e + j) % 3 == 0, "True", "False"))
+            nu = pd.Series(np.where((e + j) % 5 == 0, "Unknown", "False"))
+            return (
+                '{"status": {"conditions": [{"type": "MemoryPressure", "status": "'
+                + mp
+                + '"}, {"type": "NetworkUnavailable", "status": "'
+                + nu
+                + '"}]}}'
+            )
+
+        _ci_pk = np.array(
+            ['[]', '["p0"]', '["p0", "p1"]', '["p0", "p1", "p2"]'], dtype=object
+        )
+
+        def _ci_ep(j):
+            return (
+                '{"service": "svc%d", "namespace": "ns0", "podKeys": ' % j
+                + pd.Series(_ci_pk[(ci_q + j) % 4])
+                + "}"
+            )
+
+        def _ci_pod(j):
+            ph = pd.Series(np.where((ci_q + j) % 2 == 0, "Running", "Pending"))
+            return '{"namespace": "ns%d", "phase": "' % (j % 2) + ph + '"}'
+
+        ci = (
+            '{"cluster": "c1", "nodes": ['
+            + _ci_node(0) + ", " + _ci_node(1) + ", " + _ci_node(2)
+            + '], "pods": ['
+            + _ci_pod(0) + ", " + _ci_pod(1) + ", " + _ci_pod(2) + ", " + _ci_pod(3)
+            + '], "endpoints": ['
+            + _ci_ep(0) + ", " + _ci_ep(1) + ", " + _ci_ep(2)
+            + "]}"
+        )
+
         ids = pa.array(e, pa.int64())
-        # the ECS / k8s-object translations are inherently per-task
-        # Python (nested docs with joins/rollups) — subsample those two
-        # legs to event_id % 4 == 0 (mirrored in the oracle WHERE) so
-        # the query's cost stays dominated by the vectorized legs
+        # the ECS / k8s-object / container-insights translations are
+        # inherently per-task Python (nested docs with joins/rollups) —
+        # subsample those legs to event_id % 4 == 0 (mirrored in the
+        # oracle WHERE) so the query's cost stays dominated by the
+        # vectorized legs
         sub = e % 4 == 0
         ids_sub = pa.array(e[sub], pa.int64())
         parts = []
@@ -3193,8 +3239,9 @@ def _q_scraper_parse(sf_dir: str):
             ("kubelet", parse_kubelet_summary, kubelet),
             ("ecs", parse_ecs_task_stats, ecs),
             ("k8sobj", parse_k8s_objects, k8sobj),
+            ("ci", parse_container_insights, ci),
         ):
-            if leg in ("ecs", "k8sobj"):
+            if leg in ("ecs", "k8sobj", "ci"):
                 leg_ids, pay = ids_sub, payload[sub]
             else:
                 leg_ids, pay = ids, payload
@@ -4424,6 +4471,31 @@ def _scraper_parse_oracle() -> str:
          f"SUM({e} % 10)", f"SUM(({e} % 100) + 0.25)"),
         ("dotnet", "dotnet.alloc-rate.sum_delta", "By", f"{e} % 16 = 0",
          "0", f"SUM({e} * 3)"),
+    ]
+    # container-insights cluster metrics (awscontainerinsightreceiver
+    # k8sapiserver.go:111-186); q = e // 4 since the leg subsamples to
+    # e % 4 = 0. Node j fails when (e+j) % 3 = 0 (MemoryPressure True)
+    # or (e+j) % 5 = 0 (NetworkUnavailable Unknown); namespaces
+    # alternate on q parity (2 running pods each); service j has
+    # (q+j) % 4 pod keys and is dropped at 0.
+    q = f"({e} // 4)"
+    failed = " + ".join(
+        f"CASE WHEN ({e} + {j}) % 3 = 0 OR ({e} + {j}) % 5 = 0 THEN 1 ELSE 0 END"
+        for j in (0, 1, 2)
+    )
+    legs += [
+        ("ci", "ci.cluster_node_count", "cluster=c1", f"{e} % 4 = 0", "SUM(3)", "0"),
+        ("ci", "ci.cluster_failed_node_count", "cluster=c1", f"{e} % 4 = 0",
+         f"SUM({failed})", "0"),
+        ("ci", "ci.namespace_number_of_running_pods", "cluster=c1,ns=ns0",
+         f"{e} % 4 = 0 AND {q} % 2 = 0", "SUM(2)", "0"),
+        ("ci", "ci.namespace_number_of_running_pods", "cluster=c1,ns=ns1",
+         f"{e} % 4 = 0 AND {q} % 2 = 1", "SUM(2)", "0"),
+    ] + [
+        ("ci", "ci.service_number_of_running_pods",
+         f"cluster=c1,ns=ns0,service=svc{j}",
+         f"{e} % 4 = 0 AND ({q} + {j}) % 4 > 0", f"SUM(({q} + {j}) % 4)", "0")
+        for j in (0, 1, 2)
     ]
     parts = [
         f"SELECT '{leg}' AS leg, '{name}' AS name, '{lv}' AS label_value, "

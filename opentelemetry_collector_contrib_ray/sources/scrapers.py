@@ -1447,3 +1447,100 @@ def parse_nginx_stub_status(
         )
     out = pd.concat(frames, ignore_index=True)
     return _finish(out, id_col, id_type)
+
+
+# ---------------------------------------------------------------------------
+# awscontainerinsightreceiver cluster-level metrics (k8sapiserver.go)
+# ---------------------------------------------------------------------------
+
+# node.go:32-37: the conditions whose status != "False" mark a node failed
+_CI_FAILED_NODE_CONDITIONS = frozenset(
+    {"MemoryPressure", "DiskPressure", "PIDPressure", "NetworkUnavailable"}
+)
+
+
+def parse_container_insights(
+    t: pa.Table, id_col: str = "server_id", payload_col: str = "payload"
+) -> pa.Table:
+    """Container Insights cluster snapshot JSON → the k8sapiserver
+    metrics (awscontainerinsightreceiver/internal/k8sapiserver/
+    k8sapiserver.go:111-186 over internal/aws/k8s/k8sclient):
+
+    * ``ci.cluster_node_count`` / ``ci.cluster_failed_node_count`` —
+      a node is failed when ANY pressure/network condition's status is
+      not "False", i.e. True or Unknown (node.go:92-118).
+    * ``ci.namespace_number_of_running_pods`` — pods with phase
+      Running counted per namespace; namespaces with zero running pods
+      emit nothing (pod.go:66-80 builds the map only from matches).
+    * ``ci.service_number_of_running_pods`` — endpoint pod-key list
+      length per service; services with 0 pods are ignored
+      (endpoint.go:104-112).
+
+    Snapshot shape: ``{"cluster": name, "nodes": [k8s Node…],
+    "pods": [{namespace, phase}…], "endpoints": [{service, namespace,
+    podKeys}…]}``. An empty/missing cluster name drops the whole
+    snapshot (k8sapiserver.go:121-126)."""
+    import json as _json
+
+    id_type = t.schema.field(id_col).type
+    ids = t[id_col].to_numpy(zero_copy_only=False)
+    pay = t[payload_col].to_pylist()
+    recs: list[tuple] = []
+
+    def emit(sid, name, label, value):
+        recs.append(
+            (sid, name, None, "gauge", False, "labels", label, int(value), None)
+        )
+
+    for sid, raw in zip(ids, pay):
+        try:
+            doc = _json.loads(raw) if raw else {}
+        except (TypeError, ValueError):
+            continue
+        cluster = doc.get("cluster") or ""
+        if not cluster:
+            continue  # k8sapiserver.go:121-126: no cluster name → drop all
+        clabel = f"cluster={cluster}"
+
+        nodes = doc.get("nodes") or []
+        failed = 0
+        for node in nodes:
+            conds = (node.get("status") or {}).get("conditions") or []
+            for c in conds:
+                if c.get("type") in _CI_FAILED_NODE_CONDITIONS and c.get(
+                    "status"
+                ) != "False":
+                    failed += 1
+                    break  # node.go:100-110: first matching condition
+        emit(sid, "ci.cluster_node_count", clabel, len(nodes))
+        emit(sid, "ci.cluster_failed_node_count", clabel, failed)
+
+        ns_running: dict[str, int] = {}
+        for pod in doc.get("pods") or []:
+            if pod.get("phase") == "Running":
+                ns_ = pod.get("namespace", "")
+                ns_running[ns_] = ns_running.get(ns_, 0) + 1
+        for ns_, cnt in ns_running.items():
+            emit(
+                sid,
+                "ci.namespace_number_of_running_pods",
+                f"{clabel},ns={ns_}",
+                cnt,
+            )
+
+        for ep in doc.get("endpoints") or []:
+            pods = ep.get("podKeys") or []
+            if not pods:
+                continue  # endpoint.go:110-112
+            emit(
+                sid,
+                "ci.service_number_of_running_pods",
+                f"{clabel},ns={ep.get('namespace', '')},service={ep.get('service', '')}",
+                len(pods),
+            )
+
+    out = pd.DataFrame(
+        recs,
+        columns=["_id", "name", "units", "mtype", "monotonic", "label_key", "label_value", "value_int", "value_double"],
+    )
+    return _finish(out, id_col, id_type)

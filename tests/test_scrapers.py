@@ -600,3 +600,57 @@ def test_union_compatible_schemas():
     assert r.schema == z.schema == m.schema == n.schema
     combined = pa.concat_tables([r, z, m, n])
     assert combined.num_rows == r.num_rows + z.num_rows + m.num_rows + n.num_rows
+
+
+class TestContainerInsights:
+    def test_cluster_metrics(self):
+        import json
+
+        from opentelemetry_collector_contrib_ray.sources.scrapers import (
+            parse_container_insights,
+        )
+
+        snap = {
+            "cluster": "c1",
+            "nodes": [
+                # failed: MemoryPressure True
+                {"status": {"conditions": [{"type": "MemoryPressure", "status": "True"}]}},
+                # failed: Unknown counts as not-False (node.go:100-110)
+                {"status": {"conditions": [
+                    {"type": "NetworkUnavailable", "status": "Unknown"},
+                    {"type": "Ready", "status": "True"},
+                ]}},
+                # healthy: pressure False; Ready is not a failure cond
+                {"status": {"conditions": [
+                    {"type": "DiskPressure", "status": "False"},
+                    {"type": "Ready", "status": "False"},
+                ]}},
+            ],
+            "pods": [
+                {"namespace": "ns0", "phase": "Running"},
+                {"namespace": "ns0", "phase": "Running"},
+                {"namespace": "ns1", "phase": "Pending"},
+            ],
+            "endpoints": [
+                {"service": "s1", "namespace": "ns0", "podKeys": ["a", "b"]},
+                {"service": "s0", "namespace": "ns0", "podKeys": []},  # dropped
+            ],
+        }
+        out = parse_container_insights(
+            pa.table(
+                {
+                    "server_id": [1, 2],
+                    "payload": [json.dumps(snap), json.dumps({"cluster": ""})],
+                }
+            )
+        ).to_pandas()
+        # empty cluster name drops the whole snapshot (k8sapiserver.go:121-126)
+        assert (out["server_id"] == 1).all()
+        got = out.set_index(["name", "label_value"])["value_int"]
+        assert got[("ci.cluster_node_count", "cluster=c1")] == 3
+        assert got[("ci.cluster_failed_node_count", "cluster=c1")] == 2
+        assert got[("ci.namespace_number_of_running_pods", "cluster=c1,ns=ns0")] == 2
+        # ns1 has no running pods -> no row (pod.go:71-80)
+        assert ("ci.namespace_number_of_running_pods", "cluster=c1,ns=ns1") not in got.index
+        assert got[("ci.service_number_of_running_pods", "cluster=c1,ns=ns0,service=s1")] == 2
+        assert ("ci.service_number_of_running_pods", "cluster=c1,ns=ns0,service=s0") not in got.index
