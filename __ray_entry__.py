@@ -3865,6 +3865,29 @@ def _q_llm_ops(sf_dir: str):
 
     cpath = _corpus_dir(sf_dir)  # sf-dependent, same path the oracle reads
     cds = ray.data.read_parquet(cpath, columns=["doc_id", "source", "tokens"])
+
+    # --- tstat leg: token-native corpus analytics over the
+    # pre-tokenized list<int32> shape (flat-buffer kernels; distincts
+    # move as pre-deduped pairs): per-source token count, distinct
+    # token ids, distinct adjacent bigrams, max token id, doc count —
+    # the oracle re-derives all five by exploding the token lists.
+    from opentelemetry_collector_contrib_ray.sources.synth import VOCAB_SIZE
+    from opentelemetry_collector_contrib_ray.stages.llmdata import token_corpus_stats
+
+    tstats = token_corpus_stats(cds, vocab_size=VOCAB_SIZE)
+    tstat_rows = pd.DataFrame(
+        {
+            "leg": "tstat",
+            "key": tstats["source"],
+            "n": tstats["n_tokens"].astype(np.int64),
+            "n2": tstats["n_distinct_tokens"].astype(np.int64),
+            "n3": tstats["n_distinct_bigrams"].astype(np.int64),
+            "v_str": tstats["max_tok"].astype(np.int64).astype(str)
+            + ":"
+            + tstats["n_docs"].astype(np.int64).astype(str),
+        }
+    )
+
     tchunks = pack_token_sequences(cds, "source", "doc_id", "tokens", seq_len=2048).to_pandas()
     tgrp = []
     for src, sub in tchunks.groupby("source", sort=False):
@@ -3959,6 +3982,7 @@ def _q_llm_ops(sf_dir: str):
             tok_rows,
             split_rows,
             samp_rows,
+            tstat_rows,
         ],
         ignore_index=True,
     )
@@ -5878,6 +5902,27 @@ def oracle_sql() -> dict[str, str]:
                        ) AS rn
                 FROM documents
             ) WHERE rn <= 40 GROUP BY source
+            UNION ALL
+            -- tstat leg: token-native stats re-derived by exploding
+            -- the pre-tokenized corpus lists (bigram key a*50257+b,
+            -- adjacent positions within a doc; corpus docs are never
+            -- empty so COUNT(DISTINCT did) equals the doc count)
+            SELECT 'tstat', source,
+                   CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(DISTINCT a) AS BIGINT),
+                   CAST(COUNT(DISTINCT CASE WHEN b IS NOT NULL
+                                            THEN a * 50257 + b END) AS BIGINT),
+                   CAST(MAX(a) AS VARCHAR) || ':'
+                       || CAST(COUNT(DISTINCT did) AS VARCHAR)
+            FROM (
+                SELECT source, doc_id AS did,
+                       CAST(tokens[i] AS BIGINT) AS a,
+                       CASE WHEN i < len(tokens)
+                            THEN CAST(tokens[i + 1] AS BIGINT)
+                            ELSE NULL END AS b
+                FROM __CORPUS__,
+                     unnest(generate_series(1, len(tokens))) AS t(i)
+            ) GROUP BY source
         """,
         "sfx_translation": """
             -- closed forms of the 8-rule chain in _q_sfx_translation:

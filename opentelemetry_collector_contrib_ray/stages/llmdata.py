@@ -1083,3 +1083,128 @@ def stratified_sample(
 
     kwargs = {"num_buckets": num_buckets} if num_buckets else {}
     return bucketed_group_apply(cand, group_col, head_n, **kwargs)
+
+
+def _flat_tokens(t: pa.Table, tokens_col: str):
+    """Zero-copy flat view of a list<int32> column: (values, offsets).
+    Also unwraps Ray's variable-shaped tensor extension (whose storage
+    holds the same list child) so in-memory test datasets behave like
+    parquet-read ones."""
+    la = t[tokens_col]
+    if isinstance(la, pa.ChunkedArray):
+        la = la.combine_chunks()
+    if not (pa.types.is_list(la.type) or pa.types.is_large_list(la.type)):
+        st = getattr(la, "storage", None)
+        if st is not None:
+            la = st.field(0) if pa.types.is_struct(st.type) else st
+    offs = la.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    vals = la.values.to_numpy(zero_copy_only=False).astype(np.int64)
+    # a sliced ListArray's offsets don't start at 0 — rebase
+    return vals[offs[0] : offs[-1]], offs - offs[0]
+
+
+def token_corpus_stats(
+    ds,
+    *,
+    tokens_col: str = "tokens",
+    group_col: str = "source",
+    vocab_size: int,
+):
+    """Token-native corpus analytics over the pre-tokenized input shape
+    (``tokens: list<int32>``): per group — document count, token count,
+    max token id, DISTINCT token ids, and DISTINCT adjacent-token
+    bigrams (bigram key = ``a * vocab_size + b``, exact for ids <
+    vocab_size).
+
+    Every kernel runs on the flat Arrow list values/offsets buffers
+    (zero-copy, no per-doc Python). Shuffle discipline: sums/max move
+    as per-batch partials; distincts move as per-batch PRE-DEDUPED
+    (group, key) pairs through one bucketed distinct each — bounded by
+    true cardinality, never the token stream. Distincts are exact;
+    at extreme cardinalities swap the pair legs for the mergeable HLL
+    in ``stages/sketch``. Returns a small pandas frame."""
+    from .aggregate import bucketed_aggregate
+
+    def sums(t: pa.Table) -> pa.Table:
+        vals, offs = _flat_tokens(t, tokens_col)
+        src = pd.Series(t[group_col].to_numpy(zero_copy_only=False), dtype=object)
+        codes, uniq = pd.factorize(src)
+        k = len(uniq)
+        lens = np.diff(offs)
+        n_docs = np.bincount(codes, minlength=k).astype(np.int64)
+        n_tokens = np.bincount(codes, weights=lens, minlength=k).astype(np.int64)
+        code_flat = codes[np.repeat(np.arange(len(src), dtype=np.int64), lens)]
+        max_tok = (
+            pd.Series(vals)
+            .groupby(code_flat)
+            .max()
+            .reindex(range(k), fill_value=-1)
+            .to_numpy()
+            .astype(np.int64)
+        )
+        return pa.table(
+            {
+                group_col: pa.array(uniq.to_numpy(dtype=object), pa.string()),
+                "n_docs": pa.array(n_docs),
+                "n_tokens": pa.array(n_tokens),
+                "max_tok": pa.array(max_tok),
+            }
+        )
+
+    base = bucketed_aggregate(
+        ds.map_batches(sums, batch_format="pyarrow"),
+        [group_col],
+        [
+            ("n_docs", "sum", "n_docs"),
+            ("n_tokens", "sum", "n_tokens"),
+            ("max_tok", "max", "max_tok"),
+        ],
+    ).to_pandas()
+
+    def pair_emitter(bigram: bool):
+        def pairs(t: pa.Table) -> pa.Table:
+            vals, offs = _flat_tokens(t, tokens_col)
+            src = pd.Series(
+                t[group_col].to_numpy(zero_copy_only=False), dtype=object
+            )
+            codes, uniq = pd.factorize(src)
+            lens = np.diff(offs)
+            doc_of = np.repeat(np.arange(len(src), dtype=np.int64), lens)
+            if bigram:
+                same = doc_of[1:] == doc_of[:-1] if len(doc_of) else np.empty(0, bool)
+                key = vals[:-1][same] * np.int64(vocab_size) + vals[1:][same]
+                code_of = codes[doc_of[:-1][same]]
+            else:
+                key = vals
+                code_of = codes[doc_of]
+            # pre-dedup inside the batch before anything shuffles
+            # (bigram keys < vocab_size² < 2^33 for GPT-2-sized vocabs)
+            u = np.unique((code_of.astype(np.int64) << np.int64(33)) | key)
+            return pa.table(
+                {
+                    group_col: pa.array(
+                        uniq.to_numpy(dtype=object)[(u >> 33).astype(np.int64)],
+                        pa.string(),
+                    ),
+                    "key": pa.array(u & np.int64((1 << 33) - 1)),
+                }
+            )
+
+        return pairs
+
+    def distinct_count(bigram: bool, out: str) -> pd.DataFrame:
+        uniq = bucketed_aggregate(
+            ds.map_batches(pair_emitter(bigram), batch_format="pyarrow"),
+            [group_col, "key"],
+            [],
+        )
+        return (
+            bucketed_aggregate(uniq, [group_col], [("key", "count", out)])
+            .to_pandas()
+            .set_index(group_col)[out]
+        )
+
+    base = base.set_index(group_col)
+    base["n_distinct_tokens"] = distinct_count(False, "n_distinct_tokens")
+    base["n_distinct_bigrams"] = distinct_count(True, "n_distinct_bigrams")
+    return base.reset_index()

@@ -647,3 +647,45 @@ class TestStratifiedSample:
         counts = got.groupby("source")["doc_id"].count()
         assert counts["big"] == 10
         assert counts["tiny"] == 5
+
+
+class TestTokenCorpusStats:
+    def test_matches_rederivation(self):
+        from opentelemetry_collector_contrib_ray.stages.llmdata import (
+            token_corpus_stats,
+        )
+
+        rng = np.random.default_rng(7)
+        toks, srcs = [], []
+        for i in range(600):
+            L = int(rng.integers(0, 12))  # includes empty docs
+            toks.append(rng.integers(0, 40, L).astype(np.int32).tolist())
+            srcs.append(f"s{i % 3}")
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(range(600), pa.int64()),
+                "source": pa.array(srcs, pa.string()),
+                "tokens": pa.array(toks, pa.list_(pa.int32())),
+            }
+        )
+        ds = ray.data.from_arrow(tbl).map_batches(
+            lambda t: t, batch_format="pyarrow", batch_size=97
+        )  # many small batches: exercise cross-batch distinct merging
+        got = token_corpus_stats(ds, vocab_size=40).set_index("source")
+        df = pd.DataFrame({"source": srcs, "tokens": toks})
+        for s, sub in df.groupby("source"):
+            tt = [np.asarray(x, int) for x in sub["tokens"]]
+            flat = (
+                np.concatenate([t for t in tt if len(t)])
+                if any(len(t) for t in tt)
+                else np.array([], int)
+            )
+            bigs = {
+                int(a) * 40 + int(b) for t in tt for a, b in zip(t[:-1], t[1:])
+            }
+            row = got.loc[s]
+            assert int(row["n_docs"]) == len(sub)
+            assert int(row["n_tokens"]) == sum(len(t) for t in tt)
+            assert int(row["max_tok"]) == (int(flat.max()) if len(flat) else -1)
+            assert int(row["n_distinct_tokens"]) == len(np.unique(flat))
+            assert int(row["n_distinct_bigrams"]) == len(bigs)
