@@ -68,6 +68,22 @@ def scaling_rows(sf: float) -> int:
     return max(400_000, int(sf * 40_000_000))
 
 
+def host_control() -> float:
+    """Fixed single-thread numpy work (3× 2000² matmul) timed as a
+    host-noise control. This VM shows minute-scale co-tenant noise
+    (identical runs vary 1.5-3×); bracketing every bench with this
+    control lets a reader normalize the numbers. Clean-window
+    reference on this VM: ~2.7-3.2 s."""
+    import numpy as np
+
+    a = np.random.default_rng(0).random((2000, 2000))
+    t0 = time.perf_counter()
+    for _ in range(3):
+        a = a @ a
+        a /= np.abs(a).max()
+    return round(time.perf_counter() - t0, 2)
+
+
 def prepare_corpus(n_rows: int) -> str:
     """Generate (once, idempotent) + warm the page cache with one read."""
     from opentelemetry_collector_contrib_ray.sources.synth import write_synth_corpus
@@ -115,6 +131,7 @@ def run_headline(corpus_path: str, n_rows: int) -> dict:
 def run_bench() -> dict:
     import ray
 
+    control_start = host_control()
     ray.init(
         address="local",
         num_cpus=NUM_CPUS,
@@ -163,6 +180,8 @@ def run_bench() -> dict:
         "agg_groups": headline["agg_groups"],
     }
     ray.shutdown()
+    result["control_start_s"] = control_start
+    result["control_end_s"] = host_control()
     return result
 
 
@@ -239,6 +258,7 @@ def run_scaling() -> dict:
     throughput at both + scaling efficiency (target ≥ 0.8)."""
     sf = _sf()
     n_rows = scaling_rows(sf)
+    control_start = host_control()
     prepare_corpus(n_rows)  # generate once before either child
 
     def child(ncpu: int) -> dict:
@@ -291,6 +311,8 @@ def run_scaling() -> dict:
         "seq_per_sec_high": tput_hi,
         "sf": sf,
         "rows": n_rows,
+        "control_start_s": control_start,
+        "control_end_s": host_control(),
     }
 
 
