@@ -3726,6 +3726,42 @@ def _q_llm_ops(sf_dir: str):
         }
     )
 
+    # --- lm2 leg: interpolated bigram LM (the CCNet n-gram upgrade):
+    # distributed bigram-count groupby → per-block top-100 → broadcast
+    # BigramScorer. Integer contracts (pairs / top-table hits / summed
+    # bigram counts) re-derived in SQL with the chr(31) pair key.
+    from opentelemetry_collector_contrib_ray.stages.llmdata import (
+        BigramScorer,
+        corpus_bigram_counts,
+        top_bigrams,
+    )
+
+    btop = top_bigrams(corpus_bigram_counts(docs), 100)
+    lm2 = (
+        docs.map_batches(
+            BigramScorer(
+                btop["pair"].to_numpy(),
+                btop["c"].to_numpy(),
+                vocab["word"].to_numpy(),
+                vocab["c"].to_numpy(),
+                total_words,
+            ),
+            batch_format="pyarrow",
+        )
+        .select_columns(["doc_id", "n_pairs", "n_big_hits", "sum_big_freq"])
+        .to_pandas()
+    )
+    lm2_rows = pd.DataFrame(
+        {
+            "leg": "lm2",
+            "key": lm2["doc_id"].astype(str),
+            "n": lm2["n_big_hits"].astype(np.int64),
+            "n2": lm2["sum_big_freq"].astype(np.int64),
+            "n3": lm2["n_pairs"].astype(np.int64),
+            "v_str": "",
+        }
+    )
+
     # --- tok leg: VocabEncoder — text → list<int32> token ids from the
     # same top-50 vocabulary (id = rank in (count DESC, word ASC); OOV
     # id = 50). Per-doc sum-of-ids / OOV count / token count and the
@@ -3976,6 +4012,7 @@ def _q_llm_ops(sf_dir: str):
             mix_rows,
             dup_rows,
             lm_rows,
+            lm2_rows,
             dsir_rows,
             ld_rows,
             tpack_rows,
@@ -5685,6 +5722,32 @@ def oracle_sql() -> dict[str, str]:
                 FROM wdoc wd LEFT JOIN wc ON wd.w = wc.w
                 GROUP BY wd.doc_id
             ),
+            -- lm2 leg: interpolated-bigram LM integer contracts — the
+            -- corpus top-100 adjacent-word bigrams by (count DESC,
+            -- pair ASC) with the chr(31) pair key, then per-doc pair
+            -- hits / summed counts via a join
+            bws AS (
+                SELECT doc_id,
+                       list_filter(string_split(text, ' '), w -> w <> '') AS ws
+                FROM documents
+            ),
+            bpair AS (
+                SELECT doc_id, ws[i] || chr(31) || ws[i + 1] AS pr
+                FROM bws,
+                     unnest(generate_series(1, greatest(len(ws) - 1, 0))) AS t(i)
+            ),
+            btab AS (
+                SELECT pr, CAST(COUNT(*) AS BIGINT) AS c FROM bpair
+                GROUP BY pr ORDER BY c DESC, pr ASC LIMIT 100
+            ),
+            bagg AS (
+                SELECT p.doc_id,
+                       CAST(SUM(CASE WHEN b.c IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS nh,
+                       CAST(SUM(COALESCE(b.c, 0)) AS BIGINT) AS sf,
+                       CAST(COUNT(*) AS BIGINT) AS np
+                FROM bpair p LEFT JOIN btab b ON p.pr = b.pr
+                GROUP BY p.doc_id
+            ),
             -- dsir leg: hashed-bigram buckets via the same
             -- first-codepoint/length mix as the engine; target
             -- distribution = lang = 'en'
@@ -5836,6 +5899,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(a.n_oov, 0) AS BIGINT),
                    CAST(COALESCE(a.sf, 0) AS BIGINT), ''
             FROM documents d0 LEFT JOIN lmagg a ON d0.doc_id = a.doc_id
+            UNION ALL
+            SELECT 'lm2', CAST(d0.doc_id AS VARCHAR),
+                   CAST(COALESCE(a.nh, 0) AS BIGINT),
+                   CAST(COALESCE(a.sf, 0) AS BIGINT),
+                   CAST(COALESCE(a.np, 0) AS BIGINT), ''
+            FROM documents d0 LEFT JOIN bagg a ON d0.doc_id = a.doc_id
             UNION ALL
             SELECT 'dsir', CAST(d0.doc_id AS VARCHAR),
                    CAST(COALESCE(s.score, 0) AS BIGINT),

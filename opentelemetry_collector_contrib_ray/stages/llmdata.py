@@ -1208,3 +1208,157 @@ def token_corpus_stats(
     base["n_distinct_tokens"] = distinct_count(False, "n_distinct_tokens")
     base["n_distinct_bigrams"] = distinct_count(True, "n_distinct_bigrams")
     return base.reset_index()
+
+
+# --- bigram LM quality scoring (the CCNet n-gram upgrade) ------------
+
+_PAIR_SEP = "\x1f"  # NUL-safe composite-key joiner (engine convention)
+
+
+def _adjacent_pairs(s: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """Flat '<w1>\\x1f<w2>' strings for every adjacent non-empty word
+    pair, plus each pair's doc index. Empty tokens are dropped at the
+    flat level BEFORE pairing (same rule as the DSIR bigrams and the
+    SQL list_filter mirror)."""
+    words = s.str.split(" ")
+    lens = words.str.len().to_numpy(dtype=np.int64) if len(s) else np.empty(0, np.int64)
+    if lens.sum() == 0:
+        return np.empty(0, object), np.empty(0, np.int64)
+    flat_all = np.concatenate([np.asarray(w, dtype=object) for w in words.to_numpy()])
+    doc_all = np.repeat(np.arange(len(s), dtype=np.int64), lens)
+    keep = flat_all != ""
+    flat, doc_flat = flat_all[keep], doc_all[keep]
+    same = doc_flat[1:] == doc_flat[:-1] if len(doc_flat) else np.empty(0, bool)
+    if not same.any():
+        return np.empty(0, object), np.empty(0, np.int64)
+    starts = np.flatnonzero(same)
+    pairs = (
+        pd.Series(flat[starts]).astype(str)
+        + _PAIR_SEP
+        + pd.Series(flat[starts + 1]).astype(str)
+    ).to_numpy(dtype=object)
+    return pairs, doc_flat[starts]
+
+
+def corpus_bigram_counts(ds, text_col: str = "text", num_buckets: int | None = None):
+    """Corpus-wide adjacent-word-bigram frequency table as a Dataset
+    ``(pair, c)`` with pair = ``w1\\x1fw2``. Same shuffle discipline as
+    ``corpus_word_counts``: per-batch ``np.unique`` pre-aggregation so
+    (pair, partial-count) rows move, never text; one bucketed hash
+    groupby merges."""
+    from .aggregate import bucketed_aggregate
+
+    def partials(t: pa.Table) -> pa.Table:
+        s = pd.Series(t[text_col].to_numpy(zero_copy_only=False), dtype=object).fillna("")
+        pairs, _ = _adjacent_pairs(s)
+        uniq, counts = np.unique(pairs.astype(str), return_counts=True)
+        return pa.table(
+            {
+                "pair": pa.array(uniq.astype(object), pa.string()),
+                "c": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    parts = ds.map_batches(partials, batch_format="pyarrow")
+    return bucketed_aggregate(parts, ["pair"], [("c", "sum", "c")], num_buckets=num_buckets)
+
+
+def top_bigrams(counts_ds, b: int) -> pd.DataFrame:
+    """Top-``b`` bigrams by (count DESC, pair ASC) — distributed
+    partial top-k exactly like ``top_vocab`` (each block's non-top-b
+    pairs can never reach the global top-b)."""
+
+    def block_top(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(
+            ["c", "pair"], ascending=[False, True], kind="stable"
+        )
+        return table_from_pandas(df.head(b))
+
+    merged = counts_ds.map_batches(block_top, batch_format="pyarrow").to_pandas()
+    return (
+        merged.sort_values(["c", "pair"], ascending=[False, True], kind="stable")
+        .head(b)
+        .reset_index(drop=True)
+    )
+
+
+class BigramScorer:
+    """Interpolated bigram LM scoring as an actor-pool stage — the
+    bigram upgrade of ``UnigramScorer`` (CCNet uses a KenLM n-gram
+    model; this is the same shape with an in-table bigram MLE
+    interpolated against the add-1 unigram):
+
+    ``p(w2|w1) = lam * c(w1,w2)/c(w1) + (1-lam) * p_uni(w2)`` with the
+    bigram term 0 when the pair (or w1) is outside the broadcast
+    tables. Per-document outputs: ``n_pairs`` (adjacent non-empty word
+    pairs), ``n_big_hits`` / ``sum_big_freq`` (occurrences and summed
+    corpus counts of pairs found in the top-B table — exact integer
+    contracts), ``mean_bigram_logprob`` (the float score). Both tables
+    broadcast once per actor (pass ray.put handles)."""
+
+    def __init__(
+        self,
+        bigram_pairs,
+        bigram_counts,
+        vocab_words,
+        vocab_counts,
+        total_words: int,
+        *,
+        lam: float = 0.7,
+        text_col: str = "text",
+    ):
+        order = np.argsort(np.asarray(bigram_pairs, dtype=object))
+        self.pairs = np.asarray(bigram_pairs, dtype=object)[order]
+        self.pair_c = np.asarray(bigram_counts, dtype=np.int64)[order]
+        worder = np.argsort(np.asarray(vocab_words, dtype=object))
+        self.words = np.asarray(vocab_words, dtype=object)[worder]
+        self.word_c = np.asarray(vocab_counts, dtype=np.int64)[worder]
+        self.total = int(total_words)
+        self.lam = float(lam)
+        self.text_col = text_col
+
+    def _lookup(self, table: np.ndarray, values: np.ndarray, keys: np.ndarray):
+        pos = np.searchsorted(table, keys)
+        pos_c = np.clip(pos, 0, max(len(table) - 1, 0))
+        hit = (table[pos_c] == keys) if len(table) else np.zeros(len(keys), bool)
+        out = np.zeros(len(keys), np.int64)
+        out[hit] = values[pos_c[hit]]
+        return out, hit
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        s = pd.Series(t[self.text_col].to_numpy(zero_copy_only=False), dtype=object).fillna("")
+        pairs, doc_of = _adjacent_pairs(s)
+        n = len(s)
+        bc, bhit = self._lookup(self.pairs, self.pair_c, pairs)
+        w1 = (
+            pd.Series(pairs).str.split(_PAIR_SEP).str[0].to_numpy(dtype=object)
+            if len(pairs)
+            else np.empty(0, object)
+        )
+        w2 = (
+            pd.Series(pairs).str.split(_PAIR_SEP).str[1].to_numpy(dtype=object)
+            if len(pairs)
+            else np.empty(0, object)
+        )
+        c1, h1 = self._lookup(self.words, self.word_c, w1)
+        c2, _ = self._lookup(self.words, self.word_c, w2)
+        v = len(self.words)
+        p_uni = (c2 + 1.0) / (self.total + v + 1.0)
+        p_bi = np.where(bhit & h1 & (c1 > 0), bc / np.maximum(c1, 1), 0.0)
+        p = self.lam * p_bi + (1.0 - self.lam) * p_uni
+        lp = np.log(np.maximum(p, 1e-300))
+        n_pairs = np.bincount(doc_of, minlength=n).astype(np.int64)
+        n_hits = np.bincount(doc_of[bhit], minlength=n).astype(np.int64)
+        sum_freq = np.zeros(n, np.int64)
+        np.add.at(sum_freq, doc_of[bhit], bc[bhit])
+        logsum = np.zeros(n)
+        np.add.at(logsum, doc_of, lp)
+        mean_lp = logsum / np.maximum(n_pairs, 1)
+        for name, arr, typ in [
+            ("n_pairs", n_pairs, pa.int64()),
+            ("n_big_hits", n_hits, pa.int64()),
+            ("sum_big_freq", sum_freq, pa.int64()),
+            ("mean_bigram_logprob", mean_lp, pa.float64()),
+        ]:
+            t = t.append_column(name, pa.array(arr, typ))
+        return t

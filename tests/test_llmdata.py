@@ -689,3 +689,49 @@ class TestTokenCorpusStats:
             assert int(row["max_tok"]) == (int(flat.max()) if len(flat) else -1)
             assert int(row["n_distinct_tokens"]) == len(np.unique(flat))
             assert int(row["n_distinct_bigrams"]) == len(bigs)
+
+
+class TestBigramLm:
+    def test_counts_and_scoring(self):
+        from opentelemetry_collector_contrib_ray.stages.llmdata import (
+            BigramScorer,
+            corpus_bigram_counts,
+            top_bigrams,
+        )
+
+        texts = [
+            "a b a b c",       # pairs: a|b, b|a, a|b, b|c
+            "a b  x",          # empty token dropped: a|b, b|x
+            "z",               # no pairs
+            "",
+        ]
+        df = pd.DataFrame({"doc_id": range(4), "text": texts})
+        ds = ray.data.from_pandas(df)
+        bc = top_bigrams(corpus_bigram_counts(ds), 100).set_index("pair")["c"]
+        assert bc["a\x1fb"] == 3 and bc["b\x1fa"] == 1 and bc["b\x1fc"] == 1
+        assert bc["b\x1fx"] == 1 and len(bc) == 4
+
+        # restrict the broadcast table to top-1 → only a|b hits
+        top1 = top_bigrams(corpus_bigram_counts(ds), 1)
+        assert top1["pair"].tolist() == ["a\x1fb"]
+        scorer = BigramScorer(
+            top1["pair"].to_numpy(), top1["c"].to_numpy(),
+            np.array(["a", "b"], object), np.array([4, 4], np.int64), 12,
+        )
+        out = scorer(
+            pa.table({"doc_id": pa.array(range(4), pa.int64()),
+                      "text": pa.array(texts, pa.string())})
+        ).to_pandas().set_index("doc_id")
+        assert out["n_pairs"].tolist() == [4, 2, 0, 0]
+        assert out["n_big_hits"].tolist() == [2, 1, 0, 0]
+        assert out["sum_big_freq"].tolist() == [6, 3, 0, 0]
+        # interpolated prob: hit pair contributes lam*3/4 + (1-lam)*p_uni(b)
+        lam, V, T = 0.7, 2, 12
+        p_uni_b = (4 + 1) / (T + V + 1)
+        p_hit = lam * 3 / 4 + (1 - lam) * p_uni_b
+        import math
+        p_uni_a = (4 + 1) / (T + V + 1)
+        p_oovw = (0 + 1) / (T + V + 1)
+        exp0 = (2 * math.log(p_hit) + math.log((1 - lam) * p_uni_a)
+                + math.log((1 - lam) * p_oovw)) / 4
+        assert abs(out.loc[0, "mean_bigram_logprob"] - exp0) < 1e-12
