@@ -4003,6 +4003,109 @@ def _q_llm_ops(sf_dir: str):
                 "v_str": f"{sub.iloc[0]['first_tok']}:{sub.iloc[-1]['last_tok']}",
             }
         )
+    # --- prep leg: the END-TO-END corpus-prep pipeline
+    # (pipelines/corpus_prep.prepare_corpus) over its SQL-expressible
+    # stage subset: injected exact-duplicate templates (doc_id%31→one
+    # of 7 quality-passing templates) → Gopher gate → PII redaction →
+    # exact dedup (first-owner-wins) → deterministic split → top-50
+    # vocab over the SURVIVING corpus → tokenize → pack per
+    # (source, split). The oracle recomposes every stage in SQL CTEs,
+    # so the COMPOSITION (stage order, survivors feeding the vocab,
+    # packing over final tokens) is what's checked — each stage alone
+    # is already covered by its own leg. Per-group closed forms:
+    # survivor count, id sum, packed chunk count,
+    # "sum_ntok:sum_noov:tail_chunk_len".
+    from opentelemetry_collector_contrib_ray.pipelines.corpus_prep import (
+        PACK_GROUP_SEP,
+        PrepConfig,
+        prepare_corpus,
+    )
+
+    def inj_prep(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = pd.Series(t["text"].to_numpy(zero_copy_only=False), dtype=object).fillna("")
+        tmpl = (
+            "shared duplicate template text number "
+            + pd.Series(d % 7).astype(str)
+            + " with plenty of distinct plain words inside"
+        )
+        txt = s.where(pd.Series(d % 31 != 0), tmpl)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "source": t["source"],
+                "text": pa.array(txt.to_numpy(dtype=object), pa.string()),
+            }
+        )
+
+    prep = prepare_corpus(
+        docs.map_batches(inj_prep, batch_format="pyarrow"),
+        PrepConfig(
+            quality=True,
+            pii=True,
+            exact_dedup=True,
+            split=True,
+            vocab_size=50,
+            seq_len=64,
+            pack=True,
+            pack_emit_tokens=False,
+        ),
+    )
+
+    def prep_doc_partials(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = (
+            df.groupby(["source", "split"], sort=False)
+            .agg(
+                cnt=("doc_id", "count"),
+                sid=("doc_id", "sum"),
+                ntok=("n_tok", "sum"),
+                noov=("n_oov", "sum"),
+            )
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "source": pa.array(g["source"].to_numpy(dtype=object), pa.string()),
+                "split": pa.array(g["split"].to_numpy(dtype=object), pa.string()),
+                "cnt": pa.array(g["cnt"].to_numpy(np.int64)),
+                "sid": pa.array(g["sid"].to_numpy(np.int64)),
+                "ntok": pa.array(g["ntok"].to_numpy(np.int64)),
+                "noov": pa.array(g["noov"].to_numpy(np.int64)),
+            }
+        )
+
+    pagg = (
+        prep.documents.select_columns(["doc_id", "source", "split", "n_tok", "n_oov"])
+        .map_batches(prep_doc_partials, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(["source", "split"])[["cnt", "sid", "ntok", "noov"]]
+        .sum()
+        .reset_index()
+    )
+    pchunk = prep.packed.to_pandas()  # chunk STATS only (no token arrays)
+    ch = pchunk.groupby("pack_group").agg(
+        n_chunks=("chunk_id", "count"), tail=("chunk_len", "min")
+    )
+    # the only non-full chunk is the last → min(chunk_len) IS the tail
+    # (when every chunk is full, tail == seq_len — same closed form)
+    pagg["pg"] = pagg["source"] + PACK_GROUP_SEP + pagg["split"]
+    pagg = pagg.join(ch, on="pg")
+    prep_rows = pd.DataFrame(
+        {
+            "leg": "prep",
+            "key": pagg["pg"],
+            "n": pagg["cnt"].astype(np.int64),
+            "n2": pagg["sid"].astype(np.int64),
+            "n3": pagg["n_chunks"].astype(np.int64),
+            "v_str": pagg["ntok"].astype(np.int64).astype(str)
+            + ":"
+            + pagg["noov"].astype(np.int64).astype(str)
+            + ":"
+            + pagg["tail"].astype(np.int64).astype(str),
+        }
+    )
+
     return pd.concat(
         [
             pii,
@@ -4020,6 +4123,7 @@ def _q_llm_ops(sf_dir: str):
             split_rows,
             samp_rows,
             tstat_rows,
+            prep_rows,
         ],
         ignore_index=True,
     )
@@ -5992,6 +6096,98 @@ def oracle_sql() -> dict[str, str]:
                 FROM __CORPUS__,
                      unnest(generate_series(1, len(tokens))) AS t(i)
             ) GROUP BY source
+            UNION ALL
+            -- prep leg: the END-TO-END pipeline recomposed in SQL —
+            -- injected duplicate templates → Gopher gate → PII chain
+            -- → exact dedup (first-owner-wins per text) → split hash
+            -- → top-50 vocab over SURVIVORS → token/OOV counts →
+            -- chunk math per (source, split)
+            SELECT 'prep', source || chr(31) || split,
+                   cnt, sid,
+                   CAST(CEIL(ntok / 64.0) AS BIGINT),
+                   CAST(ntok AS VARCHAR) || ':' || CAST(noov AS VARCHAR)
+                       || ':' || CAST(((ntok - 1) % 64) + 1 AS VARCHAR)
+            FROM (
+                WITH pdoc0 AS (
+                    SELECT doc_id, source,
+                           CASE WHEN doc_id % 31 = 0
+                                THEN 'shared duplicate template text number '
+                                     || CAST(doc_id % 7 AS VARCHAR)
+                                     || ' with plenty of distinct plain words inside'
+                                ELSE text END AS ptxt
+                    FROM documents
+                ),
+                pq AS (
+                    SELECT doc_id, source, ptxt,
+                           string_split(ptxt, ' ') AS ws,
+                           CAST(len(string_split(ptxt, ' ')) AS BIGINT) AS n_words,
+                           CAST(GREATEST(len(string_split(ptxt, ' ')), 1) AS DOUBLE) AS nz,
+                           (length(ptxt) - (len(string_split(ptxt, ' ')) - 1)) AS n_letters,
+                           CAST(len(regexp_extract_all(ptxt, '#')) +
+                                len(regexp_extract_all(ptxt, '\\.\\.\\.')) AS DOUBLE) AS syms
+                    FROM pdoc0
+                ),
+                pf AS (
+                    SELECT doc_id, source, ptxt FROM pq
+                    WHERE n_words >= 5
+                      AND n_letters / nz >= 3.0 AND n_letters / nz <= 10.0
+                      AND 1.0 - len(list_distinct(ws)) / nz < 0.5
+                      AND len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) / nz > 0.8
+                      AND syms / nz < 0.1
+                ),
+                pr AS (
+                    SELECT doc_id, source,
+                           regexp_replace(
+                               regexp_replace(
+                                   regexp_replace(ptxt,
+                                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                                       '<EMAIL>', 'g'),
+                                   '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                                   '<IP>', 'g'),
+                               '\\+?\\d{3}[-.]\\d{3}[-.]\\d{4}', '<PHONE>', 'g') AS txt
+                    FROM pf
+                ),
+                psv AS (
+                    SELECT doc_id, source, txt FROM (
+                        SELECT doc_id, source, txt,
+                               MIN(doc_id) OVER (PARTITION BY txt) AS owner
+                        FROM pr
+                    ) WHERE doc_id = owner
+                ),
+                psp AS (
+                    SELECT doc_id, source, txt,
+                           CASE WHEN ((doc_id % 1000000007) * 2654435761)
+                                         % 1000000007 % 10000 < 500 THEN 'test'
+                                WHEN ((doc_id % 1000000007) * 2654435761)
+                                         % 1000000007 % 10000 < 1000 THEN 'valid'
+                                ELSE 'train' END AS split
+                    FROM psv
+                ),
+                pw AS (
+                    SELECT doc_id,
+                           unnest(list_filter(string_split(txt, ' '), w -> w <> '')) AS w
+                    FROM psp
+                ),
+                pvoc AS (
+                    SELECT w FROM (
+                        SELECT w, COUNT(*) AS c FROM pw
+                        GROUP BY w ORDER BY c DESC, w ASC LIMIT 50
+                    )
+                ),
+                ptk AS (
+                    SELECT p.doc_id, CAST(COUNT(*) AS BIGINT) AS ntok,
+                           CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS noov
+                    FROM pw p LEFT JOIN pvoc v ON p.w = v.w
+                    GROUP BY p.doc_id
+                )
+                SELECT s.source, s.split,
+                       CAST(COUNT(*) AS BIGINT) AS cnt,
+                       CAST(SUM(s.doc_id) AS BIGINT) AS sid,
+                       CAST(SUM(COALESCE(t.ntok, 0)) AS BIGINT) AS ntok,
+                       CAST(SUM(COALESCE(t.noov, 0)) AS BIGINT) AS noov
+                FROM psp s LEFT JOIN ptk t ON s.doc_id = t.doc_id
+                GROUP BY s.source, s.split
+            )
         """,
         "sfx_translation": """
             -- closed forms of the 8-rule chain in _q_sfx_translation:

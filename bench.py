@@ -167,6 +167,32 @@ def run_bench() -> dict:
             pass
         qtimes[name] = round(time.perf_counter() - t0, 3)
 
+    # end-to-end corpus-prep pipeline (quality → PII → exact dedup →
+    # split → vocab-over-survivors → tokenize → pack): the LLM-data
+    # headline, measured as docs/sec over the sf documents table
+    import ray.data as _rd
+
+    from opentelemetry_collector_contrib_ray.pipelines.corpus_prep import (
+        PrepConfig,
+        prepare_corpus as prep_pipeline,
+    )
+
+    docs_path = os.path.join(SF_DIR, "documents.parquet")
+    n_docs = _rd.read_parquet(docs_path).count()
+    t0 = time.perf_counter()
+    prep = prep_pipeline(
+        _rd.read_parquet(docs_path, columns=["doc_id", "text", "source"]),
+        PrepConfig(vocab_size=50_000, seq_len=2048, pack_emit_tokens=False),
+    )
+    n_chunks = prep.packed.count()
+    prep_sec = time.perf_counter() - t0
+    corpus_prep = {
+        "seconds": round(prep_sec, 3),
+        "docs": n_docs,
+        "docs_per_sec": round(n_docs / prep_sec, 1),
+        "packed_chunks": n_chunks,
+    }
+
     result = {
         "metric": "flagship_parse_enrich_route_aggregate_sec",
         "value": round(headline["seconds"], 3),
@@ -178,6 +204,7 @@ def run_bench() -> dict:
         "seq_per_sec": round(headline["seq_per_sec"], 1),
         "cold_sec": round(cold["seconds"], 3),
         "agg_groups": headline["agg_groups"],
+        "corpus_prep": corpus_prep,
     }
     ray.shutdown()
     result["control_start_s"] = control_start

@@ -1030,6 +1030,56 @@ def near_dedup(
     corpus never ships its edge set to the driver.
     Returns (survivor_ids_table, clusters dict {dup_id: root_id}).
     """
+    clusters = near_dedup_clusters(
+        ds,
+        text_col=text_col,
+        id_col=id_col,
+        k=k,
+        num_perm=num_perm,
+        bands=bands,
+        jaccard_threshold=jaccard_threshold,
+        num_buckets=num_buckets,
+        cc_mode=cc_mode,
+        cc_edge_threshold=cc_edge_threshold,
+    )
+    drop = {x for x, root in clusters.items() if root != x}
+    import ray
+
+    drop_ref = ray.put(np.asarray(sorted(drop), dtype=object))
+
+    def survivors(batch: pa.Table) -> pa.Table:
+        ids = pd.Series(batch[id_col].to_numpy(zero_copy_only=False))
+        dropped = ray.get(drop_ref)
+        mask = ~ids.isin(dropped).to_numpy()  # vectorized membership
+        return batch.select([id_col]).filter(pa.array(mask))
+
+    surv = pa.concat_tables(
+        ds.map_batches(survivors, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    )
+    return surv, clusters
+
+
+def near_dedup_clusters(
+    ds,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    num_perm: int = 128,
+    bands: int = 16,
+    jaccard_threshold: float = 0.8,
+    num_buckets: int = 64,
+    cc_mode: str = "auto",
+    cc_edge_threshold: int = 100_000,
+):
+    """The discovery half of ``near_dedup``: LSH candidates → verified
+    edges → connected components, returning only the cluster map
+    ``{dup_id: root_id}`` (one entry per node touching a verified
+    edge — O(duplicates), never O(corpus)). Callers that need the
+    filtered corpus apply their own anti-filter so the text is not
+    re-read (``pipelines/corpus_prep.py`` composes this)."""
     exploded = _lsh_explode(ds, text_col, id_col, k=k, num_perm=num_perm, bands=bands)
     pairs = lsh_candidate_pairs(exploded, id_col, num_buckets=num_buckets)
     edges_ds = verify_pairs_ds(
@@ -1069,20 +1119,4 @@ def near_dedup(
         else:
             edges = []
         clusters = connected_components(edges)
-    drop = {x for x, root in clusters.items() if root != x}
-    import ray
-
-    drop_ref = ray.put(np.asarray(sorted(drop), dtype=object))
-
-    def survivors(batch: pa.Table) -> pa.Table:
-        ids = pd.Series(batch[id_col].to_numpy(zero_copy_only=False))
-        dropped = ray.get(drop_ref)
-        mask = ~ids.isin(dropped).to_numpy()  # vectorized membership
-        return batch.select([id_col]).filter(pa.array(mask))
-
-    surv = pa.concat_tables(
-        ds.map_batches(survivors, batch_format="pyarrow").iter_batches(
-            batch_format="pyarrow", batch_size=None
-        )
-    )
-    return surv, clusters
+    return clusters

@@ -327,13 +327,20 @@ def pack_sequences(
             if emit_tokens:
                 rec["tokens"] = [flat[a:b].tolist() for a, b in zip(starts, ends)]
             out.append(pd.DataFrame(rec))
-        return (
-            pd.concat(out, ignore_index=True)
-            if out
-            else pd.DataFrame(
-                columns=[group_col, "chunk_id", "chunk_len", "first_tok", "last_tok"]
-            )
-        )
+        if out:
+            return pd.concat(out, ignore_index=True)
+        # TYPED empty table — an untyped empty DataFrame emits an
+        # empty-schema block and Ray warns per RefBundle
+        cols = {
+            group_col: pa.array([], pa.string()),
+            "chunk_id": pa.array([], pa.int64()),
+            "chunk_len": pa.array([], pa.int64()),
+            "first_tok": pa.array([], pa.string()),
+            "last_tok": pa.array([], pa.string()),
+        }
+        if emit_tokens:
+            cols["tokens"] = pa.array([], pa.list_(pa.string()))
+        return pa.table(cols)
 
     return bucketed_group_apply(ds, group_col, per_bucket, num_buckets=num_buckets)
 
@@ -378,13 +385,18 @@ def pack_token_sequences(
             if emit_tokens:
                 rec["tokens"] = [flat[a:b].astype(np.int32).tolist() for a, b in zip(starts, ends)]
             out.append(pd.DataFrame(rec))
-        return (
-            pd.concat(out, ignore_index=True)
-            if out
-            else pd.DataFrame(
-                columns=[group_col, "chunk_id", "chunk_len", "first_tok", "last_tok"]
-            )
-        )
+        if out:
+            return pd.concat(out, ignore_index=True)
+        cols = {
+            group_col: pa.array([], pa.string()),
+            "chunk_id": pa.array([], pa.int64()),
+            "chunk_len": pa.array([], pa.int64()),
+            "first_tok": pa.array([], pa.int64()),
+            "last_tok": pa.array([], pa.int64()),
+        }
+        if emit_tokens:
+            cols["tokens"] = pa.array([], pa.list_(pa.int32()))
+        return pa.table(cols)
 
     return bucketed_group_apply(ds, group_col, per_bucket, num_buckets=num_buckets)
 

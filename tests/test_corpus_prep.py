@@ -1,0 +1,214 @@
+"""End-to-end corpus-preparation pipeline (pipelines/corpus_prep.py).
+
+Covers the composition semantics the individual stage tests can't:
+stage ordering (vocab built AFTER dedup, tokens from REDACTED text),
+the injected-artifact survivors (exact dup, near dup, contaminated,
+low-quality), deterministic splits, chunk math over the final corpus,
+resume-by-marker, and broadcast≡joined anti-filter equivalence.
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from opentelemetry_collector_contrib_ray.pipelines.corpus_prep import (
+    PrepConfig,
+    PrepResult,
+    _anti_filter_ids,
+    prepare_corpus,
+)
+from opentelemetry_collector_contrib_ray.stages.llmdata import split_hash
+
+
+def _mk_docs(n=400):
+    """Deterministic corpus with injected artifacts:
+
+    * id % 17 == 0 → low quality (single repeated word → Gopher fail)
+    * id % 23 == 0 (and not low-quality) → exact copy of doc id-23's
+      text appended later via same text as base id (see below)
+    * every doc carries an email so PII redaction is observable
+    """
+    rows = []
+    for i in range(n):
+        if i % 17 == 0:
+            text = " ".join(["spam"] * 30)  # dup_word_frac ≈ 1 → fails
+        else:
+            base = i
+            if i % 23 == 0 and i >= 23:
+                # exact copy of a NEIGHBOR's real text (skip spam docs;
+                # neighbors are never %23 themselves, so their text is
+                # their own formula → a genuine duplicate pair)
+                base = i - 1 if (i - 1) % 17 != 0 else i - 2
+            words = [f"w{(base * 7 + j) % 97}" for j in range(40)]
+            text = "Doc %d starts. " % base + " ".join(words) + " contact a@b.co end."
+        rows.append(
+            {"doc_id": i, "text": text, "lang": "en", "source": f"src{i % 3}"}
+        )
+    return pd.DataFrame(rows)
+
+
+@pytest.fixture(scope="module")
+def docs_ds():
+    import ray.data
+
+    return ray.data.from_pandas(_mk_docs()).map_batches(
+        lambda t: t, batch_format="pyarrow"
+    )
+
+
+def test_full_prep_composition(docs_ds):
+    cfg = PrepConfig(
+        quality=True,
+        pii=True,
+        exact_dedup=True,
+        split=True,
+        vocab_size=60,
+        seq_len=32,
+        pack=True,
+    )
+    res = prepare_corpus(docs_ds, cfg)
+    assert isinstance(res, PrepResult)
+    docs = res.documents.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    # quality gate removed every id % 17 doc
+    assert not set(docs.doc_id) & {i for i in range(400) if i % 17 == 0}
+    # exact dedup: first-owner-wins per text group (injected copies at
+    # id % 23 == 0 copy id-23's text) — derive survivors from the data
+    raw = _mk_docs()
+    ok = raw[~raw.doc_id.isin({i for i in range(400) if i % 17 == 0})]
+    first_owner = ok.groupby("text")["doc_id"].min()
+    expected_survivors = set(first_owner.to_numpy())
+    assert set(docs.doc_id) == expected_survivors
+
+    # PII is gone from every surviving text
+    assert not docs.text.str.contains("a@b.co").any()
+    assert docs.text.str.contains("<EMAIL>").all()
+
+    # split assignment matches the closed form
+    r = split_hash(docs.doc_id.to_numpy()) % 10_000
+    exp = np.where(r < 500, "test", np.where(r < 1000, "valid", "train"))
+    assert (docs.split.to_numpy() == exp).all()
+
+    # tokens: every token id < vocab_size+1, n_tok == word count of text
+    n_words = docs.text.str.count(r"[^ ]+").to_numpy()
+    assert (docs.n_tok.to_numpy() == n_words).all()
+    assert res.vocab is not None and len(res.vocab) == 60
+
+    # pack math per (source, split): chunks = ceil(sum n_tok / 32)
+    packed = res.packed.to_pandas()
+    got = packed.groupby("pack_group").agg(
+        n_chunks=("chunk_id", "count"), s=("chunk_len", "sum")
+    )
+    exp_tok = docs.assign(
+        pg=docs.source + "\x1f" + docs.split
+    ).groupby("pg")["n_tok"].sum()
+    for pg, s in exp_tok.items():
+        assert got.loc[pg, "s"] == s
+        assert got.loc[pg, "n_chunks"] == -(-s // 32)
+    # chunk token arrays concatenate back to the per-group stream
+    one = packed[packed.pack_group == exp_tok.index[0]].sort_values("chunk_id")
+    flat = np.concatenate([np.asarray(t) for t in one.tokens])
+    sub = docs[(docs.source + "\x1f" + docs.split) == exp_tok.index[0]].sort_values(
+        "doc_id"
+    )
+    ref = np.concatenate([np.asarray(t) for t in sub.tokens])
+    assert (flat == ref).all()
+
+
+def test_near_dedup_and_decontaminate(docs_ds):
+    from opentelemetry_collector_contrib_ray.stages.llmdata import build_eval_grams
+
+    raw = _mk_docs()
+    # eval set = an 8-word span of doc 5's text → doc 5 is contaminated
+    span = " ".join(raw.loc[5, "text"].split(" ")[2:10])
+    grams = build_eval_grams([span], n=8)
+
+    import ray.data
+
+    # inject a NEAR duplicate of doc 1 (one word changed) with a new id
+    near = raw.loc[[1]].copy()
+    near["doc_id"] = 9001
+    near["text"] = near["text"].str.replace("starts.", "begins.", regex=False)
+    ds = ray.data.from_pandas(pd.concat([raw, near], ignore_index=True))
+
+    cfg = PrepConfig(
+        quality=False,
+        pii=False,
+        exact_dedup=False,
+        near_dedup=True,
+        near_threshold=0.5,
+        decontaminate_grams=grams,
+        split=False,
+        vocab_size=0,
+        pack=False,
+    )
+    res = prepare_corpus(ds, cfg)
+    ids = set(res.documents.to_pandas().doc_id)
+    assert 9001 not in ids and 1 in ids  # near-dup dropped, min id kept
+    assert 5 not in ids  # contaminated doc dropped
+    assert res.stats["near_dropped"] >= 1
+
+
+def test_line_dedup_stage(docs_ds):
+    import ray.data
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                "shared header\nbody zero",
+                "shared header\nbody one",
+                "unique only\nbody two",
+            ],
+            "source": ["s", "s", "s"],
+        }
+    )
+    cfg = PrepConfig(
+        quality=False, pii=False, exact_dedup=False, line_dedup=True,
+        split=False, vocab_size=0, pack=False,
+    )
+    res = prepare_corpus(ray.data.from_pandas(df), cfg)
+    out = res.documents.to_pandas().sort_values("doc_id")
+    assert out.text.tolist() == [
+        "shared header\nbody zero",  # owner keeps the line
+        "body one",                   # non-owner loses it
+        "unique only\nbody two",
+    ]
+    assert res.stats["dup_lines"] == 1
+
+
+def test_anti_filter_broadcast_vs_joined(docs_ds):
+    import ray.data
+
+    df = _mk_docs(200)
+    ds = ray.data.from_pandas(df)
+    drop = np.array([3, 50, 77, 121], dtype=np.int64)
+    a = _anti_filter_ids(ds, drop, "doc_id", broadcast_max=10**6)
+    b = _anti_filter_ids(ds, drop, "doc_id", broadcast_max=1)  # force join
+    pa_ = a.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pb = b.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert pa_.doc_id.tolist() == pb.doc_id.tolist()
+    assert set(df.doc_id) - set(pa_.doc_id) == set(drop.tolist())
+    # full row content survives the joined path too
+    pd.testing.assert_frame_equal(pa_, pb[pa_.columns])
+
+
+def test_write_and_resume(tmp_path, docs_ds):
+    out = str(tmp_path / "prep_out")
+    cfg = PrepConfig(vocab_size=40, seq_len=64)
+    res1 = prepare_corpus(docs_ds, cfg, out_dir=out)
+    import os
+
+    assert os.path.exists(os.path.join(out, "_done.json"))
+    # partitioned layout: one dir per split
+    parts = os.listdir(os.path.join(out, "documents"))
+    assert any(p.startswith("split=") for p in parts)
+    n1 = res1.documents.count()
+
+    res2 = prepare_corpus(docs_ds, cfg, out_dir=out)  # resume: skips work
+    assert res2.stats.get("resumed") is True
+    assert res2.documents.count() == n1
+    assert res2.vocab is not None and len(res2.vocab) == len(res1.vocab)
+    assert res2.packed is not None
+    assert res2.packed.count() == res1.packed.count()
