@@ -3694,6 +3694,42 @@ def _q_llm_ops(sf_dir: str):
         }
     )
 
+    # --- dup2 leg: the REMOVAL half of ExactSubstr/passage dedup
+    # (stages/llmdata.PassageDeduper over the same injected corpus as
+    # the dup leg): every word covered by a corpus-duplicated 32-word
+    # window whose first owner is another doc is cut. The oracle
+    # recomputes coverage by exploding window STRINGS and positions in
+    # SQL (the engine uses 64-bit window hashes + a difference-array
+    # cumsum) and value-checks the full rebuilt clean_text.
+    from opentelemetry_collector_contrib_ray.stages.llmdata import PassageDeduper
+
+    dup2 = (
+        docs.select_columns(["doc_id", "text"])
+        .map_batches(inj_dup, batch_format="pyarrow")
+        .map_batches(
+            PassageDeduper(
+                dup_out["gram_hash"].to_numpy(),
+                dup_out["min_doc_id"].to_numpy(),
+                window=32,
+            ),
+            batch_format="pyarrow",
+        )
+        .select_columns(
+            ["doc_id", "n_words", "n_removed_words", "n_dup_windows", "clean_text"]
+        )
+        .to_pandas()
+    )
+    dup2_rows = pd.DataFrame(
+        {
+            "leg": "dup2",
+            "key": dup2["doc_id"].astype(str),
+            "n": dup2["n_words"].astype(np.int64),
+            "n2": dup2["n_removed_words"].astype(np.int64),
+            "n3": dup2["n_dup_windows"].astype(np.int64),
+            "v_str": dup2["clean_text"],
+        }
+    )
+
     # --- lm leg: CCNet-style unigram LM stats vs the corpus top-50
     # vocabulary (distributed word-count groupby → per-block top-k →
     # broadcast scorer). The oracle re-derives n_in_vocab / n_oov /
@@ -4114,6 +4150,7 @@ def _q_llm_ops(sf_dir: str):
             c4_rows,
             mix_rows,
             dup_rows,
+            dup2_rows,
             lm_rows,
             lm2_rows,
             dsir_rows,
@@ -5905,6 +5942,64 @@ def oracle_sql() -> dict[str, str]:
                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_rm
                 FROM llin l LEFT JOIN ldup d ON l.ln = d.ln
                 GROUP BY l.doc_id
+            ),
+            -- dup2 leg: passage-REMOVAL coverage over the dup leg's
+            -- injected corpus — window strings grouped in SQL, flagged
+            -- windows exploded to covered word positions, clean text
+            -- rebuilt with an ordered string_agg over kept positions
+            d2txt AS (
+                SELECT doc_id,
+                       string_split(text || CASE WHEN doc_id % 25 = 0
+                            THEN ' zq0 zq1 zq2 zq3 zq4 zq5 zq6 zq7 zq8 zq9 zq10 zq11 zq12 zq13 zq14 zq15 zq16 zq17 zq18 zq19 zq20 zq21 zq22 zq23 zq24 zq25 zq26 zq27 zq28 zq29 zq30 zq31 zq32 zq33 zq34 zq35 zq36 zq37 zq38 zq39'
+                            ELSE '' END, ' ') AS ws
+                FROM documents
+            ),
+            d2win AS (
+                SELECT doc_id, i,
+                       array_to_string(list_slice(ws, i, i + 31), ' ') AS win
+                FROM d2txt,
+                     unnest(generate_series(1, greatest(len(ws) - 31, 0))) AS t(i)
+            ),
+            d2dup AS (
+                SELECT win, MIN(doc_id) AS owner FROM d2win
+                GROUP BY win HAVING COUNT(DISTINCT doc_id) >= 2
+            ),
+            d2flag AS (
+                SELECT w.doc_id, w.i FROM d2win w
+                JOIN d2dup d ON w.win = d.win
+                WHERE d.owner <> w.doc_id
+            ),
+            d2cov AS (
+                SELECT DISTINCT f.doc_id, f.i + o AS p
+                FROM d2flag f, unnest(generate_series(0, 31)) AS t(o)
+            ),
+            d2agg AS (
+                SELECT t.doc_id,
+                       CAST(len(t.ws) AS BIGINT) AS n_words,
+                       CAST(COALESCE(c.ncov, 0) AS BIGINT) AS n_removed,
+                       CAST(COALESCE(f.nf, 0) AS BIGINT) AS n_flagged
+                FROM d2txt t
+                LEFT JOIN (SELECT doc_id, COUNT(*) AS ncov FROM d2cov
+                           GROUP BY doc_id) c ON t.doc_id = c.doc_id
+                LEFT JOIN (SELECT doc_id, COUNT(*) AS nf FROM d2flag
+                           GROUP BY doc_id) f ON t.doc_id = f.doc_id
+            ),
+            d2pos AS (
+                -- materialize (doc, position, word) first: a LEFT
+                -- JOIN against a correlated lateral unnest is not
+                -- supported, a join between plain CTEs is
+                SELECT doc_id, pp.p AS p, ws[pp.p] AS w
+                FROM d2txt,
+                     unnest(generate_series(1, len(ws))) AS pp(p)
+            ),
+            d2clean AS (
+                SELECT t.doc_id,
+                       COALESCE(string_agg(
+                           CASE WHEN c.p IS NULL THEN t.w END,
+                           ' ' ORDER BY t.p), '') AS ct
+                FROM d2pos t
+                LEFT JOIN d2cov c ON c.doc_id = t.doc_id AND c.p = t.p
+                GROUP BY t.doc_id
             )
             SELECT 'pii' AS leg, CAST(doc_id AS VARCHAR) AS "key",
                    n_email AS n, n_ip AS n2, n_phone AS n3, txt AS v_str
@@ -5997,6 +6092,10 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY win
                 HAVING COUNT(DISTINCT doc_id) >= 2
             )
+            UNION ALL
+            SELECT 'dup2', CAST(a.doc_id AS VARCHAR),
+                   a.n_words, a.n_removed, a.n_flagged, cl.ct
+            FROM d2agg a JOIN d2clean cl ON a.doc_id = cl.doc_id
             UNION ALL
             SELECT 'lm', CAST(d0.doc_id AS VARCHAR),
                    CAST(COALESCE(a.n_in, 0) AS BIGINT),

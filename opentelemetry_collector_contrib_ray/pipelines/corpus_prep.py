@@ -69,6 +69,9 @@ class PrepConfig:
     exact_dedup: bool = True          # first-wins by min id per text hash
     line_dedup: bool = False          # corpus-duplicated-line removal
     line_min_docs: int = 2
+    passage_dedup: bool = False       # ExactSubstr-style span removal
+    passage_window: int = 32
+    passage_min_docs: int = 2
     near_dedup: bool = False          # MinHash+LSH near-dup removal
     near_k: int = 5
     near_num_perm: int = 128
@@ -339,6 +342,49 @@ def prepare_corpus(ds, cfg: PrepConfig | None = None, out_dir: str | None = None
             return batch.drop_columns(idx_fn_cols)
 
         docs = docs.map_batches(fold_clean, batch_format="pyarrow")
+
+    # ---- stage 3b: ExactSubstr-style duplicated-passage removal
+    if cfg.passage_dedup:
+        from ..stages.llmdata import PassageDeduper, duplicate_passages
+
+        dupp = duplicate_passages(
+            docs, text_col=text_col, id_col=id_col,
+            window=cfg.passage_window, min_docs=cfg.passage_min_docs,
+            num_buckets=cfg.num_buckets,
+        )
+        batches = list(dupp.iter_batches(batch_format="pyarrow", batch_size=None))
+        dupp_tbl = (
+            pa.concat_tables(batches)
+            if batches
+            else pa.table(
+                {"gram_hash": pa.array([], pa.uint64()),
+                 "n_docs": pa.array([], pa.int64()),
+                 "min_doc_id": pa.array([], pa.int64())}
+            )
+        )
+        stats["dup_passages"] = int(len(dupp_tbl))
+        docs = docs.map_batches(
+            PassageDeduper, batch_format="pyarrow",
+            fn_constructor_args=(
+                dupp_tbl["gram_hash"].to_numpy(zero_copy_only=False),
+                dupp_tbl["min_doc_id"].to_numpy(zero_copy_only=False),
+            ),
+            fn_constructor_kwargs={
+                "window": cfg.passage_window,
+                "text_col": text_col,
+                "id_col": id_col,
+            },
+            concurrency=(1, 8),
+        )
+
+        def fold_passage(batch: pa.Table) -> pa.Table:
+            idx = batch.column_names.index(text_col)
+            batch = batch.set_column(idx, text_col, batch["clean_text"])
+            return batch.drop_columns(
+                ["clean_text", "n_words", "n_removed_words", "n_dup_windows"]
+            )
+
+        docs = docs.map_batches(fold_passage, batch_format="pyarrow")
 
     # ---- stage 4: MinHash near-dedup (anti-filter by cluster non-roots)
     if cfg.near_dedup:

@@ -191,18 +191,34 @@ class NgramDecontaminator:
         return t.append_column("contaminated", pa.array(flags, pa.bool_()))
 
 
-def _window_hashes(s: pd.Series, n: int) -> tuple[np.ndarray, np.ndarray]:
+def _window_hashes_full(
+    s: pd.Series, n: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Hash every n-word window of every text in ``s`` in one flat
-    pass. Returns ``(hashes uint64, doc_index int64)`` — the window
-    render is positional string adds over the flat word array, the
-    same joined-string hashing as ``build_eval_grams``."""
+    pass. Returns ``(hashes uint64, doc_index int64, flat_start int64,
+    flat_words object, word_lens int64)`` — the window render is
+    positional string adds over the flat word array, the same
+    joined-string hashing as ``build_eval_grams``; ``flat_start`` is
+    each window's first-word index into ``flat_words`` (the
+    concatenation of every doc's space-split words)."""
     from .._util import hash_str_u64
 
     words = s.str.split(" ")
     lens = words.str.len().to_numpy(dtype=np.int64) if len(s) else np.empty(0, np.int64)
     n_wins = np.maximum(lens - n + 1, 0)
     if n_wins.sum() == 0:
-        return np.empty(0, np.uint64), np.empty(0, np.int64)
+        flat = (
+            np.concatenate([np.asarray(w, dtype=object) for w in words.to_numpy()])
+            if len(s) and lens.sum()
+            else np.empty(0, object)
+        )
+        return (
+            np.empty(0, np.uint64),
+            np.empty(0, np.int64),
+            np.empty(0, np.int64),
+            flat,
+            lens,
+        )
     flat_words = np.concatenate(
         [np.asarray(w, dtype=object) for w in words.to_numpy()]
     )
@@ -213,7 +229,12 @@ def _window_hashes(s: pd.Series, n: int) -> tuple[np.ndarray, np.ndarray]:
     win = flat_words[starts].astype(object)
     for off in range(1, n):
         win = win + " " + flat_words[starts + off]
-    return hash_str_u64(win.astype(object)), doc_of
+    return hash_str_u64(win.astype(object)), doc_of, starts, flat_words, lens
+
+
+def _window_hashes(s: pd.Series, n: int) -> tuple[np.ndarray, np.ndarray]:
+    h, doc_of, _, _, _ = _window_hashes_full(s, n)
+    return h, doc_of
 
 
 def duplicate_passages(
@@ -286,6 +307,75 @@ def duplicate_passages(
         lambda t: t.filter(pc.greater_equal(t["n_docs"], min_docs)),
         batch_format="pyarrow",
     )
+
+
+class PassageDeduper:
+    """The REMOVAL half of ExactSubstr/passage dedup (Lee et al. 2021
+    §4 remove all but one occurrence of every duplicated span): cut
+    every WORD covered by a corpus-duplicated ``window``-word span
+    whose first owner is another document; the owner document keeps
+    its copy (first-owner-wins, the same convention as
+    ``LineDeduper``).
+
+    Actor-pool stage holding the broadcast ``duplicate_passages``
+    output (sorted gram hashes + owner ids). Per batch: ONE flat
+    window-hash pass, a ``searchsorted`` membership test, and a
+    difference-array cumsum to turn flagged window starts into
+    per-word coverage — windows never cross document boundaries, so
+    the cumsum cannot bleed between docs. Adds ``n_words``,
+    ``n_removed_words``, ``n_dup_windows`` and the rebuilt
+    ``clean_text`` (Arrow ``binary_join``, no per-row Python)."""
+
+    def __init__(
+        self,
+        dup_hashes,
+        dup_owners,
+        window: int = 32,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+    ):
+        order = np.argsort(np.asarray(dup_hashes, dtype=np.uint64))
+        self.hashes = np.asarray(dup_hashes, dtype=np.uint64)[order]
+        self.owners = np.asarray(dup_owners, dtype=np.int64)[order]
+        self.window = window
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        s = pd.Series(t[self.text_col].to_numpy(zero_copy_only=False), dtype=object).fillna("")
+        ids = t[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(s)
+        h, doc_of, starts, flat_words, lens = _window_hashes_full(s, self.window)
+        total = len(flat_words)
+        covered = np.zeros(total, dtype=bool)
+        n_flagged = np.zeros(n, dtype=np.int64)
+        if len(self.hashes) and len(h):
+            pos = np.clip(np.searchsorted(self.hashes, h), 0, len(self.hashes) - 1)
+            dup = self.hashes[pos] == h
+            rm = dup & (self.owners[pos] != ids[doc_of])
+            if rm.any():
+                st = starts[rm]
+                diff = np.zeros(total + 1, dtype=np.int64)
+                np.add.at(diff, st, 1)
+                np.add.at(diff, st + self.window, -1)
+                covered = np.cumsum(diff[:-1]) > 0
+                n_flagged = np.bincount(doc_of[rm], minlength=n).astype(np.int64)
+        kept = ~covered
+        word_doc = np.repeat(np.arange(n, dtype=np.int64), lens)
+        kept_counts = np.bincount(word_doc[kept], minlength=n).astype(np.int64)
+        offs = pa.array(np.concatenate([[0], np.cumsum(kept_counts)]).astype(np.int32))
+        joined = pa.compute.binary_join(
+            pa.ListArray.from_arrays(
+                offs, pa.array(flat_words[kept], pa.string())
+            ),
+            " ",
+        )
+        t = t.append_column("n_words", pa.array(lens, pa.int64()))
+        t = t.append_column(
+            "n_removed_words", pa.array((lens - kept_counts).astype(np.int64))
+        )
+        t = t.append_column("n_dup_windows", pa.array(n_flagged, pa.int64()))
+        return t.append_column("clean_text", joined)
 
 
 def pack_sequences(

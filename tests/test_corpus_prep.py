@@ -212,3 +212,118 @@ def test_write_and_resume(tmp_path, docs_ds):
     assert res2.vocab is not None and len(res2.vocab) == len(res1.vocab)
     assert res2.packed is not None
     assert res2.packed.count() == res1.packed.count()
+
+
+def test_passage_dedup_removal(docs_ds):
+    """ExactSubstr-style removal: a 6-word passage shared by docs 0/1/2
+    is cut from non-owners; words outside the covered spans survive."""
+    import ray.data
+
+    from opentelemetry_collector_contrib_ray.stages.llmdata import (
+        PassageDeduper,
+        duplicate_passages,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta"
+    # words AROUND the passage differ per doc, so the only duplicated
+    # 6-word window is the passage itself
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                f"start {shared} tailzero zero",
+                f"other opening {shared} tailone one",
+                f"{shared} immediate body two",
+                "completely unrelated text body three here",
+            ],
+            "source": ["s"] * 4,
+        }
+    )
+    ds = ray.data.from_pandas(df)
+    dup = duplicate_passages(ds, window=6, min_docs=2).to_pandas()
+    dd = PassageDeduper(
+        dup["gram_hash"].to_numpy(), dup["min_doc_id"].to_numpy(), window=6
+    )
+    out = dd(
+        pa.table(
+            {
+                "doc_id": pa.array(df.doc_id.to_numpy()),
+                "text": pa.array(df.text.to_numpy(dtype=object), pa.string()),
+            }
+        )
+    ).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    # owner (doc 0) keeps everything
+    assert out.loc[0, "clean_text"] == df.loc[0, "text"]
+    assert out.loc[0, "n_removed_words"] == 0
+    # non-owners lose exactly the shared 6 words
+    assert out.loc[1, "clean_text"] == "other opening tailone one"
+    assert out.loc[1, "n_removed_words"] == 6
+    assert out.loc[2, "clean_text"] == "immediate body two"
+    # untouched doc
+    assert out.loc[3, "n_removed_words"] == 0
+    assert out.loc[3, "clean_text"] == df.loc[3, "text"]
+
+
+def test_passage_dedup_overlapping_windows():
+    """Overlapping flagged windows merge into one covered region (the
+    difference-array path), and coverage never crosses doc bounds."""
+    import ray.data
+
+    from opentelemetry_collector_contrib_ray.stages.llmdata import (
+        PassageDeduper,
+        duplicate_passages,
+    )
+
+    # 8 shared words → three overlapping 6-word dup windows in doc 1
+    shared = "w1 w2 w3 w4 w5 w6 w7 w8"
+    df = pd.DataFrame(
+        {
+            "doc_id": [10, 11],
+            "text": [f"{shared} ownertail", f"pre {shared}"],
+            "source": ["s", "s"],
+        }
+    )
+    ds = ray.data.from_pandas(df)
+    dup = duplicate_passages(ds, window=6, min_docs=2).to_pandas()
+    dd = PassageDeduper(
+        dup["gram_hash"].to_numpy(), dup["min_doc_id"].to_numpy(), window=6
+    )
+    out = (
+        dd(
+            pa.table(
+                {
+                    "doc_id": pa.array(df.doc_id.to_numpy()),
+                    "text": pa.array(df.text.to_numpy(dtype=object), pa.string()),
+                }
+            )
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out.loc[0, "n_removed_words"] == 0  # owner untouched
+    assert out.loc[1, "clean_text"] == "pre"   # merged region removed once
+    assert out.loc[1, "n_removed_words"] == 8
+    assert out.loc[1, "n_dup_windows"] == 3
+
+
+def test_prepare_corpus_passage_stage(docs_ds):
+    import ray.data
+
+    raw = _mk_docs(120)
+    passage = " ".join(f"pp{j}" for j in range(10))
+    m = raw.doc_id % 11 == 0
+    raw.loc[m, "text"] = raw.loc[m, "text"] + " " + passage
+    cfg = PrepConfig(
+        quality=False, pii=False, exact_dedup=False, passage_dedup=True,
+        passage_window=8, split=False, vocab_size=0, pack=False,
+    )
+    res = prepare_corpus(ray.data.from_pandas(raw), cfg)
+    out = res.documents.to_pandas().set_index("doc_id")
+    owner = int(raw.loc[m, "doc_id"].min())
+    assert "pp0" in out.loc[owner, "text"]  # first owner keeps the span
+    for i in raw.loc[m, "doc_id"]:
+        if i != owner:
+            assert "pp3" not in out.loc[i, "text"]
+    assert res.stats["dup_passages"] >= 1
