@@ -4039,6 +4039,178 @@ def _q_llm_ops(sf_dir: str):
                 "v_str": f"{sub.iloc[0]['first_tok']}:{sub.iloc[-1]['last_tok']}",
             }
         )
+    # --- tdedup + tnear legs: token-NATIVE dedup over the corpus
+    # shape (list<int32>), no detokenization anywhere. tdedup injects
+    # exact-duplicate template token arrays (numeric(doc_id) % 13 → 5
+    # templates) and checks that exact_dedup_tokens collapses every
+    # template group to its min-id owner (the oracle groups the
+    # injected LISTS themselves in SQL); tnear injects one-token-
+    # mutated copies of 3 base sequences (% 17, % 3 → group) and
+    # asserts the LSH recall contract: every injected doc shares a
+    # band bucket with another SAME-group doc (deterministic given
+    # the fixed permutation seed — verified at both sf gates).
+    from opentelemetry_collector_contrib_ray.stages.dedup import (
+        exact_dedup_tokens,
+        token_minhash_lsh_groups,
+    )
+    from opentelemetry_collector_contrib_ray.stages.llmdata import _flat_tokens
+
+    def _dnum(ids_obj) -> np.ndarray:
+        return pd.Series(ids_obj, dtype=object).str.slice(4).astype(np.int64).to_numpy()
+
+    def inj_tok(t: pa.Table) -> pa.Table:
+        d = _dnum(t["doc_id"].to_numpy(zero_copy_only=False))
+        vals, offs = _flat_tokens(t, "tokens")
+        lens = np.diff(offs)
+        n = len(d)
+        a_mask = d % 13 == 0
+        b_mask = (~a_mask) & (d % 17 == 0)
+        o_mask = ~(a_mask | b_mask)
+        new_lens = np.where(a_mask, 16, np.where(b_mask, 64, lens)).astype(np.int64)
+        new_off = np.zeros(n + 1, np.int64)
+        np.cumsum(new_lens, out=new_off[1:])
+        out = np.zeros(int(new_off[-1]), np.int64)
+        # originals: scatter each kept row's values to its new offset
+        pos = np.arange(len(vals), dtype=np.int64) - np.repeat(offs[:-1], lens)
+        sel = np.repeat(o_mask, lens)
+        out[np.repeat(new_off[:-1], lens)[sel] + pos[sel]] = vals[sel]
+        # A: 16-token template per t = d % 5
+        if a_mask.any():
+            ta = d[a_mask] % 5
+            a_vals = (ta[:, None] * 7 + np.arange(1, 17, dtype=np.int64)[None, :]).ravel()
+            out[
+                (new_off[:-1][a_mask][:, None] + np.arange(16, dtype=np.int64)[None, :]).ravel()
+            ] = a_vals
+        # B: 64-token base per t2 = d % 3 with ONE position mutated
+        if b_mask.any():
+            t2 = d[b_mask] % 3
+            brows = 100 + t2[:, None] * 3 + ((np.arange(64, dtype=np.int64) * 7) % 50)[None, :]
+            p = d[b_mask] % 64
+            brows[np.arange(len(p)), p] = 3000 + (d[b_mask] % 97)
+            out[
+                (new_off[:-1][b_mask][:, None] + np.arange(64, dtype=np.int64)[None, :]).ravel()
+            ] = brows.ravel()
+        toks = pa.ListArray.from_arrays(
+            pa.array(new_off.astype(np.int32)), pa.array(out.astype(np.int32), pa.int32())
+        )
+        return pa.table({"doc_id": t["doc_id"], "tokens": toks})
+
+    tok_ds = cds.select_columns(["doc_id", "tokens"]).map_batches(
+        inj_tok, batch_format="pyarrow"
+    )
+    tok_total = cds.count()
+    surv = exact_dedup_tokens(tok_ds).to_pandas()
+    surv_d = _dnum(surv["doc_id"])
+    inj_surv = np.sort(surv_d[surv_d % 13 == 0])
+
+    # per-template injected counts, measured over the injected ds
+    def tmpl_counts(t: pa.Table) -> pa.Table:
+        d = _dnum(t["doc_id"].to_numpy(zero_copy_only=False))
+        d = d[d % 13 == 0]
+        c = np.bincount(d % 5, minlength=5).astype(np.int64)
+        mn = np.full(5, np.iinfo(np.int64).max, np.int64)
+        for t5 in range(5):
+            sub = d[d % 5 == t5]
+            if len(sub):
+                mn[t5] = sub.min()
+        return pa.table(
+            {"t": pa.array(np.arange(5, dtype=np.int64)), "c": pa.array(c), "mn": pa.array(mn)}
+        )
+
+    tc = (
+        tok_ds.map_batches(tmpl_counts, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("t")
+        .agg(c=("c", "sum"), mn=("mn", "min"))
+        .reset_index()
+    )
+    tded_rows = [
+        {
+            "leg": "tdedup",
+            "key": "all",
+            "n": np.int64(len(surv)),
+            "n2": np.int64(tok_total - len(surv)),
+            "n3": np.int64(0),
+            "v_str": "",
+        }
+    ]
+    for t5 in range(5):
+        tmpl_surv = inj_surv[inj_surv % 5 == t5]
+        tded_rows.append(
+            {
+                "leg": "tdedup",
+                "key": f"tmpl{t5}",
+                "n": np.int64(tc.loc[tc["t"] == t5, "c"].iloc[0]),
+                "n2": np.int64(tmpl_surv.min()) if len(tmpl_surv) else np.int64(-1),
+                "n3": np.int64(len(tmpl_surv)),  # dedup collapsed → 1
+                "v_str": "",
+            }
+        )
+    tded_rows = pd.DataFrame(tded_rows)
+
+    # tnear: every injected near-dup doc must share a band bucket with
+    # another SAME-t2 doc (recall contract over the LSH groups output)
+    groups = token_minhash_lsh_groups(tok_ds, k=8, num_perm=64, bands=16)
+
+    def b_pairs(t: pa.Table) -> pa.Table:
+        ids_col = t["ids"]
+        la = ids_col.combine_chunks() if isinstance(ids_col, pa.ChunkedArray) else ids_col
+        flat_ids = la.flatten().to_numpy(zero_copy_only=False)
+        counts = np.diff(la.offsets.to_numpy().astype(np.int64))
+        bucket_of = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        d = _dnum(flat_ids)
+        m = (d % 13 != 0) & (d % 17 == 0)
+        d, bucket_of = d[m], bucket_of[m]
+        t2 = d % 3
+        # docs sharing (bucket, t2) with another doc → candidates found
+        order = np.lexsort((d, t2, bucket_of))
+        bb, tt, dd = bucket_of[order], t2[order], d[order]
+        key_change = np.ones(len(bb), bool)
+        key_change[1:] = (bb[1:] != bb[:-1]) | (tt[1:] != tt[:-1])
+        starts = np.flatnonzero(key_change)
+        sizes = np.diff(np.append(starts, len(bb)))
+        in_multi = np.repeat(sizes >= 2, sizes)
+        return pa.table(
+            {
+                "d": pa.array(dd[in_multi]),
+                "t2": pa.array(tt[in_multi]),
+            }
+        )
+
+    found = groups.map_batches(b_pairs, batch_format="pyarrow").to_pandas()
+    found = found.drop_duplicates()
+    n_found = found.groupby("t2")["d"].nunique()
+
+    def b_counts(t: pa.Table) -> pa.Table:
+        d = _dnum(t["doc_id"].to_numpy(zero_copy_only=False))
+        d = d[(d % 13 != 0) & (d % 17 == 0)]
+        return pa.table(
+            {
+                "t2": pa.array(np.arange(3, dtype=np.int64)),
+                "c": pa.array(np.bincount(d % 3, minlength=3).astype(np.int64)),
+            }
+        )
+
+    bc = (
+        tok_ds.map_batches(b_counts, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("t2")["c"]
+        .sum()
+    )
+    tnear_rows = pd.DataFrame(
+        [
+            {
+                "leg": "tnear",
+                "key": f"grp{t2}",
+                "n": np.int64(bc.get(t2, 0)),
+                "n2": np.int64(n_found.get(t2, 0)),
+                "n3": np.int64(1 if n_found.get(t2, 0) == bc.get(t2, 0) else 0),
+                "v_str": "",
+            }
+            for t2 in range(3)
+        ]
+    )
+
     # --- prep leg: the END-TO-END corpus-prep pipeline
     # (pipelines/corpus_prep.prepare_corpus) over its SQL-expressible
     # stage subset: injected exact-duplicate templates (doc_id%31→one
@@ -4160,6 +4332,8 @@ def _q_llm_ops(sf_dir: str):
             split_rows,
             samp_rows,
             tstat_rows,
+            tded_rows,
+            tnear_rows,
             prep_rows,
         ],
         ignore_index=True,
@@ -6000,6 +6174,27 @@ def oracle_sql() -> dict[str, str]:
                 FROM d2pos t
                 LEFT JOIN d2cov c ON c.doc_id = t.doc_id AND c.p = t.p
                 GROUP BY t.doc_id
+            ),
+            -- tdedup/tnear legs: the corpus with injected duplicate
+            -- TOKEN ARRAYS (the oracle groups the lists themselves)
+            t0c AS (
+                SELECT doc_id, tokens,
+                       CAST(SUBSTR(doc_id, 5) AS BIGINT) AS d
+                FROM __CORPUS__
+            ),
+            tinj AS (
+                SELECT doc_id, d,
+                       CASE WHEN d % 13 = 0
+                            THEN list_transform(generate_series(1, 16),
+                                 i -> CAST((d % 5) * 7 + i AS INTEGER))
+                            WHEN d % 17 = 0
+                            THEN list_transform(generate_series(0, 63),
+                                 i -> CAST(CASE WHEN i = d % 64
+                                           THEN 3000 + d % 97
+                                           ELSE 100 + (d % 3) * 3 + (i * 7) % 50
+                                           END AS INTEGER))
+                            ELSE tokens END AS toks
+                FROM t0c
             )
             SELECT 'pii' AS leg, CAST(doc_id AS VARCHAR) AS "key",
                    n_email AS n, n_ip AS n2, n_phone AS n3, txt AS v_str
@@ -6195,6 +6390,26 @@ def oracle_sql() -> dict[str, str]:
                 FROM __CORPUS__,
                      unnest(generate_series(1, len(tokens))) AS t(i)
             ) GROUP BY source
+            UNION ALL
+            -- tdedup: distinct injected token lists = survivors;
+            -- per-template group size / min-id owner / distinct lists
+            SELECT 'tdedup', 'all',
+                   CAST((SELECT COUNT(*) FROM (SELECT DISTINCT toks FROM tinj)) AS BIGINT),
+                   CAST((SELECT COUNT(*) FROM tinj)
+                        - (SELECT COUNT(*) FROM (SELECT DISTINCT toks FROM tinj)) AS BIGINT),
+                   CAST(0 AS BIGINT), ''
+            UNION ALL
+            SELECT 'tdedup', 'tmpl' || CAST(d % 5 AS VARCHAR),
+                   CAST(COUNT(*) AS BIGINT), CAST(MIN(d) AS BIGINT),
+                   CAST(COUNT(DISTINCT toks) AS BIGINT), ''
+            FROM tinj WHERE d % 13 = 0 GROUP BY d % 5
+            UNION ALL
+            -- tnear: LSH recall contract — every injected near-dup
+            -- doc finds a same-group candidate (n2 = n, flag = 1)
+            SELECT 'tnear', 'grp' || CAST(d % 3 AS VARCHAR),
+                   CAST(COUNT(*) AS BIGINT), CAST(COUNT(*) AS BIGINT),
+                   CAST(1 AS BIGINT), ''
+            FROM t0c WHERE d % 13 <> 0 AND d % 17 = 0 GROUP BY d % 3
             UNION ALL
             -- prep leg: the END-TO-END pipeline recomposed in SQL —
             -- injected duplicate templates → Gopher gate → PII chain

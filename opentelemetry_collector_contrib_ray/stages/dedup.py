@@ -166,8 +166,14 @@ class MinHasher:
     # allocation to ~ num_perm × _CHUNK × 8B (≈128 MB at 128 × 128k)
     _CHUNK = 128 * 1024
 
+    def _flat_hashes(self, batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        """Hash source hook: byte shingles over the text column.
+        ``TokenMinHasher`` overrides with token-window hashes so the
+        same signature/LSH machinery runs on pre-tokenized corpora."""
+        return _shingle_hashes_flat(batch[self.text_col], self.k)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        flat_sh, counts = _shingle_hashes_flat(batch[self.text_col], self.k)
+        flat_sh, counts = self._flat_hashes(batch)
         n = len(batch)
         doc_off = _cumsum0(counts)
         sigs = np.empty((n, self.num_perm), dtype=np.uint64)
@@ -225,14 +231,129 @@ def minhash_lsh_groups(
     return _resolve_buckets(exploded, id_col, num_buckets=num_buckets)
 
 
-def _lsh_explode(ds, text_col, id_col, *, k, num_perm, bands):
+_POS_MIX = np.uint64(0x9E3779B97F4A7C15)  # golden-ratio odd constant
+
+
+def _token_window_hashes_flat(
+    t: pa.Table, tokens_col: str, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Every k-TOKEN window hash of a ``list<int32>`` column in one
+    flat pass — the token-native analogue of ``_shingle_hashes_flat``
+    (same output shape: flat uint64 hashes + per-doc counts, short
+    docs zero-padded to one window). Zero-copy from the Arrow list
+    buffers; the window hash is a k-step polynomial fold over the
+    int64 token values (k vector ops total, no per-doc Python)."""
+    from .llmdata import _flat_tokens
+
+    vals, offs = _flat_tokens(t, tokens_col)
+    lens = np.diff(offs)
+    n = len(lens)
+    if n == 0:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    pad = np.clip(k - lens, 0, None)
+    if pad.any():
+        out_off = _cumsum0(lens + pad)
+        out = np.zeros(int(out_off[-1]), dtype=np.int64)
+        pos = np.arange(len(vals), dtype=np.int64) - np.repeat(offs[:-1], lens)
+        out[np.repeat(out_off[:-1], lens) + pos] = vals
+        vals, offs = out, out_off
+        lens = np.diff(offs)
+    n_wins = lens - k + 1
+    starts = np.repeat(offs[:-1], n_wins) + np.concatenate(
+        [np.arange(w, dtype=np.int64) for w in n_wins]
+    ) if n_wins.sum() else np.empty(0, np.int64)
+    u = vals.astype(np.uint64)
+    h = np.zeros(len(starts), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(k):
+            h = splitmix64(h * _POS_MIX + u[starts + j])
+    return h, n_wins.astype(np.int64)
+
+
+class TokenMinHasher(MinHasher):
+    """MinHash signatures over a PRE-TOKENIZED ``list<int32>`` column
+    — the corpus-native shape — by swapping the byte-shingle source
+    for k-token window hashes; permutations, chunking and LSH banding
+    are inherited unchanged from ``MinHasher``."""
+
+    def __init__(self, tokens_col: str = "tokens", k: int = 8, num_perm: int = 64, seed: int = 7):
+        super().__init__(text_col=tokens_col, k=k, num_perm=num_perm, seed=seed)
+
+    def _flat_hashes(self, batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        return _token_window_hashes_flat(batch, self.text_col, self.k)
+
+
+def token_minhash_lsh_groups(
+    ds,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    *,
+    k: int = 8,
+    num_perm: int = 64,
+    bands: int = 16,
+    num_buckets: int = 64,
+):
+    """``minhash_lsh_groups`` over the pre-tokenized corpus shape:
+    identical shuffle plan ((band, hash, id) triples only), token
+    windows instead of byte shingles."""
+    exploded = _lsh_explode(
+        ds, tokens_col, id_col, k=k, num_perm=num_perm, bands=bands,
+        hasher=TokenMinHasher(tokens_col=tokens_col, k=k, num_perm=num_perm),
+    )
+    return _resolve_buckets(exploded, id_col, num_buckets=num_buckets)
+
+
+def exact_dedup_tokens(ds, tokens_col: str = "tokens", id_col: str = "doc_id"):
+    """Token-array exact dedup, first-wins by smallest id: an
+    order-and-position-sensitive 64-bit hash of each document's token
+    sequence (one splitmix pass over the flat values XOR their
+    position mix, summed per doc via ``add.reduceat``), then the same
+    (hash, min-id) bucketed merge as ``exact_dedup`` — the shuffle
+    moves (hash, id) pairs, never token arrays. Hash equality equals
+    sequence equality up to negligible 64-bit collisions (same
+    contract as the text-hash path)."""
+    from .aggregate import bucketed_aggregate
+    from .llmdata import _flat_tokens
+
+    def hash_rows(t: pa.Table) -> pa.Table:
+        vals, offs = _flat_tokens(t, tokens_col)
+        lens = np.diff(offs)
+        pos = np.arange(len(vals), dtype=np.int64) - np.repeat(offs[:-1], lens)
+        with np.errstate(over="ignore"):
+            mixed = splitmix64(
+                vals.astype(np.uint64) ^ (pos.astype(np.uint64) * _POS_MIX)
+            )
+        doc_h = np.zeros(len(lens), dtype=np.uint64)
+        if len(mixed):
+            if (lens > 0).all():
+                doc_h = np.add.reduceat(mixed, offs[:-1])
+            else:
+                # zero-length docs break reduceat segment bounds —
+                # unbuffered scatter-add is exact for any shape
+                doc_of = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+                np.add.at(doc_h, doc_of, mixed)
+        # fold the length in so prefix-sum ties can't collide with
+        # different-length docs whose suffix sums to zero
+        doc_h = splitmix64(doc_h ^ lens.astype(np.uint64))
+        return pa.table(
+            {
+                "content_hash": pa.array(doc_h, pa.uint64()),
+                id_col: t[id_col],
+            }
+        )
+
+    hashed = ds.map_batches(hash_rows, batch_format="pyarrow")
+    return bucketed_aggregate(hashed, ["content_hash"], [(id_col, "min", id_col)])
+
+
+def _lsh_explode(ds, text_col, id_col, *, k, num_perm, bands, hasher=None):
     """minhash → (band_id, band_hash, id) triples Dataset."""
     rows_per_band = num_perm // bands
 
     # instance-as-function → elastic task pool (the permutation params
     # are cheap to build; an actor pool would cap width and pay ramp-up)
     mh = ds.map_batches(
-        MinHasher(text_col=text_col, k=k, num_perm=num_perm),
+        hasher or MinHasher(text_col=text_col, k=k, num_perm=num_perm),
         batch_format="pyarrow",
         # small batches → wide task pool: the kernel is vectorized, so
         # the only reason to batch bigger is amortizing dispatch — and

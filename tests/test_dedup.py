@@ -242,3 +242,70 @@ def test_near_dedup_distributed_cc_matches_driver_cc():
     surv = set(surv_dst["doc_id"].to_pylist())
     assert all(f"d{i:03d}_0" in surv for i in range(12))
     assert not any(f"d{i:03d}_{v}" in surv for i in range(12) for v in (1, 2))
+
+
+class TestTokenDedup:
+    """Token-native dedup over the pre-tokenized list<int32> shape."""
+
+    def _ds(self):
+        import ray.data
+
+        rows = []
+        for i in range(60):
+            if i % 10 == 0:
+                toks = [7, 8, 9, 10, 11, 12, 13, 14]  # exact-dup group
+            else:
+                toks = [int(x) for x in np.arange(20) * 3 + i]
+            rows.append({"doc_id": i, "tokens": toks})
+        import pandas as pd
+
+        return ray.data.from_pandas(pd.DataFrame(rows))
+
+    def test_exact_dedup_tokens(self):
+        from opentelemetry_collector_contrib_ray.stages.dedup import exact_dedup_tokens
+
+        surv = exact_dedup_tokens(self._ds()).to_pandas()
+        ids = set(surv["doc_id"])
+        # the six injected copies collapse to doc 0
+        assert 0 in ids
+        assert not ids & {10, 20, 30, 40, 50}
+        assert len(ids) == 60 - 5
+
+    def test_exact_dedup_tokens_order_and_length_sensitive(self):
+        import ray.data
+        import pandas as pd
+
+        from opentelemetry_collector_contrib_ray.stages.dedup import exact_dedup_tokens
+
+        df = pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2, 3],
+                "tokens": [[1, 2, 3], [3, 2, 1], [1, 2], [1, 2, 3, 0]],
+            }
+        )
+        surv = exact_dedup_tokens(ray.data.from_pandas(df)).to_pandas()
+        assert len(surv) == 4  # permutation / prefix / zero-pad all distinct
+
+    def test_token_minhash_groups_find_near_pair(self):
+        import ray.data
+        import pandas as pd
+
+        from opentelemetry_collector_contrib_ray.stages.dedup import (
+            token_minhash_lsh_groups,
+        )
+
+        base = (np.arange(64) * 5 + 11).astype(int).tolist()
+        near = list(base)
+        near[30] = 9999  # one token changed
+        far = (np.arange(64) * 7 + 3000).astype(int).tolist()
+        df = pd.DataFrame(
+            {"doc_id": [1, 2, 3], "tokens": [base, near, far]}
+        )
+        groups = token_minhash_lsh_groups(
+            ray.data.from_pandas(df), k=8, num_perm=64, bands=16
+        ).to_pandas()
+        together = any(
+            set([1, 2]) <= set(g) for g in groups["ids"] if len(g) >= 2
+        )
+        assert together
+        assert not any(3 in set(g) and len(set(g)) > 1 for g in groups["ids"])
