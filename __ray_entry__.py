@@ -4314,6 +4314,92 @@ def _q_llm_ops(sf_dir: str):
         }
     )
 
+    # --- qbuck leg: CCNet-style quality bucketing (head/middle/tail
+    # terciles from the mergeable quantile sketch — Wenzek et al.
+    # 2020). The score is a tie-free deterministic hash of doc_id, so
+    # the true terciles are uniform and the contracts are tight:
+    # per-bucket mass within the sketch rank-error band (±10% of
+    # corpus), bucket score ranges strictly ordered and aligned with
+    # the boundaries, labels mapped head→0. The 'all' row carries the
+    # SQL-exact partition total (oracle COUNT(*)) and cardinality.
+    from opentelemetry_collector_contrib_ray.stages.llmdata import (
+        quality_buckets,
+        split_hash,
+    )
+
+    def add_score(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column(
+            "score", pa.array(split_hash(d).astype(np.float64))
+        )
+
+    qb_labeled, qb_bounds = quality_buckets(
+        docs.select_columns(["doc_id"]).map_batches(
+            add_score, batch_format="pyarrow"
+        ),
+        "score",
+        n_buckets=3,
+        labels=("head", "middle", "tail"),
+    )
+
+    def qb_partials(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = (
+            df.groupby(["bucket", "bucket_label"], sort=False)["score"]
+            .agg(["count", "min", "max"])
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "bucket": pa.array(g["bucket"].to_numpy(np.int64)),
+                "lbl": pa.array(g["bucket_label"].to_numpy(dtype=object), pa.string()),
+                "cnt": pa.array(g["count"].to_numpy(np.int64)),
+                "mn": pa.array(g["min"].to_numpy(np.float64)),
+                "mx": pa.array(g["max"].to_numpy(np.float64)),
+            }
+        )
+
+    qb = (
+        qb_labeled.map_batches(qb_partials, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(["bucket", "lbl"])
+        .agg(cnt=("cnt", "sum"), mn=("mn", "min"), mx=("mx", "max"))
+        .reset_index()
+        .sort_values("bucket")
+    )
+    qb_total = int(qb["cnt"].sum())
+    monotone = bool(
+        np.all(np.diff(qb_bounds) > 0)
+        and all(
+            qb.iloc[i]["mx"] <= qb_bounds[i] < qb.iloc[i + 1]["mn"]
+            for i in range(len(qb) - 1)
+        )
+    )
+    labels_ok = qb["lbl"].tolist() == ["head", "middle", "tail"]
+    qbuck_rows = pd.DataFrame(
+        [
+            {
+                "leg": "qbuck",
+                "key": "all",
+                "n": np.int64(qb_total),
+                "n2": np.int64(qb["bucket"].nunique()),
+                "n3": np.int64(labels_ok),
+                "v_str": "",
+            }
+        ]
+        + [
+            {
+                "leg": "qbuck",
+                "key": r["lbl"],
+                "n": np.int64(abs(r["cnt"] - qb_total / 3) <= 0.10 * qb_total),
+                "n2": np.int64(monotone),
+                "n3": np.int64(0),
+                "v_str": "",
+            }
+            for _, r in qb.iterrows()
+        ]
+    )
+
     return pd.concat(
         [
             pii,
@@ -4335,6 +4421,7 @@ def _q_llm_ops(sf_dir: str):
             tded_rows,
             tnear_rows,
             prep_rows,
+            qbuck_rows,
         ],
         ignore_index=True,
     )
@@ -6502,6 +6589,19 @@ def oracle_sql() -> dict[str, str]:
                 FROM psp s LEFT JOIN ptk t ON s.doc_id = t.doc_id
                 GROUP BY s.source, s.split
             )
+            UNION ALL
+            -- qbuck: CCNet quality-bucketing contracts. 'all' carries
+            -- the exact partition total + bucket cardinality; the
+            -- per-bucket rows are contract booleans the engine
+            -- verifies against the sketch boundaries (mass within the
+            -- rank-error band, strictly ordered score ranges).
+            SELECT 'qbuck', 'all', CAST(COUNT(*) AS BIGINT),
+                   CAST(3 AS BIGINT), CAST(1 AS BIGINT), ''
+            FROM documents
+            UNION ALL
+            SELECT 'qbuck', lbl, CAST(1 AS BIGINT), CAST(1 AS BIGINT),
+                   CAST(0 AS BIGINT), ''
+            FROM (VALUES ('head'), ('middle'), ('tail')) q(lbl)
         """,
         "sfx_translation": """
             -- closed forms of the 8-rule chain in _q_sfx_translation:

@@ -1099,6 +1099,42 @@ SPLIT_MOD = 1_000_000_007
 SPLIT_MULT = 2_654_435_761  # Knuth's multiplicative constant
 
 
+def quality_buckets(ds, score_col: str, *, n_buckets: int = 3, labels=None, k: int = 256):
+    """CCNet-style quality bucketing (Wenzek et al. 2020 split the
+    corpus into head/middle/tail by LM perplexity terciles): global
+    APPROXIMATE quantile boundaries from ONE mergeable-sketch pass —
+    never a global sort, the classic scale trap for this op — then a
+    stateless labeling pass (``searchsorted`` against the broadcast
+    boundary array). Buckets ascend with score: for perplexity
+    (lower = better) bucket 0 is CCNet's 'head'; for a
+    higher-is-better score pass reversed ``labels``. Returns
+    ``(labeled_ds, boundaries)`` — the Dataset gains ``bucket`` (int8)
+    and ``bucket_label``. A value equal to a boundary belongs to the
+    LOWER bucket (P(X <= q_{1/3}) >= 1/3, the usual quantile closure).
+    Boundary rank error follows the sketch
+    (≈ ≤5% CDF rank at k=256), so each bucket's mass is within ~2×
+    that of 1/n_buckets."""
+    from .sketch import quantiles
+
+    qs = tuple(i / n_buckets for i in range(1, n_buckets))
+    bounds_map = quantiles(ds, score_col, qs=qs, k=k)
+    bounds = np.array([bounds_map[q] for q in qs], np.float64)
+    lab_arr = np.asarray(
+        list(labels) if labels is not None else [f"b{i}" for i in range(n_buckets)],
+        dtype=object,
+    )
+    if len(lab_arr) != n_buckets:
+        raise ValueError(f"need {n_buckets} labels, got {len(lab_arr)}")
+
+    def label(t: pa.Table) -> pa.Table:
+        v = t[score_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        b = np.searchsorted(bounds, v, side="left").astype(np.int8)
+        t = t.append_column("bucket", pa.array(b, pa.int8()))
+        return t.append_column("bucket_label", pa.array(lab_arr[b], pa.string()))
+
+    return ds.map_batches(label, batch_format="pyarrow"), bounds
+
+
 def split_hash(ids: np.ndarray) -> np.ndarray:
     """((id % p) * K) % p over int64 — deterministic, overflow-free in
     both numpy int64 and SQL BIGINT (max intermediate ~2.65e18)."""

@@ -735,3 +735,61 @@ class TestBigramLm:
         exp0 = (2 * math.log(p_hit) + math.log((1 - lam) * p_uni_a)
                 + math.log((1 - lam) * p_oovw)) / 4
         assert abs(out.loc[0, "mean_bigram_logprob"] - exp0) < 1e-12
+
+
+class TestQualityBuckets:
+    """CCNet-style head/middle/tail bucketing (quality_buckets)."""
+
+    def test_tercile_masses_monotone_and_labels(self, ray_session):
+        from opentelemetry_collector_contrib_ray.stages.llmdata import (
+            quality_buckets,
+            split_hash,
+        )
+
+        n = 3000
+        ids = np.arange(n, dtype=np.int64)
+        score = split_hash(ids).astype(np.float64)  # tie-free pseudo-uniform
+        ds = ray.data.from_arrow(
+            pa.table({"doc_id": ids, "score": score})
+        ).repartition(6)
+        labeled, bounds = quality_buckets(
+            ds, "score", n_buckets=3, labels=("head", "middle", "tail")
+        )
+        df = labeled.to_pandas()
+        assert len(bounds) == 2 and bounds[0] < bounds[1]
+        g = df.groupby("bucket").agg(
+            cnt=("score", "count"),
+            mn=("score", "min"),
+            mx=("score", "max"),
+            lbl=("bucket_label", "first"),
+        )
+        assert list(g.index) == [0, 1, 2]
+        assert g["lbl"].tolist() == ["head", "middle", "tail"]
+        # masses within the sketch rank-error band (±10% of corpus @k=256)
+        assert (abs(g["cnt"] - n / 3) <= 0.10 * n).all()
+        assert g["cnt"].sum() == n
+        # bucket score ranges strictly ordered and consistent with bounds
+        # (a value equal to a bound belongs to the LOWER bucket)
+        assert g.loc[0, "mx"] <= bounds[0] < g.loc[1, "mn"]
+        assert g.loc[1, "mx"] <= bounds[1] < g.loc[2, "mn"]
+        # stateless labeling: rows keep their identity
+        back = df.set_index("doc_id")["score"]
+        assert np.allclose(back.loc[ids].to_numpy(), score)
+
+    def test_exact_when_fits_one_block(self, ray_session):
+        from opentelemetry_collector_contrib_ray.stages.llmdata import quality_buckets
+
+        vals = np.arange(1.0, 10.0)  # 1..9 → terciles at 3 and 6
+        ds = ray.data.from_arrow(pa.table({"score": vals}))
+        labeled, bounds = quality_buckets(ds, "score", n_buckets=3)
+        df = labeled.to_pandas()
+        assert bounds.tolist() == [3.0, 6.0]
+        assert df.groupby("bucket")["score"].count().tolist() == [3, 3, 3]
+        assert sorted(df["bucket_label"].unique()) == ["b0", "b1", "b2"]
+
+    def test_label_count_validated(self, ray_session):
+        from opentelemetry_collector_contrib_ray.stages.llmdata import quality_buckets
+
+        ds = ray.data.from_arrow(pa.table({"score": np.arange(10.0)}))
+        with pytest.raises(ValueError):
+            quality_buckets(ds, "score", n_buckets=3, labels=("only", "two"))
