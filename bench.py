@@ -84,6 +84,44 @@ def host_control() -> float:
     return round(time.perf_counter() - t0, 2)
 
 
+def _par_probe_task(_i: int) -> float:
+    import numpy as np
+
+    a = np.random.default_rng(1).random((1200, 1200))
+    t0 = time.perf_counter()
+    for _ in range(3):
+        a = a @ a
+        a /= np.abs(a).max()
+    return time.perf_counter() - t0
+
+
+def host_control_parallel(nproc: int = 8) -> dict:
+    """Multi-core co-tenant probe: ``nproc`` spawned processes each run
+    the same fixed single-thread matmul (OMP_NUM_THREADS=1 is set in
+    this environment). The single-thread control above is blind to a
+    co-tenant that holds most cores but leaves one free — observed on
+    this VM as clean 1-thread brackets around a run whose 32-wide
+    stages ran 3-5× their floors. On a quiet host wall ≈ max task time
+    + spawn overhead (speedup → nproc); under wide co-tenant load wall
+    inflates and speedup collapses. Returns {'wall_s', 'task_med_s',
+    'speedup'} where speedup = Σ task times / wall."""
+    import concurrent.futures as cf
+    import multiprocessing as mp
+
+    with cf.ProcessPoolExecutor(
+        nproc, mp_context=mp.get_context("spawn")
+    ) as ex:
+        list(ex.map(abs, range(nproc)))  # spawn+import outside the window
+        t0 = time.perf_counter()
+        times = sorted(ex.map(_par_probe_task, range(nproc)))
+        wall = time.perf_counter() - t0
+    return {
+        "wall_s": round(wall, 2),
+        "task_med_s": round(times[len(times) // 2], 2),
+        "speedup": round(sum(times) / wall, 2),
+    }
+
+
 def prepare_corpus(n_rows: int) -> str:
     """Generate (once, idempotent) + warm the page cache with one read."""
     from opentelemetry_collector_contrib_ray.sources.synth import write_synth_corpus
@@ -132,6 +170,7 @@ def run_bench() -> dict:
     import ray
 
     control_start = host_control()
+    control_par_start = host_control_parallel()
     ray.init(
         address="local",
         num_cpus=NUM_CPUS,
@@ -209,6 +248,8 @@ def run_bench() -> dict:
     ray.shutdown()
     result["control_start_s"] = control_start
     result["control_end_s"] = host_control()
+    result["control_par_start"] = control_par_start
+    result["control_par_end"] = host_control_parallel()
     return result
 
 
@@ -286,6 +327,7 @@ def run_scaling() -> dict:
     sf = _sf()
     n_rows = scaling_rows(sf)
     control_start = host_control()
+    control_par_start = host_control_parallel()
     prepare_corpus(n_rows)  # generate once before either child
 
     def child(ncpu: int) -> dict:
@@ -340,6 +382,8 @@ def run_scaling() -> dict:
         "rows": n_rows,
         "control_start_s": control_start,
         "control_end_s": host_control(),
+        "control_par_start": control_par_start,
+        "control_par_end": host_control_parallel(),
     }
 
 
