@@ -4211,6 +4211,97 @@ def _q_llm_ops(sf_dir: str):
         ]
     )
 
+    # --- tqual leg: token-native Gopher repetition signals over the
+    # pre-tokenized corpus (no detokenization): per-doc distinct token
+    # ids, distinct adjacent bigrams, longest single-token run, token
+    # and bigram counts. The engine runs flat-buffer lexsort/reduceat
+    # kernels; the oracle re-derives all five by exploding the lists
+    # (list_distinct, COUNT(DISTINCT a*V+b), gaps-and-islands max run).
+    from opentelemetry_collector_contrib_ray.stages.llmdata import (
+        token_repetition_stats,
+    )
+
+    tq = (
+        token_repetition_stats(
+            cds.select_columns(["doc_id", "tokens"]), vocab_size=VOCAB_SIZE
+        )
+        .select_columns(
+            ["doc_id", "n_tok", "n_distinct_tok", "n_bigrams",
+             "n_distinct_bigrams", "max_run"]
+        )
+        .to_pandas()
+    )
+    tqual_rows = pd.DataFrame(
+        {
+            "leg": "tqual",
+            "key": tq["doc_id"],
+            "n": tq["n_distinct_tok"].astype(np.int64),
+            "n2": tq["n_distinct_bigrams"].astype(np.int64),
+            "n3": tq["max_run"].astype(np.int64),
+            "v_str": tq["n_tok"].astype(np.int64).astype(str)
+            + ":"
+            + tq["n_bigrams"].astype(np.int64).astype(str),
+        }
+    )
+
+    # --- tdecon leg: token-NATIVE test-set decontamination (GPT-3
+    # appendix C over token ids). Eval set = the 8-token span
+    # tokens[3:11] of every d % 37 == 0 corpus doc with ≥11 tokens;
+    # the engine scans window HASHES (shared polynomial kernel +
+    # broadcast sorted table) while the oracle joins window STRINGS
+    # (array_to_string slices) — different algorithms, same answer.
+    # Compared on the d % 7 == 0 slice to bound the oracle's
+    # window-string explosion.
+    from opentelemetry_collector_contrib_ray.stages.llmdata import (
+        TokenDecontaminator,
+        build_eval_token_grams,
+    )
+
+    def ev_tok(t: pa.Table) -> pa.Table:
+        d = _dnum(t["doc_id"].to_numpy(zero_copy_only=False))
+        vals, offs = _flat_tokens(t, "tokens")
+        lens = np.diff(offs)
+        idx = np.flatnonzero((d % 37 == 0) & (lens >= 11))
+        if len(idx):
+            spans = vals[
+                offs[:-1][idx][:, None] + np.arange(3, 11, dtype=np.int64)[None, :]
+            ].astype(np.int32)
+        else:
+            spans = np.empty((0, 8), np.int32)
+        offs2 = np.arange(len(idx) + 1, dtype=np.int32) * 8
+        return pa.table(
+            {
+                "span": pa.ListArray.from_arrays(
+                    pa.array(offs2), pa.array(spans.ravel(), pa.int32())
+                )
+            }
+        )
+
+    ev_spans = [
+        np.asarray(r["span"], np.int32)
+        for r in cds.select_columns(["doc_id", "tokens"])
+        .map_batches(ev_tok, batch_format="pyarrow")
+        .take_all()
+    ]
+    tgrams = build_eval_token_grams(ev_spans, n=8)
+    td = (
+        cds.select_columns(["doc_id", "tokens"])
+        .map_batches(TokenDecontaminator(tgrams, n=8), batch_format="pyarrow")
+        .select_columns(["doc_id", "contaminated", "n_contam_windows", "n_windows"])
+        .to_pandas()
+    )
+    td = td[_dnum(td["doc_id"]) % 7 == 0]
+    tdecon_rows = pd.DataFrame(
+        {
+            "leg": "tdecon",
+            "key": td["doc_id"],
+            "n": td["contaminated"].astype(np.int64),
+            "n2": td["n_contam_windows"].astype(np.int64),
+            "n3": td["n_windows"].astype(np.int64),
+            "v_str": "",
+        }
+    )
+
     # --- prep leg: the END-TO-END corpus-prep pipeline
     # (pipelines/corpus_prep.prepare_corpus) over its SQL-expressible
     # stage subset: injected exact-duplicate templates (doc_id%31→one
@@ -4420,6 +4511,8 @@ def _q_llm_ops(sf_dir: str):
             tstat_rows,
             tded_rows,
             tnear_rows,
+            tqual_rows,
+            tdecon_rows,
             prep_rows,
             qbuck_rows,
         ],
@@ -6497,6 +6590,71 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT), CAST(COUNT(*) AS BIGINT),
                    CAST(1 AS BIGINT), ''
             FROM t0c WHERE d % 13 <> 0 AND d % 17 = 0 GROUP BY d % 3
+            UNION ALL
+            -- tqual: token-native Gopher repetition signals, re-derived
+            -- by exploding the lists: distinct ids (list_distinct),
+            -- distinct adjacent bigrams (a*50257+b), longest
+            -- single-token run (gaps-and-islands), token/bigram counts
+            SELECT 'tqual', c.doc_id,
+                   CAST(len(list_distinct(c.tokens)) AS BIGINT),
+                   CAST(COALESCE(db.nb, 0) AS BIGINT),
+                   CAST(COALESCE(mr.m, 0) AS BIGINT),
+                   CAST(len(c.tokens) AS VARCHAR) || ':'
+                       || CAST(GREATEST(len(c.tokens) - 1, 0) AS VARCHAR)
+            FROM t0c c
+            LEFT JOIN (
+                SELECT doc_id,
+                       COUNT(DISTINCT CAST(tokens[i] AS BIGINT) * 50257
+                             + CAST(tokens[i + 1] AS BIGINT)) AS nb
+                FROM t0c,
+                     unnest(generate_series(1, len(tokens) - 1)) AS t(i)
+                GROUP BY doc_id
+            ) db ON c.doc_id = db.doc_id
+            LEFT JOIN (
+                -- run LENGTHS as gaps between run-START positions
+                -- (i = 1 or value change); one LEAD per doc partition
+                -- beats ROW_NUMBER per (doc, token) partition ~30x
+                SELECT doc_id, MAX(nxt - i) AS m FROM (
+                    SELECT doc_id, i,
+                           LEAD(i, 1, maxlen + 1) OVER (
+                               PARTITION BY doc_id ORDER BY i) AS nxt
+                    FROM (
+                        SELECT doc_id, i, len(tokens) AS maxlen
+                        FROM t0c,
+                             unnest(generate_series(1, len(tokens))) AS t(i)
+                        WHERE i = 1 OR tokens[i] <> tokens[i - 1]
+                    )
+                ) GROUP BY doc_id
+            ) mr ON c.doc_id = mr.doc_id
+            UNION ALL
+            -- tdecon: token-native decontamination — the oracle joins
+            -- window STRINGS (the engine scans window hashes): eval =
+            -- tokens[4:11] of d % 37 = 0 docs with >= 11 tokens; a
+            -- d % 7 = 0 doc is contaminated when any 8-token window
+            -- string matches an eval string
+            SELECT 'tdecon', c.doc_id,
+                   CAST(CASE WHEN COALESCE(h.nh, 0) > 0
+                        THEN 1 ELSE 0 END AS BIGINT),
+                   CAST(COALESCE(h.nh, 0) AS BIGINT),
+                   CAST(GREATEST(len(c.tokens) - 7, 0) AS BIGINT), ''
+            FROM t0c c
+            LEFT JOIN (
+                SELECT tw.did AS doc_id, CAST(COUNT(*) AS BIGINT) AS nh
+                FROM (
+                    SELECT doc_id AS did,
+                           array_to_string(tokens[i:i + 7], ' ') AS w
+                    FROM t0c,
+                         unnest(generate_series(1, len(tokens) - 7)) AS t(i)
+                    WHERE d % 7 = 0
+                ) tw
+                JOIN (
+                    SELECT DISTINCT array_to_string(tokens[4:11], ' ') AS w
+                    FROM t0c
+                    WHERE d % 37 = 0 AND len(tokens) >= 11
+                ) ev ON tw.w = ev.w
+                GROUP BY tw.did
+            ) h ON c.doc_id = h.doc_id
+            WHERE c.d % 7 = 0
             UNION ALL
             -- prep leg: the END-TO-END pipeline recomposed in SQL —
             -- injected duplicate templates → Gopher gate → PII chain

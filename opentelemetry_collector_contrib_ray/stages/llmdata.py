@@ -1500,3 +1500,158 @@ class BigramScorer:
         ]:
             t = t.append_column(name, pa.array(arr, typ))
         return t
+
+
+def token_repetition_stats(
+    ds,
+    *,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    vocab_size: int,
+):
+    """Gopher-style repetition signals computed TOKEN-natively over the
+    pre-tokenized ``list<int32>`` corpus shape (Rae et al. 2021 §A1.1
+    measure repetition on words/lines; on a tokenized corpus the same
+    signals come straight off the token stream, no detokenization):
+    per doc — token count, distinct token ids, adjacent-bigram count,
+    distinct adjacent bigrams (key ``a * vocab_size + b``, exact for
+    ids < vocab_size), and the longest run of one repeated token id
+    (``max_run``; catches pathological pad/newline floods).
+
+    Purely row-local → one ``map_batches`` pass on the flat Arrow list
+    buffers; distinct-per-doc via one lexsort over (doc, value) pairs
+    and run detection via change-point indices — no per-doc Python.
+    Returns a Dataset with the five stat columns appended."""
+
+    def stats(t: pa.Table) -> pa.Table:
+        vals, offs = _flat_tokens(t, tokens_col)
+        lens = np.diff(offs)
+        n = len(lens)
+        doc_of = np.repeat(np.arange(n, dtype=np.int64), lens)
+        # distinct token ids per doc: sort (doc, val) pairs, count group
+        # changes per doc
+        if len(vals):
+            order = np.lexsort((vals, doc_of))
+            dv, vv = doc_of[order], vals[order]
+            new = np.ones(len(vv), bool)
+            new[1:] = (dv[1:] != dv[:-1]) | (vv[1:] != vv[:-1])
+            n_distinct = np.bincount(dv[new], minlength=n).astype(np.int64)
+        else:
+            n_distinct = np.zeros(n, np.int64)
+        # adjacent bigrams: positions whose successor is in the same doc
+        last_pos = offs[1:] - 1  # last flat index of each non-empty doc
+        valid = np.ones(len(vals), bool)
+        valid[last_pos[lens > 0]] = False
+        if valid.any():
+            # pair (i, i+1) is in-doc when position i is not a doc-last
+            pair_mask = valid[:-1] if len(vals) > 1 else np.empty(0, bool)
+            keys = vals[:-1][pair_mask] * vocab_size + vals[1:][pair_mask]
+            pdoc = doc_of[:-1][pair_mask]
+            order = np.lexsort((keys, pdoc))
+            dk, kk = pdoc[order], keys[order]
+            new = np.ones(len(kk), bool)
+            new[1:] = (dk[1:] != dk[:-1]) | (kk[1:] != kk[:-1])
+            n_dis_big = np.bincount(dk[new], minlength=n).astype(np.int64)
+        else:
+            n_dis_big = np.zeros(n, np.int64)
+        n_bigrams = np.maximum(lens - 1, 0)
+        # longest run of a single token id per doc: change points at doc
+        # boundaries or value changes → run lengths via diff of starts
+        if len(vals):
+            change = np.ones(len(vals), bool)
+            change[1:] = (vals[1:] != vals[:-1]) | (doc_of[1:] != doc_of[:-1])
+            starts = np.flatnonzero(change)
+            run_len = np.diff(np.append(starts, len(vals)))
+            run_doc = doc_of[starts]
+            # runs are doc-contiguous → reduceat over per-doc run spans
+            first_run = np.ones(len(starts), bool)
+            first_run[1:] = run_doc[1:] != run_doc[:-1]
+            span_starts = np.flatnonzero(first_run)
+            max_per_present = np.maximum.reduceat(run_len, span_starts)
+            max_run = np.zeros(n, np.int64)
+            max_run[run_doc[span_starts]] = max_per_present
+        else:
+            max_run = np.zeros(n, np.int64)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "n_tok": pa.array(lens),
+                "n_distinct_tok": pa.array(n_distinct),
+                "n_bigrams": pa.array(n_bigrams),
+                "n_distinct_bigrams": pa.array(n_dis_big),
+                "max_run": pa.array(max_run),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
+def build_eval_token_grams(token_lists, n: int = 8) -> np.ndarray:
+    """Token-native analogue of ``build_eval_grams``: hash every
+    n-TOKEN window of the held-out token sequences with the SAME
+    polynomial window kernel the train-side scan uses
+    (``stages/dedup._token_window_hashes_flat``), so membership is
+    exact by construction. Sequences shorter than ``n`` contribute
+    nothing. Returns a sorted unique uint64 array to broadcast with
+    ``ray.put``."""
+    from .dedup import _token_window_hashes_flat  # lazy: avoid cycle
+
+    keep = [np.asarray(t, dtype=np.int32) for t in token_lists
+            if len(t) >= n]
+    if not keep:
+        return np.array([], dtype=np.uint64)
+    offs = np.zeros(len(keep) + 1, np.int32)
+    np.cumsum([len(t) for t in keep], out=offs[1:])
+    tbl = pa.table(
+        {
+            "tokens": pa.ListArray.from_arrays(
+                pa.array(offs), pa.array(np.concatenate(keep), pa.int32())
+            )
+        }
+    )
+    h, _ = _token_window_hashes_flat(tbl, "tokens", n)
+    return np.sort(np.unique(h))
+
+
+class TokenDecontaminator:
+    """GPT-3-style test-set decontamination over the PRE-TOKENIZED
+    corpus shape (Brown et al. 2020 appendix C, on token ids instead
+    of words): flag a training document when ANY of its n-token
+    windows appears in the held-out set's window table.
+
+    Actor-pool stage: the sorted uint64 window-hash table is held once
+    per actor (pass a ``ray.put`` handle); ``__call__`` runs one
+    strided window-hash pass per batch (the shared
+    ``_token_window_hashes_flat`` kernel) and an ``np.isin``
+    membership. Adds ``contaminated`` (bool), ``n_contam_windows`` and
+    ``n_windows`` (= max(len - n + 1, 0); docs shorter than ``n`` have
+    zero windows and are never flagged)."""
+
+    def __init__(self, eval_grams: np.ndarray, n: int = 8, tokens_col: str = "tokens"):
+        self.grams = np.asarray(eval_grams, dtype=np.uint64)
+        self.n = n
+        self.tokens_col = tokens_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from .dedup import _token_window_hashes_flat  # lazy: avoid cycle
+
+        h, n_wins = _token_window_hashes_flat(t, self.tokens_col, self.n)
+        vals_lens = _flat_tokens(t, self.tokens_col)[1]
+        lens = np.diff(vals_lens)
+        real = np.maximum(lens - self.n + 1, 0)
+        if len(h) and len(self.grams):
+            hit = np.isin(h, self.grams)
+            win_offs = np.zeros(len(n_wins) + 1, np.int64)
+            np.cumsum(n_wins, out=win_offs[1:])
+            hits = np.add.reduceat(hit, win_offs[:-1]) if len(hit) else np.zeros(
+                len(n_wins), np.int64
+            )
+            hits = np.where(n_wins > 0, hits, 0)
+        else:
+            hits = np.zeros(len(lens), np.int64)
+        # the kernel zero-pads short docs to one window — those windows
+        # are synthetic; a doc with no REAL window is never contaminated
+        hits = np.where(real > 0, hits, 0).astype(np.int64)
+        t = t.append_column("contaminated", pa.array(hits > 0))
+        t = t.append_column("n_contam_windows", pa.array(hits))
+        return t.append_column("n_windows", pa.array(real.astype(np.int64)))

@@ -793,3 +793,97 @@ class TestQualityBuckets:
         ds = ray.data.from_arrow(pa.table({"score": np.arange(10.0)}))
         with pytest.raises(ValueError):
             quality_buckets(ds, "score", n_buckets=3, labels=("only", "two"))
+
+
+def _tok_table(lists):
+    offs = np.zeros(len(lists) + 1, np.int32)
+    np.cumsum([len(x) for x in lists], out=offs[1:])
+    flat = np.concatenate([np.asarray(x, np.int32) for x in lists]) if any(
+        len(x) for x in lists
+    ) else np.array([], np.int32)
+    return pa.table(
+        {
+            "doc_id": pa.array([f"d{i}" for i in range(len(lists))], pa.string()),
+            "tokens": pa.ListArray.from_arrays(pa.array(offs), pa.array(flat, pa.int32())),
+        }
+    )
+
+
+class TestTokenRepetitionStats:
+    def test_counts_runs_and_boundaries(self, ray_session):
+        from opentelemetry_collector_contrib_ray.stages.llmdata import (
+            token_repetition_stats,
+        )
+
+        lists = [
+            [1, 1, 1, 2, 2, 3],      # runs 3/2/1, bigrams 5, distinct big 4
+            [7],                      # single token: no bigrams, run 1
+            [],                       # empty doc
+            [5, 5, 5, 5],             # one run of 4, bigram (5,5) x3 distinct 1
+            [1, 2, 1, 2, 1],          # alternating: max_run 1, distinct big 2
+        ]
+        out = (
+            token_repetition_stats(
+                ray.data.from_arrow(_tok_table(lists)), vocab_size=100
+            )
+            .to_pandas()
+            .set_index("doc_id")
+        )
+        assert out.loc["d0"].tolist() == [6, 3, 5, 4, 3]
+        assert out.loc["d1"].tolist() == [1, 1, 0, 0, 1]
+        assert out.loc["d2"].tolist() == [0, 0, 0, 0, 0]
+        assert out.loc["d3"].tolist() == [4, 1, 3, 1, 4]
+        assert out.loc["d4"].tolist() == [5, 2, 4, 2, 1]
+
+    def test_no_cross_doc_bigrams_or_runs(self, ray_session):
+        from opentelemetry_collector_contrib_ray.stages.llmdata import (
+            token_repetition_stats,
+        )
+
+        # d0 ends with 9, d1 starts with 9 — the 9|9 pair and the 9-run
+        # must NOT leak across the boundary
+        out = (
+            token_repetition_stats(
+                ray.data.from_arrow(_tok_table([[1, 9], [9, 9, 2]])), vocab_size=10
+            )
+            .to_pandas()
+            .set_index("doc_id")
+        )
+        assert out.loc["d0", "n_distinct_bigrams"] == 1  # 1|9 only
+        assert out.loc["d0", "max_run"] == 1
+        assert out.loc["d1", "max_run"] == 2
+
+
+class TestTokenDecontamination:
+    def test_flags_exact_token_windows(self, ray_session):
+        from opentelemetry_collector_contrib_ray.stages.llmdata import (
+            TokenDecontaminator,
+            build_eval_token_grams,
+        )
+
+        ev = build_eval_token_grams([[10, 11, 12, 13]], n=4)
+        lists = [
+            [1, 2, 10, 11, 12, 13, 5],  # contains the span once
+            [10, 11, 12, 14],           # near miss
+            [10, 11, 12, 13, 10, 11, 12, 13],  # twice
+            [10, 11],                   # shorter than n → never flagged
+            [],
+        ]
+        out = (
+            ray.data.from_arrow(_tok_table(lists))
+            .map_batches(TokenDecontaminator(ev, n=4), batch_format="pyarrow")
+            .to_pandas()
+            .set_index("doc_id")
+        )
+        assert out["contaminated"].tolist() == [True, False, True, False, False]
+        assert out["n_contam_windows"].tolist() == [1, 0, 2, 0, 0]
+        assert out["n_windows"].tolist() == [4, 1, 5, 0, 0]
+
+    def test_short_eval_sequences_dropped(self):
+        from opentelemetry_collector_contrib_ray.stages.llmdata import (
+            build_eval_token_grams,
+        )
+
+        assert len(build_eval_token_grams([[1, 2], [3]], n=4)) == 0
+        g = build_eval_token_grams([[1, 2, 3, 4], [1, 2, 3, 4]], n=4)
+        assert len(g) == 1  # deduped
