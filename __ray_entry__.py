@@ -4302,6 +4302,37 @@ def _q_llm_ops(sf_dir: str):
         }
     )
 
+    # --- shuf leg: deterministic seeded global shuffle into training
+    # shards, checked through the ACTUAL writer path: the manifest
+    # write_training_shards returns (per-shard count, id sum, first and
+    # last id in shuffled read order) must equal the oracle's BIGINT
+    # closed forms (shard = rank % 16, rank = ((id+seed)%p)*K%p,
+    # first/last via arg_min/arg_max over the tie-free rank).
+    import shutil as _sh
+    import tempfile as _tf
+
+    from opentelemetry_collector_contrib_ray.stages.llmdata import (
+        write_training_shards,
+    )
+
+    shuf_dir = _tf.mkdtemp(prefix="otelray_shuf_")
+    try:
+        man = write_training_shards(
+            docs.select_columns(["doc_id"]), shuf_dir, n_shards=16, seed=7
+        )
+    finally:
+        _sh.rmtree(shuf_dir, ignore_errors=True)
+    shuf_rows = pd.DataFrame(
+        {
+            "leg": "shuf",
+            "key": "sh" + man["shard"].astype(np.int64).astype(str),
+            "n": man["n_rows"].astype(np.int64),
+            "n2": man["id_sum"].astype(np.int64),
+            "n3": man["first_id"].astype(np.int64),
+            "v_str": man["last_id"],
+        }
+    )
+
     # --- prep leg: the END-TO-END corpus-prep pipeline
     # (pipelines/corpus_prep.prepare_corpus) over its SQL-expressible
     # stage subset: injected exact-duplicate templates (doc_id%31→one
@@ -4513,6 +4544,7 @@ def _q_llm_ops(sf_dir: str):
             tnear_rows,
             tqual_rows,
             tdecon_rows,
+            shuf_rows,
             prep_rows,
             qbuck_rows,
         ],
@@ -6747,6 +6779,21 @@ def oracle_sql() -> dict[str, str]:
                 FROM psp s LEFT JOIN ptk t ON s.doc_id = t.doc_id
                 GROUP BY s.source, s.split
             )
+            UNION ALL
+            -- shuf: seeded shard shuffle closed forms — shard and
+            -- read order derive from the same BIGINT-safe
+            -- multiplicative hash the engine uses (seed 7, 16 shards)
+            SELECT 'shuf', 'sh' || CAST(r % 16 AS VARCHAR),
+                   CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(doc_id) AS BIGINT),
+                   CAST(arg_min(doc_id, r) AS BIGINT),
+                   CAST(arg_max(doc_id, r) AS VARCHAR)
+            FROM (
+                SELECT doc_id,
+                       ((doc_id + 7) % 1000000007) * 2654435761
+                           % 1000000007 AS r
+                FROM documents
+            ) GROUP BY r % 16
             UNION ALL
             -- qbuck: CCNet quality-bucketing contracts. 'all' carries
             -- the exact partition total + bucket cardinality; the

@@ -1655,3 +1655,90 @@ class TokenDecontaminator:
         t = t.append_column("contaminated", pa.array(hits > 0))
         t = t.append_column("n_contam_windows", pa.array(hits))
         return t.append_column("n_windows", pa.array(real.astype(np.int64)))
+
+
+def shard_hash(ids: np.ndarray, seed: int = 0) -> np.ndarray:
+    """Seeded shuffle rank: ``(((id + seed) % p) * K) % p`` over int64 —
+    uniform pseudo-random, deterministic, overflow-free in both numpy
+    int64 and SQL BIGINT (same closed form as ``split_hash``)."""
+    return (((ids + np.int64(seed)) % SPLIT_MOD) * SPLIT_MULT) % SPLIT_MOD
+
+
+def shuffle_shards(ds, id_col: str = "doc_id", *, n_shards: int = 64, seed: int = 0):
+    """Deterministic seeded GLOBAL SHUFFLE into training shards — the
+    last stage of a training-data pipeline. Every row gets
+    ``shuffle_rank`` (a pseudo-random but closed-form function of its
+    id + seed) and ``shard = shuffle_rank % n_shards``; reading shards
+    in order, each sorted by rank, is a uniform permutation of the
+    corpus for any seed.
+
+    Scale shape: ``ds.random_shuffle()`` materializes a random
+    permutation of every block through one giant all-to-all; this is
+    ONE stateless labeling pass — the only exchange is the bucketed
+    write keyed on shard (``write_training_shards``), and re-shuffling
+    for a new epoch is just a new seed, no data movement. Numeric ids
+    use the SQL-expressible multiplicative hash; string ids fall back
+    to the 64-bit string hash."""
+
+    def lab(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        if np.issubdtype(ids.dtype, np.number):
+            r = shard_hash(ids.astype(np.int64), seed)
+        else:
+            from .._util import hash_str_u64, splitmix64
+
+            r = (
+                splitmix64(hash_str_u64(ids) + np.uint64(seed))
+                >> np.uint64(1)
+            ).astype(np.int64)
+        t = t.append_column("shard", pa.array((r % n_shards).astype(np.int32)))
+        return t.append_column("shuffle_rank", pa.array(r))
+
+    return ds.map_batches(lab, batch_format="pyarrow")
+
+
+def write_training_shards(
+    ds, out_dir: str, id_col: str = "doc_id", *, n_shards: int = 64, seed: int = 0
+):
+    """Shuffle (``shuffle_shards``) and write one Parquet file per
+    shard, rows sorted by (shuffle_rank, id) — the resumable training
+    layout: a failed run re-runs only shards whose final file is
+    missing (writes are tmp + atomic rename, so no partial final file
+    ever exists). Per-shard ``map_groups`` here IS the bucketed
+    pattern — key cardinality equals the shard count, which is sized
+    like a bucket count (≳ cluster cores; each shard ≈ N/n_shards rows
+    must fit a worker). Returns the manifest as pandas: shard, n_rows,
+    id_sum (numeric ids), first/last id in read order, skipped."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    labeled = shuffle_shards(ds, id_col, n_shards=n_shards, seed=seed)
+
+    def write_one(g: pd.DataFrame) -> pd.DataFrame:
+        sh = int(g["shard"].iloc[0])
+        g = g.sort_values(["shuffle_rank", id_col], kind="mergesort")
+        body = g.drop(columns=["shard"])
+        path = os.path.join(out_dir, f"shard-{sh:05d}.parquet")
+        skipped = os.path.exists(path)
+        if not skipped:
+            tmp = path + f".tmp-{os.getpid()}"
+            pq.write_table(
+                pa.Table.from_pandas(body, preserve_index=False), tmp
+            )
+            os.replace(tmp, path)
+        ids = g[id_col]
+        numeric = pd.api.types.is_numeric_dtype(ids)
+        return pd.DataFrame(
+            {
+                "shard": [sh],
+                "n_rows": [len(g)],
+                "id_sum": [int(ids.sum()) if numeric else 0],
+                "first_id": [str(ids.iloc[0])],
+                "last_id": [str(ids.iloc[-1])],
+                "skipped": [skipped],
+            }
+        )
+
+    return labeled.groupby("shard").map_groups(write_one).to_pandas()

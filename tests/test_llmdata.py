@@ -887,3 +887,70 @@ class TestTokenDecontamination:
         assert len(build_eval_token_grams([[1, 2], [3]], n=4)) == 0
         g = build_eval_token_grams([[1, 2, 3, 4], [1, 2, 3, 4]], n=4)
         assert len(g) == 1  # deduped
+
+
+class TestShuffleShards:
+    def test_deterministic_uniform_permutation(self, ray_session):
+        from opentelemetry_collector_contrib_ray.stages.llmdata import (
+            shard_hash,
+            shuffle_shards,
+        )
+
+        n = 4000
+        ids = np.arange(n, dtype=np.int64)
+        ds = ray.data.from_arrow(pa.table({"doc_id": ids})).repartition(5)
+        df = shuffle_shards(ds, n_shards=16, seed=3).to_pandas()
+        # closed-form rank and shard
+        r = shard_hash(ids, 3)
+        exp = pd.DataFrame({"doc_id": ids, "r": r, "shard": r % 16})
+        got = df.set_index("doc_id")
+        assert (got.loc[ids, "shuffle_rank"].to_numpy() == r).all()
+        assert (got.loc[ids, "shard"].to_numpy() == r % 16).all()
+        # balanced within a loose band
+        cnt = df["shard"].value_counts()
+        assert len(cnt) == 16 and cnt.min() > (n / 16) * 0.6
+        # a different seed produces a different permutation
+        df2 = shuffle_shards(ds, n_shards=16, seed=4).to_pandas()
+        assert not (
+            df2.set_index("doc_id")["shuffle_rank"].loc[ids].to_numpy() == r
+        ).all()
+
+    def test_writer_sorted_resumable(self, ray_session, tmp_path):
+        from opentelemetry_collector_contrib_ray.stages.llmdata import (
+            write_training_shards,
+        )
+
+        ids = np.arange(500, dtype=np.int64)
+        ds = ray.data.from_arrow(
+            pa.table({"doc_id": ids, "payload": ids * 2})
+        ).repartition(4)
+        out = str(tmp_path / "shards")
+        m1 = write_training_shards(ds, out, n_shards=8, seed=1).sort_values("shard")
+        assert len(m1) == 8 and not m1["skipped"].any()
+        assert m1["n_rows"].sum() == 500 and m1["id_sum"].sum() == ids.sum()
+        # every shard file sorted by rank; union of files = input
+        import pyarrow.parquet as pq
+
+        seen = []
+        for sh in m1["shard"]:
+            t = pq.read_table(f"{out}/shard-{sh:05d}.parquet").to_pandas()
+            assert t["shuffle_rank"].is_monotonic_increasing
+            assert (t["payload"] == t["doc_id"] * 2).all()
+            seen.append(t["doc_id"])
+        assert sorted(pd.concat(seen)) == list(ids)
+        # resume: second run skips every shard, identical manifest
+        m2 = write_training_shards(ds, out, n_shards=8, seed=1).sort_values("shard")
+        assert m2["skipped"].all()
+        assert (m2["n_rows"].to_numpy() == m1["n_rows"].to_numpy()).all()
+        assert (m2["first_id"].to_numpy() == m1["first_id"].to_numpy()).all()
+
+    def test_string_ids_supported(self, ray_session, tmp_path):
+        from opentelemetry_collector_contrib_ray.stages.llmdata import (
+            write_training_shards,
+        )
+
+        ds = ray.data.from_arrow(
+            pa.table({"doc_id": [f"d{i}" for i in range(40)]})
+        )
+        m = write_training_shards(ds, str(tmp_path / "s"), n_shards=4, seed=0)
+        assert m["n_rows"].sum() == 40 and (m["id_sum"] == 0).all()
