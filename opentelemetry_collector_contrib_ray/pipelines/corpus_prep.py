@@ -10,6 +10,7 @@ describe the same skeleton):
     → MinHash near-dedup → test-set decontamination
     → train/valid/test split → tokenize (top-V vocab)
     → sequence packing → partitioned Parquet write
+    → seeded global shuffle into training shards (optional)
 
 Every stage is optional and independently configurable so the same
 composition serves both a full prep run and the SQL-mirrorable subset
@@ -88,6 +89,10 @@ class PrepConfig:
     seq_len: int = 2048
     pack: bool = True                 # pack per (source, split)
     pack_emit_tokens: bool = True     # False → chunk STATS only
+    # --- training-shard shuffle (writes out_dir/shards; needs out_dir)
+    shard_shuffle: bool = False       # seeded global shuffle of packed chunks
+    n_shards: int = 64
+    shuffle_seed: int = 0
     # --- execution
     drop_broadcast_max: int = 5_000_000
     materialize_intermediate: bool = True
@@ -101,6 +106,7 @@ class PrepResult:
     vocab: pd.DataFrame | None        # top-V (word, c) in id order
     stats: dict = field(default_factory=dict)
     out_dir: str | None = None
+    shards: pd.DataFrame | None = None  # shard-writer manifest (shard_shuffle)
 
 
 PACK_GROUP_SEP = "\x1f"  # NUL-free (pandas StringHashTable truncates at NUL)
@@ -501,7 +507,38 @@ def prepare_corpus(ds, cfg: PrepConfig | None = None, out_dir: str | None = None
             )
         if vocab is not None:
             vocab.to_parquet(os.path.join(out_dir, "vocab.parquet"))
+
+    # ---- stage 8: seeded global shuffle of packed chunks into
+    # training shards (the training-layout last mile; per-shard files
+    # are themselves resumable independently of the _done marker)
+    shards = None
+    if cfg.shard_shuffle and packed is not None:
+        if not out_dir:
+            raise ValueError("shard_shuffle requires out_dir")
+        from ..stages.llmdata import write_training_shards
+
+        def add_chunk_uid(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            uid = pc.binary_join_element_wise(
+                pc.cast(batch["pack_group"], pa.string()),
+                pc.cast(batch["chunk_id"], pa.string()),
+                ":",
+            )
+            return batch.append_column("_chunk_uid", uid)
+
+        shards = write_training_shards(
+            packed.map_batches(add_chunk_uid, batch_format="pyarrow"),
+            os.path.join(out_dir, "shards"),
+            id_col="_chunk_uid",
+            n_shards=cfg.n_shards,
+            seed=cfg.shuffle_seed,
+        )
+        stats["shard_rows"] = int(shards["n_rows"].sum())
+        stats["shards_skipped"] = int(shards["skipped"].sum())
+
+    if out_dir:
         with open(os.path.join(out_dir, "_done.json"), "w") as f:
             json.dump(stats, f)
 
-    return PrepResult(docs, packed, vocab, stats, out_dir)
+    return PrepResult(docs, packed, vocab, stats, out_dir, shards)

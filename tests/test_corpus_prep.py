@@ -327,3 +327,42 @@ def test_prepare_corpus_passage_stage(docs_ds):
         if i != owner:
             assert "pp3" not in out.loc[i, "text"]
     assert res.stats["dup_passages"] >= 1
+
+
+def test_shard_shuffle_stage(tmp_path, docs_ds):
+    import os
+
+    import pyarrow.parquet as pq
+
+    out = str(tmp_path / "prep_shuf")
+    cfg = PrepConfig(vocab_size=40, seq_len=32, shard_shuffle=True, n_shards=4, shuffle_seed=2)
+    res = prepare_corpus(docs_ds, cfg, out_dir=out)
+    assert res.shards is not None
+    n_packed = res.packed.count()
+    assert res.shards["n_rows"].sum() == n_packed == res.stats["shard_rows"]
+    files = sorted(os.listdir(os.path.join(out, "shards")))
+    assert files == [f"shard-{int(s):05d}.parquet" for s in sorted(res.shards["shard"])]
+    # each shard file is rank-sorted and the union covers every chunk
+    uids = []
+    for f in files:
+        t = pq.read_table(os.path.join(out, "shards", f)).to_pandas()
+        assert t["shuffle_rank"].is_monotonic_increasing
+        uids.append(t["_chunk_uid"])
+    all_uids = pd.concat(uids)
+    assert len(all_uids) == n_packed and all_uids.is_unique
+
+    # a different seed permutes chunks into different shards
+    out2 = str(tmp_path / "prep_shuf2")
+    cfg2 = PrepConfig(vocab_size=40, seq_len=32, shard_shuffle=True, n_shards=4, shuffle_seed=3)
+    res2 = prepare_corpus(docs_ds, cfg2, out_dir=out2)
+    m1 = res.shards.sort_values("shard")["n_rows"].tolist()
+    m2 = res2.shards.sort_values("shard")["n_rows"].tolist()
+    first1 = res.shards.sort_values("shard")["first_id"].tolist()
+    first2 = res2.shards.sort_values("shard")["first_id"].tolist()
+    assert (m1 != m2) or (first1 != first2)
+
+    # shard_shuffle without out_dir is an explicit error
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        prepare_corpus(docs_ds, cfg, out_dir=None)
