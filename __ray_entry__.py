@@ -4302,6 +4302,40 @@ def _q_llm_ops(sf_dir: str):
         }
     )
 
+    # --- clf leg: model-based quality filtering — linear classifier
+    # over hashed bag-of-words features (GPT-3 appendix A LR filter /
+    # CCNet fastText). Deterministic integer weights stand in for the
+    # learned vector (identical pipeline shape: broadcast weights,
+    # flat bucket pass, per-doc scatter-add); per-doc integer score /
+    # keep flag / word count re-derived exactly in SQL from the same
+    # first/last-codepoint+length bucket mix.
+    from opentelemetry_collector_contrib_ray.stages.llmdata import (
+        HashedQualityClassifier,
+        default_clf_weights,
+    )
+
+    clf = (
+        docs.select_columns(["doc_id", "text"])
+        .map_batches(
+            HashedQualityClassifier,
+            batch_format="pyarrow",
+            fn_constructor_args=(default_clf_weights(),),
+            concurrency=(1, 8),
+        )
+        .select_columns(["doc_id", "clf_score", "clf_keep", "n_words"])
+        .to_pandas()
+    )
+    clf_rows = pd.DataFrame(
+        {
+            "leg": "clf",
+            "key": clf["doc_id"].astype(str),
+            "n": clf["clf_score"].astype(np.int64),
+            "n2": clf["clf_keep"].astype(np.int64),
+            "n3": clf["n_words"].astype(np.int64),
+            "v_str": "",
+        }
+    )
+
     # --- shuf leg: deterministic seeded global shuffle into training
     # shards, checked through the ACTUAL writer path: the manifest
     # write_training_shards returns (per-shard count, id sum, first and
@@ -4544,6 +4578,7 @@ def _q_llm_ops(sf_dir: str):
             tnear_rows,
             tqual_rows,
             tdecon_rows,
+            clf_rows,
             shuf_rows,
             prep_rows,
             qbuck_rows,
@@ -6779,6 +6814,29 @@ def oracle_sql() -> dict[str, str]:
                 FROM psp s LEFT JOIN ptk t ON s.doc_id = t.doc_id
                 GROUP BY s.source, s.split
             )
+            UNION ALL
+            -- clf: hashed-feature linear quality classifier — the
+            -- oracle recomputes bucket (first/last codepoint + length
+            -- mix % 64), the closed-form weight ((b*37)%21 - 10) and
+            -- the per-doc integer score
+            SELECT 'clf', CAST(d.doc_id AS VARCHAR),
+                   CAST(COALESCE(sc.s, 0) AS BIGINT),
+                   CAST(CASE WHEN COALESCE(sc.s, 0) > 0
+                        THEN 1 ELSE 0 END AS BIGINT),
+                   CAST(COALESCE(sc.nw, 0) AS BIGINT), ''
+            FROM documents d
+            LEFT JOIN (
+                SELECT doc_id,
+                       SUM((((unicode(w[1:1]) * 31 + length(w) * 3
+                              + unicode(w[-1:])) % 64) * 37) % 21 - 10) AS s,
+                       COUNT(*) AS nw
+                FROM (
+                    SELECT doc_id,
+                           unnest(list_filter(string_split(text, ' '),
+                                  x -> x <> '')) AS w
+                    FROM documents
+                ) GROUP BY doc_id
+            ) sc ON d.doc_id = sc.doc_id
             UNION ALL
             -- shuf: seeded shard shuffle closed forms — shard and
             -- read order derive from the same BIGINT-safe

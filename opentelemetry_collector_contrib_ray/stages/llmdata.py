@@ -1742,3 +1742,82 @@ def write_training_shards(
         )
 
     return labeled.groupby("shard").map_groups(write_one).to_pandas()
+
+
+QUALITY_CLF_BUCKETS = 64
+
+
+def _unigram_buckets(s: pd.Series) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Hashed unigram features per document: ``(bucket, doc_index,
+    n_words)`` for every non-empty word. Same SQL-expressible mix
+    family as ``_dsir_bigram_buckets`` (first/last code point +
+    length, so a DuckDB oracle recomputes buckets exactly); swap in
+    ``hash_str_u64`` for production corpora."""
+    words = s.str.split(" ")
+    raw_lens = (
+        words.str.len().to_numpy(dtype=np.int64) if len(s) else np.empty(0, np.int64)
+    )
+    n_docs = len(s)
+    if raw_lens.sum() == 0:
+        return (
+            np.empty(0, np.int64),
+            np.empty(0, np.int64),
+            np.zeros(n_docs, np.int64),
+        )
+    flat_all = np.concatenate([np.asarray(w, dtype=object) for w in words.to_numpy()])
+    doc_all = np.repeat(np.arange(n_docs, dtype=np.int64), raw_lens)
+    keep = flat_all != ""
+    flat, doc_of = flat_all[keep], doc_all[keep]
+    n_words = np.bincount(doc_of, minlength=n_docs).astype(np.int64)
+    fs = pd.Series(flat)
+    first_cp = np.array(fs.str.slice(0, 1).tolist(), dtype="U1").view(np.uint32).astype(np.int64)
+    last_cp = np.array(fs.str.slice(-1).tolist(), dtype="U1").view(np.uint32).astype(np.int64)
+    wlen = fs.str.len().to_numpy(dtype=np.int64)
+    b = (first_cp * 31 + wlen * 3 + last_cp) % QUALITY_CLF_BUCKETS
+    return b, doc_of, n_words
+
+
+def default_clf_weights() -> np.ndarray:
+    """Deterministic stand-in weight vector (``((j*37) % 21) - 10`` per
+    bucket — ints in [-10, 10], SQL closed form). A real deployment
+    broadcasts learned weights instead; the pipeline shape is
+    identical."""
+    j = np.arange(QUALITY_CLF_BUCKETS, dtype=np.int64)
+    return (j * 37) % 21 - 10
+
+
+class HashedQualityClassifier:
+    """Model-based quality filtering as a linear classifier over
+    hashed bag-of-words features — the fastText/logistic-regression
+    quality gate of the GPT-3 / CCNet / FineWeb pipelines (Brown et
+    al. 2020 appendix A filter docs by a trained LR over hashed
+    features; CCNet uses a fastText linear model). The WEIGHT VECTOR
+    broadcasts once per actor (``ray.put`` handle or constructor arg);
+    each batch runs one flat bucket pass + one scatter-add per doc.
+
+    Adds ``clf_score`` (Σ weights[bucket(word)] — int64 when the
+    weights are integer, so an SQL oracle matches exactly),
+    ``clf_prob`` (sigmoid of the length-normalized score) and
+    ``clf_keep`` (score > 0)."""
+
+    def __init__(self, weights: np.ndarray, *, bias: float = 0.0, text_col: str = "text"):
+        w = np.asarray(weights)
+        if len(w) != QUALITY_CLF_BUCKETS:
+            raise ValueError(f"need {QUALITY_CLF_BUCKETS} weights, got {len(w)}")
+        self.w = w
+        self.bias = bias
+        self.text_col = text_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        s = pd.Series(t[self.text_col].to_numpy(zero_copy_only=False), dtype=object).fillna("")
+        b, doc_of, n_words = _unigram_buckets(s)
+        integral = np.issubdtype(self.w.dtype, np.integer)
+        score = np.zeros(len(s), np.int64 if integral else np.float64)
+        if len(b):
+            np.add.at(score, doc_of, self.w[b])
+        z = score / np.maximum(n_words, 1) + self.bias
+        prob = 1.0 / (1.0 + np.exp(-z))
+        t = t.append_column("clf_score", pa.array(score))
+        t = t.append_column("clf_prob", pa.array(prob, pa.float64()))
+        t = t.append_column("clf_keep", pa.array(score > 0))
+        return t.append_column("n_words", pa.array(n_words))

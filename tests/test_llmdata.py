@@ -954,3 +954,48 @@ class TestShuffleShards:
         )
         m = write_training_shards(ds, str(tmp_path / "s"), n_shards=4, seed=0)
         assert m["n_rows"].sum() == 40 and (m["id_sum"] == 0).all()
+
+
+class TestHashedQualityClassifier:
+    def test_scores_match_hand_computation(self):
+        from opentelemetry_collector_contrib_ray.stages.llmdata import (
+            QUALITY_CLF_BUCKETS,
+            HashedQualityClassifier,
+            default_clf_weights,
+        )
+
+        w = default_clf_weights()
+
+        def bucket(word):
+            return (ord(word[0]) * 31 + len(word) * 3 + ord(word[-1])) % QUALITY_CLF_BUCKETS
+
+        texts = ["hello brave new world", "a  b", "", "héllo wörld"]
+        out = HashedQualityClassifier(w)(
+            pa.table({"text": pa.array(texts, pa.string())})
+        ).to_pandas()
+        for i, txt in enumerate(texts):
+            words = [x for x in txt.split(" ") if x]
+            exp = sum(int(w[bucket(x)]) for x in words)
+            assert out.loc[i, "clf_score"] == exp
+            assert out.loc[i, "n_words"] == len(words)
+            assert out.loc[i, "clf_keep"] == (exp > 0)
+        # prob is a sigmoid of the length-normalized score
+        import math
+
+        words0 = [x for x in texts[0].split(" ") if x]
+        z = out.loc[0, "clf_score"] / len(words0)
+        assert out.loc[0, "clf_prob"] == pytest.approx(1 / (1 + math.exp(-z)))
+
+    def test_float_weights_and_validation(self):
+        from opentelemetry_collector_contrib_ray.stages.llmdata import (
+            QUALITY_CLF_BUCKETS,
+            HashedQualityClassifier,
+        )
+
+        wf = np.linspace(-1, 1, QUALITY_CLF_BUCKETS)
+        out = HashedQualityClassifier(wf, bias=0.5)(
+            pa.table({"text": ["x y z"]})
+        ).to_pandas()
+        assert out["clf_score"].dtype == np.float64
+        with pytest.raises(ValueError):
+            HashedQualityClassifier(np.ones(3))
