@@ -228,8 +228,16 @@ class QuantileSketch:
         return float(v[np.searchsorted(cum, target, side="left").clip(0, len(v) - 1)])
 
 
-def quantiles(ds, value_col: str, qs=(0.5, 0.9, 0.99), *, k: int = 256):
-    """Approximate global quantiles: one sketch per batch, driver merge."""
+def quantiles(
+    ds, value_col: str, qs=(0.5, 0.9, 0.99), *, k: int = 256, fan_in: int = 32
+):
+    """Approximate global quantiles: one sketch per batch, TREE merge.
+
+    The per-batch sketches coalesce into ``fan_in`` partitions and
+    merge distributedly before the driver merges the ``fan_in``
+    survivors — at 10^6-block scale the driver sees 32 sketches, not
+    one per block (mergeability is exactly the sketch's guarantee, so
+    the tree changes nothing about the answer's error bound)."""
 
     def per_batch(batch: pa.Table) -> pa.Table:
         import pickle
@@ -239,9 +247,23 @@ def quantiles(ds, value_col: str, qs=(0.5, 0.9, 0.99), *, k: int = 256):
         )
         return pa.table({"sketch": pa.array([pickle.dumps(sk)], pa.binary())})
 
+    def merge_batch(batch: pa.Table) -> pa.Table:
+        import pickle
+
+        out = None
+        for raw in batch["sketch"].to_pylist():
+            sk = pickle.loads(raw)
+            out = sk if out is None else out.merge(sk)
+        return pa.table({"sketch": pa.array([pickle.dumps(out)], pa.binary())})
+
     import pickle
 
-    parts = ds.map_batches(per_batch, batch_format="pyarrow").take_all()
+    parts = (
+        ds.map_batches(per_batch, batch_format="pyarrow")
+        .repartition(fan_in)
+        .map_batches(merge_batch, batch_format="pyarrow", batch_size=None)
+        .take_all()
+    )
     merged = None
     for prt in parts:
         sk = pickle.loads(prt["sketch"])
