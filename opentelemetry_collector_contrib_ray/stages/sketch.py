@@ -88,9 +88,12 @@ class HllSketch:
         return cls(p, np.frombuffer(b[1:], dtype=np.uint8).copy())
 
 
-def hll_distinct(ds, key_cols, value_col: str, *, p: int = 12):
+def hll_distinct(ds, key_cols, value_col: str, *, p: int = 12, fan_in: int = 32):
     """Approximate distinct(value) per key tuple: one HLL per
-    (key, batch), driver merge (sketches are ~4 KB each)."""
+    (key, batch), then a TREE merge — per-batch sketches coalesce into
+    ``fan_in`` partitions and merge per key distributedly, so the
+    driver sees ``fan_in × keys`` sketches (~4 KB each) instead of one
+    per block (20 GB at 10^6 blocks × 5 keys)."""
     key_cols = list(key_cols)
 
     def per_batch(batch: pa.Table) -> pa.Table:
@@ -109,10 +112,29 @@ def hll_distinct(ds, key_cols, value_col: str, *, p: int = 12):
             {**{c: pa.array(rows[c]) for c in key_cols}, "sketch": pa.array(rows["sketch"], pa.binary())}
         )
 
-    parts = pa.concat_tables(
-        ds.map_batches(per_batch, batch_format="pyarrow").iter_batches(
-            batch_format="pyarrow", batch_size=None
+    def merge_keyed(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        rows = {c: [] for c in key_cols}
+        rows["sketch"] = []
+        for keys, g in df.groupby(key_cols, dropna=False, sort=False):
+            keys = keys if isinstance(keys, tuple) else (keys,)
+            sk = None
+            for raw in g["sketch"]:
+                s = HllSketch.deserialize(raw)
+                sk = s if sk is None else sk.merge(s)
+            for c, kv in zip(key_cols, keys):
+                rows[c].append(kv)
+            rows["sketch"].append(sk.serialize())
+        return pa.table(
+            {**{c: pa.array(rows[c]) for c in key_cols},
+             "sketch": pa.array(rows["sketch"], pa.binary())}
         )
+
+    parts = pa.concat_tables(
+        ds.map_batches(per_batch, batch_format="pyarrow")
+        .repartition(fan_in)
+        .map_batches(merge_keyed, batch_format="pyarrow", batch_size=None)
+        .iter_batches(batch_format="pyarrow", batch_size=None)
     ).to_pandas()
     merged: dict = {}
     for _, row in parts.iterrows():
@@ -289,41 +311,57 @@ def _mg_compress(items: np.ndarray, counts: np.ndarray, k: int):
     return items[keep], dec[keep]
 
 
-def heavy_hitters(ds, value_col: str, *, k: int = 16):
+def heavy_hitters(ds, value_col: str, *, k: int = 16, fan_in: int = 32):
     """Distributed Misra-Gries heavy hitters over ``value_col``.
 
     Per batch: exact value counts (np.unique — a batch is bounded) are
-    compressed to a k-entry MG summary, so each task ships at most k
-    (item, weight) pairs regardless of batch cardinality. The driver
-    merges ``num_blocks × k`` tiny partials (sum per item, one final
-    compress) — never rows. Returns ``(DataFrame(item, est), n_total)``
-    with the standard guarantee: every item whose true frequency
-    exceeds ``n_total/(k+1)`` is present, and
-    ``true - n_total/(k+1) <= est <= true``."""
+    compressed to a k-entry MG summary, so each task ships at most
+    k+1 (item, weight) pairs regardless of batch cardinality (a
+    null-item row carries the batch's row count even when the summary
+    compresses to zero entries — e.g. an all-distinct batch). The
+    partials TREE-merge through ``fan_in`` coalesced partitions (sum
+    per item + re-compress, the mergeable-summaries rule), so the
+    driver sees ``fan_in × (k+1)`` rows, not one summary per block.
+    Returns ``(DataFrame(item, est), n_total)`` with the standard
+    guarantee: every item whose true frequency exceeds ``n_total/(k+1)``
+    is present, and ``true - n_total/(k+1) <= est <= true``."""
+
+    def _summary_table(items, counts, bn: int) -> pa.Table:
+        # None-item carrier row keeps the row-count contribution alive
+        # even when the MG summary is empty
+        return pa.table(
+            {
+                "item": pa.array(list(items) + [None], pa.string()),
+                "w": pa.array(np.r_[counts, 0].astype(np.int64)),
+                "bn": pa.array(
+                    np.r_[np.zeros(len(items), np.int64), bn], type=pa.int64()
+                ),
+            }
+        )
 
     def per_batch(batch: pa.Table) -> pa.Table:
         vals = batch[value_col].to_numpy(zero_copy_only=False)
         items, counts = np.unique(vals.astype(str), return_counts=True)
         items, counts = _mg_compress(items, counts.astype(np.int64), k)
-        return pa.table(
-            {
-                "item": pa.array(items.astype(object), pa.string()),
-                "w": pa.array(counts.astype(np.int64)),
-                "n": pa.array(np.full(len(items), len(vals), np.int64))
-                if len(items)
-                else pa.array([], pa.int64()),
-                "bn": pa.array(
-                    np.r_[len(vals), np.zeros(max(len(items) - 1, 0), np.int64)]
-                    if len(items)
-                    else [],
-                    type=pa.int64(),
-                ),
-            }
-        )
+        return _summary_table(items, counts, len(vals))
 
-    parts = ds.map_batches(per_batch, batch_format="pyarrow").to_pandas()
+    def merge_partials(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        bn = int(df["bn"].sum())
+        g = df.dropna(subset=["item"]).groupby("item", sort=False)["w"].sum()
+        items, counts = _mg_compress(
+            g.index.to_numpy(dtype=object), g.to_numpy(np.int64), k
+        )
+        return _summary_table(items, counts, bn)
+
+    parts = (
+        ds.map_batches(per_batch, batch_format="pyarrow")
+        .repartition(fan_in)
+        .map_batches(merge_partials, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+    )
     n_total = int(parts["bn"].sum())
-    merged = parts.groupby("item", sort=False)["w"].sum()
+    merged = parts.dropna(subset=["item"]).groupby("item", sort=False)["w"].sum()
     items, counts = _mg_compress(
         merged.index.to_numpy(dtype=object), merged.to_numpy(np.int64), k
     )

@@ -139,3 +139,22 @@ class TestBloomFilter:
         b = BloomFilter(1 << 12, 4).add(np.array(["z"], dtype=object))
         one = BloomFilter(1 << 12, 4).add(np.array(["x", "y", "z"], dtype=object))
         assert np.array_equal(a.merge(b).words, one.words)
+
+
+def test_heavy_hitters_all_distinct_batches_keep_row_count(ray_session):
+    # every batch compresses to an EMPTY MG summary (all counts equal),
+    # which used to drop the batch's row-count contribution; the
+    # null-item carrier row must keep n_total exact
+    import ray
+
+    from opentelemetry_collector_contrib_ray.stages.sketch import heavy_hitters
+
+    vals = [f"v{i}" for i in range(200)] + ["hot"] * 50
+    ds = ray.data.from_pandas(pd.DataFrame({"v": vals})).repartition(8)
+    out, n_total = heavy_hitters(ds, "v", k=16)
+    assert n_total == 250
+    # the one true heavy hitter (50 > 250/17) must surface with the
+    # standard MG bound: true - n/(k+1) <= est <= true
+    hot = out[out["item"] == "hot"]
+    assert len(hot) == 1
+    assert 50 - 250 / 17 <= hot["est"].iloc[0] <= 50
