@@ -84,6 +84,12 @@ def host_control() -> float:
     return round(time.perf_counter() - t0, 2)
 
 
+def _par_probe_warm(_i: int) -> int:
+    import numpy as np  # pay the import before the timed window
+
+    return int(np.zeros(1)[0])
+
+
 def _par_probe_task(_i: int) -> float:
     import numpy as np
 
@@ -111,7 +117,7 @@ def host_control_parallel(nproc: int = 8) -> dict:
     with cf.ProcessPoolExecutor(
         nproc, mp_context=mp.get_context("spawn")
     ) as ex:
-        list(ex.map(abs, range(nproc)))  # spawn+import outside the window
+        list(ex.map(_par_probe_warm, range(nproc)))  # spawn+import outside
         t0 = time.perf_counter()
         times = sorted(ex.map(_par_probe_task, range(nproc)))
         wall = time.perf_counter() - t0
@@ -321,16 +327,44 @@ def run_headline_steady(ncpu: int) -> dict:
     }
 
 
+def wait_for_quiet(budget_s: float, taskmed_max: float = 0.9) -> list:
+    """Quiet-gate: probe the multi-core co-tenant before a measurement
+    and wait (probe → sleep 45 s → probe …) until the probe's median
+    task time drops under ``taskmed_max`` or the budget runs out.
+    Returns the probe log either way — a contaminated run that
+    proceeded anyway carries the evidence."""
+    log = []
+    deadline = time.monotonic() + budget_s
+    while True:
+        p = host_control_parallel()
+        log.append(p)
+        if p["task_med_s"] <= taskmed_max or time.monotonic() >= deadline:
+            return log
+        time.sleep(45)
+
+
 def run_scaling() -> dict:
     """The identical job at N and 4N CPUs in fresh processes →
-    throughput at both + scaling efficiency (target ≥ 0.8)."""
+    throughput at both + scaling efficiency (target ≥ 0.8).
+
+    OTELRAY_SCALING_CPUS="lo,hi" picks the pair (default "4,16").
+    Under a WIDE co-tenant prefer "2,8": both legs then fit in the
+    host's free capacity, so the 4x ratio measures the engine, not
+    the co-tenant. OTELRAY_QUIET_WAIT_S > 0 probes before each child
+    and waits up to that many seconds for the multi-core probe to
+    clear."""
     sf = _sf()
     n_rows = scaling_rows(sf)
     control_start = host_control()
     control_par_start = host_control_parallel()
     prepare_corpus(n_rows)  # generate once before either child
 
+    quiet_budget = float(os.environ.get("OTELRAY_QUIET_WAIT_S", "0"))
+    probe_log: list = []
+
     def child(ncpu: int) -> dict:
+        if quiet_budget > 0:
+            probe_log.append({"before_cpus": ncpu, "probes": wait_for_quiet(quiet_budget)})
         env = dict(os.environ, GRAFT_SF_DIR=SF_DIR)
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--headline-steady", str(ncpu)],
@@ -341,11 +375,14 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = 4, 16  # N and 4N; both under the 32 physical cores so the
-    # measurement reflects engine scaling, not host SMT saturation.
-    # Two interleaved rounds per level, best time per level: the host VM
-    # shows minute-scale noise (identical runs vary ~1.5x), and best-of
-    # recovers each level's steady-state capability.
+    lo, hi = (
+        int(x) for x in os.environ.get("OTELRAY_SCALING_CPUS", "4,16").split(",")
+    )
+    # both under the 32 physical cores so the measurement reflects
+    # engine scaling, not host SMT saturation. Two interleaved rounds
+    # per level, best time per level: the host VM shows minute-scale
+    # noise (identical runs vary ~1.5x), and best-of recovers each
+    # level's steady-state capability.
     rounds = int(os.environ.get("OTELRAY_SCALING_ROUNDS", "2"))
     runs_lo, runs_hi = [], []
     for _ in range(rounds):
@@ -384,6 +421,7 @@ def run_scaling() -> dict:
         "control_end_s": host_control(),
         "control_par_start": control_par_start,
         "control_par_end": host_control_parallel(),
+        "quiet_probe_log": probe_log,
     }
 
 
