@@ -4787,16 +4787,33 @@ def _q_gauge_last_write(sf_dir: str):
 
 
 def _q_join_orders_customers(sf_dir: str):
-    """Large-large partitioned hash join (orders ⋈ customer on custkey)
-    + broadcast join to nation, then grouped rollup — the engine's
-    relational capability beyond the reference's broadcast-only lookups
-    (SURVEY §2.7)."""
+    """Relational-join suite, three oracle legs (SURVEY §2.7 — the
+    reference has no relational joins; this is the engine's general
+    capability):
+
+    * 'hash' — large-large partitioned hash join (orders ⋈ customer on
+      custkey) + broadcast join to nation, grouped rollup;
+    * 'asof' — distributed AS-OF self-join (stages/join.asof_join):
+      each event matched to the same user's strictly-previous event
+      (co-partition by user, per-bucket merge_asof); the oracle is
+      DuckDB's native ASOF JOIN — an independent implementation;
+    * 'range' — interval join (stages/join.range_join): order prices
+      matched into per-priority VARIABLE-width brackets
+      (width = 15000 + 2000·priority-digit, intervals [i·w, (i+1)·w));
+      the oracle is closed-form FLOOR(price/width) math.
+    """
+    import pandas as pd
     import pyarrow.parquet as pq
 
-    from opentelemetry_collector_contrib_ray.stages.aggregate import two_phase_agg
+    from opentelemetry_collector_contrib_ray.stages.aggregate import (
+        bucketed_aggregate,
+        two_phase_agg,
+    )
     from opentelemetry_collector_contrib_ray.stages.join import (
+        asof_join,
         broadcast_join,
         bucketed_hash_join,
+        range_join,
     )
 
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
@@ -4810,8 +4827,140 @@ def _q_join_orders_customers(sf_dir: str):
         os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
     ).rename_columns(["c_nationkey", "nation"])
     enriched = broadcast_join(joined, nat, "c_nationkey", how="left")
-    out = two_phase_agg(enriched, ["nation"], {"o_totalprice": ["sum"]})
-    return _round_cols(out, {"o_totalprice_sum": 4})
+    hj = two_phase_agg(enriched, ["nation"], {"o_totalprice": ["sum"]}).to_pandas()
+    hash_rows = pd.DataFrame(
+        {
+            "leg": "hash",
+            "key": hj["nation"],
+            "n": hj["count"].astype(np.int64),
+            "n2": np.int64(0),
+            "val": np.round(hj["o_totalprice_sum"].astype(np.float64), 4),
+        }
+    )
+
+    # --- asof leg: previous event per user (strict), events vs the
+    # (user, ts)-deduped self (max event_id resolves exact-ts ties the
+    # same way on both sides)
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    dedup = bucketed_aggregate(
+        ev.select_columns(["user_id", "ts", "event_id"]).map_batches(
+            lambda t: t.rename_columns(["ruid", "rts", "event_id"]),
+            batch_format="pyarrow",
+        ),
+        ["ruid", "rts"],
+        [("event_id", "max", "rid")],
+    )
+    aj = asof_join(
+        ev,
+        dedup,
+        left_on="ts",
+        right_on="rts",
+        left_by="user_id",
+        right_by="ruid",
+        allow_exact_matches=False,
+        num_buckets=32,
+    )
+
+    def asof_partials(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = (
+            df.groupby("event_type", sort=False)["rid"]
+            .agg(n="count", s="sum")
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "event_type": pa.array(g["event_type"].to_numpy(dtype=object), pa.string()),
+                "n": pa.array(g["n"].to_numpy(np.int64)),
+                "s": pa.array(g["s"].fillna(0).to_numpy(np.int64)),
+            }
+        )
+
+    ag = (
+        aj.map_batches(asof_partials, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("event_type")[["n", "s"]]
+        .sum()
+        .reset_index()
+    )
+    asof_rows = pd.DataFrame(
+        {
+            "leg": "asof",
+            "key": ag["event_type"],
+            "n": ag["n"].astype(np.int64),
+            "n2": ag["s"].astype(np.int64),
+            "val": 0.0,
+        }
+    )
+
+    # --- range leg: per-priority variable-width price brackets
+    ordp = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice", "o_orderpriority"])
+    prios = sorted(
+        ordp.map_batches(
+            lambda t: pa.table({"p": pc.unique(t["o_orderpriority"])}),
+            batch_format="pyarrow",
+        )
+        .to_pandas()["p"]
+        .unique()
+    )
+    br_rows = []
+    for p in prios:
+        w = 15000 + 2000 * int(p[0])
+        for i in range(40):
+            br_rows.append(
+                {"rpri": p, "lo": float(i * w), "hi": float((i + 1) * w), "bracket": i}
+            )
+    import ray.data as _rd
+
+    br = _rd.from_pandas(pd.DataFrame(br_rows))
+    rj = range_join(
+        ordp,
+        br,
+        value_col="o_totalprice",
+        lower_col="lo",
+        upper_col="hi",
+        left_by="o_orderpriority",
+        right_by="rpri",
+        num_buckets=16,
+    )
+
+    def range_partials(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = (
+            df.groupby(["o_orderpriority", "bracket"], sort=False)["o_orderkey"]
+            .agg(n="count", s="sum")
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "k": pa.array(
+                    (g["o_orderpriority"] + ":" + g["bracket"].astype(int).astype(str))
+                    .to_numpy(dtype=object),
+                    pa.string(),
+                ),
+                "n": pa.array(g["n"].to_numpy(np.int64)),
+                "s": pa.array(g["s"].to_numpy(np.int64)),
+            }
+        )
+
+    rg = (
+        rj.map_batches(range_partials, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("k")[["n", "s"]]
+        .sum()
+        .reset_index()
+    )
+    range_rows = pd.DataFrame(
+        {
+            "leg": "range",
+            "key": rg["k"],
+            "n": rg["n"].astype(np.int64),
+            "n2": rg["s"].astype(np.int64),
+            "val": 0.0,
+        }
+    )
+
+    return pd.concat([hash_rows, asof_rows, range_rows], ignore_index=True)
 
 
 def _q_join_native_lineitem_part(sf_dir: str):
@@ -6938,12 +7087,50 @@ def oracle_sql() -> dict[str, str]:
             FROM events
         """,
         "join_orders_customers": """
-            SELECT n_name AS nation, COUNT(*) AS "count",
-                   ROUND(SUM(o_totalprice), 4) AS o_totalprice_sum
-            FROM orders
-            JOIN customer ON o_custkey = c_custkey
-            LEFT JOIN nation ON c_nationkey = n_nationkey
-            GROUP BY 1
+            -- three relational legs: hash join rollup; AS-OF self-join
+            -- via DuckDB's NATIVE ASOF JOIN (independent of the
+            -- engine's merge_asof path); interval-bracket range join
+            -- via closed-form FLOOR(price/width)
+            WITH hash_leg AS (
+                SELECT 'hash' AS leg, n_name AS key,
+                       CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(0 AS BIGINT) AS n2,
+                       ROUND(SUM(o_totalprice), 4) AS val
+                FROM orders
+                JOIN customer ON o_custkey = c_custkey
+                LEFT JOIN nation ON c_nationkey = n_nationkey
+                GROUP BY n_name
+            ), e2 AS (
+                SELECT user_id AS u, ts AS rts,
+                       CAST(MAX(event_id) AS BIGINT) AS rid
+                FROM events GROUP BY 1, 2
+            ), asof_leg AS (
+                SELECT 'asof' AS leg, l.event_type AS key,
+                       CAST(COUNT(r.rid) AS BIGINT) AS n,
+                       CAST(COALESCE(SUM(r.rid), 0) AS BIGINT) AS n2,
+                       CAST(0.0 AS DOUBLE) AS val
+                FROM events l
+                ASOF LEFT JOIN e2 r
+                  ON l.user_id = r.u AND l.ts > r.rts
+                GROUP BY l.event_type
+            ), range_leg AS (
+                SELECT 'range' AS leg,
+                       o_orderpriority || ':' ||
+                           CAST(CAST(FLOOR(o_totalprice / w) AS BIGINT)
+                                AS VARCHAR) AS key,
+                       CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(SUM(o_orderkey) AS BIGINT) AS n2,
+                       CAST(0.0 AS DOUBLE) AS val
+                FROM (
+                    SELECT o_orderkey, o_totalprice, o_orderpriority,
+                           15000 + 2000 * CAST(o_orderpriority[1:1] AS INT) AS w
+                    FROM orders
+                )
+                GROUP BY 1, 2
+            )
+            SELECT * FROM hash_leg
+            UNION ALL SELECT * FROM asof_leg
+            UNION ALL SELECT * FROM range_leg
         """,
         "join_native_lineitem_part": """
             SELECT p_brand, COUNT(*) AS "count",

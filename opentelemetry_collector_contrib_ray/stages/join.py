@@ -159,3 +159,191 @@ def native_join(left, right, on, how: str = "inner", num_partitions: int | None 
         num_partitions = derived_num_partitions()
     on = (on,) if isinstance(on, str) else tuple(on)
     return left.join(right, join_type=how, num_partitions=num_partitions, on=on, **kw)
+
+
+# --------------------------------------------------- as-of / range joins
+
+
+def _tag_pad_union(left, right, lkey: str, rkey: str, num_buckets: int):
+    """Shared skeleton for the time/interval joins: hash-bucket each
+    side on its key column, pad to a common schema, union. Returns
+    ``(both, l_cols, r_cols)`` — the one all-to-all is the
+    groupby(_bucket) the caller runs."""
+    from .._util import hash_str_u64, splitmix64
+
+    def tag(side: int, keycol: str):
+        def f(batch: pa.Table) -> pa.Table:
+            key = batch[keycol].to_numpy(zero_copy_only=False)
+            if np.issubdtype(key.dtype, np.number):
+                h = splitmix64(key.astype(np.uint64))
+            else:
+                h = hash_str_u64(key)
+            b = (h % np.uint64(num_buckets)).astype(np.int64)
+            batch = batch.append_column("_bucket", pa.array(b))
+            return batch.append_column(
+                "_side", pa.array(np.full(len(batch), side, dtype=np.int8))
+            )
+
+        return f
+
+    def _schema(ds) -> dict:
+        s = ds.schema()
+        out = {}
+        for name, typ in zip(s.names, s.types):
+            if not isinstance(typ, pa.DataType):
+                try:
+                    typ = pa.from_numpy_dtype(typ)
+                except pa.ArrowNotImplementedError:
+                    typ = pa.string()
+            out[name] = typ
+        return out
+
+    lschema, rschema = _schema(left), _schema(right)
+    overlap = set(lschema) & set(rschema)
+    if overlap:
+        raise ValueError(
+            f"asof/range join sides must not share column names: {sorted(overlap)}"
+        )
+
+    def pad(missing: dict):
+        def f(batch: pa.Table) -> pa.Table:
+            for c, t in missing.items():
+                batch = batch.append_column(c, pa.nulls(len(batch), t))
+            return batch
+
+        return f
+
+    lt = left.map_batches(tag(0, lkey), batch_format="pyarrow").map_batches(
+        pad(rschema), batch_format="pyarrow"
+    )
+    rt = right.map_batches(tag(1, rkey), batch_format="pyarrow").map_batches(
+        pad(lschema), batch_format="pyarrow"
+    )
+    all_cols = ["_bucket", "_side"] + sorted(set(lschema) | set(rschema))
+    both = lt.select_columns(all_cols).union(rt.select_columns(all_cols))
+    return both, lschema, rschema
+
+
+def asof_join(
+    left,
+    right,
+    *,
+    left_on: str,
+    right_on: str,
+    left_by: str,
+    right_by: str,
+    direction: str = "backward",
+    allow_exact_matches: bool = True,
+    num_buckets: int = 32,
+):
+    """Distributed AS-OF join: for each left row, attach the single
+    right row with the nearest ``right_on`` at-or-before (backward) /
+    at-or-after (forward) / closest (nearest) its ``left_on``
+    (``allow_exact_matches=False`` makes the bound strict — SQL's
+    ``ON l.t > r.t``), within the same ``by`` key — SQL's ``ASOF JOIN``, the standard way to
+    align events to rates/quotes/config epochs.
+
+    Plan (the partitioning assumption this op relies on): co-partition
+    BOTH sides by hash(by-key) — one bucketed exchange — then inside
+    each bucket sort each side by the time column and run ONE
+    vectorized ``pandas.merge_asof`` (``by=`` handles per-key fencing;
+    a key's rows always land in one bucket). Left-join semantics:
+    unmatched left rows keep nulls. Rows with a null time column are
+    dropped (they can never match). Sides must not share column names
+    (rename before joining)."""
+    both, lschema, rschema = _tag_pad_union(left, right, left_by, right_by, num_buckets)
+    l_cols, r_cols = list(lschema), list(rschema)
+    # the union's null padding degrades int/time columns to float64 in
+    # buckets where one side is empty — pin key dtypes from the left
+    # schema so merge_asof always sees matching types
+    on_dtype = np.dtype(lschema[left_on].to_pandas_dtype())
+    by_dtype = np.dtype(lschema[left_by].to_pandas_dtype())
+
+    def merge_bucket(g: pd.DataFrame) -> pa.Table:
+        lhs = g[g["_side"] == 0][l_cols].dropna(subset=[left_on, left_by])
+        rhs = g[g["_side"] == 1][r_cols].dropna(subset=[right_on, right_by])
+        lhs = lhs.astype({left_on: on_dtype, left_by: by_dtype})
+        rhs = rhs.astype({right_on: on_dtype, right_by: by_dtype})
+        lhs = lhs.sort_values(left_on, kind="mergesort")
+        rhs = rhs.sort_values(right_on, kind="mergesort")
+        out = pd.merge_asof(
+            lhs,
+            rhs,
+            left_on=left_on,
+            right_on=right_on,
+            left_by=left_by,
+            right_by=right_by,
+            direction=direction,
+            allow_exact_matches=allow_exact_matches,
+        )
+        return table_from_pandas(out)
+
+    return both.groupby("_bucket").map_groups(merge_bucket, batch_format="pandas")
+
+
+def range_join(
+    left,
+    right,
+    *,
+    value_col: str,
+    lower_col: str,
+    upper_col: str,
+    left_by: str,
+    right_by: str,
+    how: str = "inner",
+    num_buckets: int = 32,
+):
+    """Distributed interval (range) join: match each left row to the
+    right interval with ``lower <= value < upper`` under the same
+    ``by`` key — rate tables, bracket tables, config epochs.
+
+    ASSUMES the intervals are NON-OVERLAPPING per key (each left row
+    matches at most one interval): inside each co-partitioned bucket
+    the intervals sort once per key and every left value resolves with
+    one ``searchsorted`` + one upper-bound check — no per-row Python
+    and no cartesian blowup. Overlapping-interval workloads need the
+    general theta-join (not this operator). ``how='left'`` keeps
+    unmatched left rows with null interval columns."""
+    both, lschema, rschema = _tag_pad_union(left, right, left_by, right_by, num_buckets)
+    l_cols, r_cols = list(lschema), list(rschema)
+    by_dtype = np.dtype(lschema[left_by].to_pandas_dtype())
+    r_attach = [c for c in r_cols if c != right_by]
+
+    def merge_bucket(g: pd.DataFrame) -> pa.Table:
+        lhs = g[g["_side"] == 0][l_cols].dropna(subset=[left_by])
+        rhs = g[g["_side"] == 1][r_cols].dropna(subset=[right_by])
+        lhs = lhs.astype({left_by: by_dtype})
+        rhs = rhs.astype({right_by: by_dtype})
+        rhs_by = {k: sub for k, sub in rhs.groupby(right_by, sort=False)}
+        outs = []
+        for k, lsub in lhs.groupby(left_by, sort=False):
+            rsub = rhs_by.get(k)
+            lsub = lsub.reset_index(drop=True)
+            if rsub is None:
+                if how == "left":
+                    miss = lsub.copy()
+                    for c in r_attach:
+                        miss[c] = pd.NA
+                    outs.append(miss)
+                continue
+            lo = rsub[lower_col].to_numpy(np.float64)
+            order = np.argsort(lo, kind="stable")
+            lo = lo[order]
+            hi = rsub[upper_col].to_numpy(np.float64)[order]
+            v = lsub[value_col].to_numpy(np.float64)
+            pos = np.searchsorted(lo, v, side="right") - 1
+            ok = pos >= 0
+            ok[ok] &= v[ok] < hi[pos[ok]]
+            matched = lsub[ok].reset_index(drop=True)
+            r_rows = rsub.iloc[order[pos[ok]]][r_attach].reset_index(drop=True)
+            outs.append(pd.concat([matched, r_rows], axis=1))
+            if how == "left" and (~ok).any():
+                miss = lsub[~ok].copy()
+                for c in r_attach:
+                    miss[c] = pd.NA
+                outs.append(miss)
+        if not outs:
+            return table_from_pandas(pd.DataFrame(columns=l_cols + r_attach))
+        return table_from_pandas(pd.concat(outs, ignore_index=True))
+
+    return both.groupby("_bucket").map_groups(merge_bucket, batch_format="pandas")

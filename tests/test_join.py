@@ -60,3 +60,146 @@ def test_native_join():
         .reset_index(drop=True)
     )
     assert out["k"].tolist() == [2, 2, 3]
+
+
+def test_asof_join_matches_global_merge_asof():
+    import numpy as np
+
+    from opentelemetry_collector_contrib_ray.stages.join import asof_join
+
+    rng = np.random.default_rng(11)
+    left = pd.DataFrame(
+        {
+            "uid": rng.integers(0, 20, 300),
+            "t": rng.integers(0, 10_000, 300).astype(np.int64),
+            "oid": np.arange(300),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "ruid": rng.integers(0, 20, 150),
+            "rt": rng.integers(0, 10_000, 150).astype(np.int64),
+            "rid": np.arange(150),
+        }
+    )
+    # make (ruid, rt) unique so backward ties are unambiguous
+    right = right.drop_duplicates(["ruid", "rt"])
+    out = (
+        asof_join(
+            rd.from_pandas(left).repartition(4),
+            rd.from_pandas(right).repartition(3),
+            left_on="t",
+            right_on="rt",
+            left_by="uid",
+            right_by="ruid",
+            num_buckets=8,
+        )
+        .to_pandas()
+        .sort_values("oid")
+        .reset_index(drop=True)
+    )
+    exp = pd.merge_asof(
+        left.sort_values("t", kind="mergesort"),
+        right.sort_values("rt", kind="mergesort"),
+        left_on="t",
+        right_on="rt",
+        left_by="uid",
+        right_by="ruid",
+    ).sort_values("oid").reset_index(drop=True)
+    assert len(out) == len(exp) == 300
+    assert out["rid"].fillna(-1).tolist() == exp["rid"].fillna(-1).tolist()
+
+
+def test_asof_join_forward_and_null_times():
+    import numpy as np
+
+    from opentelemetry_collector_contrib_ray.stages.join import asof_join
+
+    left = pd.DataFrame({"uid": [1, 1, 2], "t": [5.0, 50.0, 5.0], "oid": [0, 1, 2]})
+    right = pd.DataFrame({"ruid": [1, 1], "rt": [10.0, 40.0], "rid": [100, 101]})
+    out = (
+        asof_join(
+            rd.from_pandas(left),
+            rd.from_pandas(right),
+            left_on="t",
+            right_on="rt",
+            left_by="uid",
+            right_by="ruid",
+            direction="forward",
+        )
+        .to_pandas()
+        .sort_values("oid")
+    )
+    assert out["rid"].fillna(-1).tolist() == [100, -1, -1]
+
+
+def test_range_join_brackets():
+    import numpy as np
+
+    from opentelemetry_collector_contrib_ray.stages.join import range_join
+
+    rng = np.random.default_rng(5)
+    left = pd.DataFrame(
+        {
+            "grp": rng.integers(0, 4, 400),
+            "v": rng.random(400) * 100,
+            "lid": np.arange(400),
+        }
+    )
+    # per-key bracket width = 10 + 5*key, intervals [i*w, (i+1)*w)
+    rows = []
+    for k in range(4):
+        w = 10 + 5 * k
+        for i in range(12):
+            rows.append({"rgrp": k, "lo": i * w, "hi": (i + 1) * w, "bracket": i})
+    right = pd.DataFrame(rows)
+    out = (
+        range_join(
+            rd.from_pandas(left).repartition(4),
+            rd.from_pandas(right),
+            value_col="v",
+            lower_col="lo",
+            upper_col="hi",
+            left_by="grp",
+            right_by="rgrp",
+            num_buckets=4,
+        )
+        .to_pandas()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 400  # every value falls in exactly one bracket
+    w = 10 + 5 * out["grp"].to_numpy()
+    assert (out["bracket"].to_numpy() == (out["v"].to_numpy() // w).astype(int)).all()
+
+    # how='left' keeps out-of-range rows with nulls
+    left2 = pd.DataFrame({"grp": [0, 0], "v": [5.0, 500.0], "lid": [0, 1]})
+    out2 = (
+        range_join(
+            rd.from_pandas(left2),
+            rd.from_pandas(right),
+            value_col="v",
+            lower_col="lo",
+            upper_col="hi",
+            left_by="grp",
+            right_by="rgrp",
+            how="left",
+        )
+        .to_pandas()
+        .sort_values("lid")
+    )
+    assert len(out2) == 2 and out2["bracket"].isna().tolist() == [False, True]
+
+
+def test_two_sided_helper_rejects_column_overlap():
+    import pytest
+
+    from opentelemetry_collector_contrib_ray.stages.join import asof_join
+
+    left = pd.DataFrame({"k": [1], "t": [1.0]})
+    right = pd.DataFrame({"k": [1], "rt": [1.0]})
+    with pytest.raises(ValueError):
+        asof_join(
+            rd.from_pandas(left), rd.from_pandas(right),
+            left_on="t", right_on="rt", left_by="k", right_by="k",
+        )
