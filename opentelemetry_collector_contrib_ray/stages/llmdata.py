@@ -1821,3 +1821,43 @@ class HashedQualityClassifier:
         t = t.append_column("clf_prob", pa.array(prob, pa.float64()))
         t = t.append_column("clf_keep", pa.array(score > 0))
         return t.append_column("n_words", pa.array(n_words))
+
+
+def iter_training_batches(
+    shards_dir: str,
+    batch_size: int,
+    *,
+    columns=None,
+    rank: int = 0,
+    world_size: int = 1,
+    drop_last: bool = False,
+):
+    """Consumption side of ``write_training_shards``: stream the shard
+    files in filename order (each file is internally shuffle-rank
+    sorted, so this IS the shuffled epoch order) and yield fixed-size
+    ``pyarrow.Table`` batches that span shard boundaries. For
+    data-parallel training each host passes its ``(rank, world_size)``
+    and reads only shards ``rank, rank+world, ...`` — disjoint
+    coverage with no coordination, one sequential Parquet scan per
+    shard, never more than one shard + one batch in memory."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    if not 0 <= rank < world_size:
+        raise ValueError(f"rank {rank} outside world of {world_size}")
+    files = sorted(
+        f for f in os.listdir(shards_dir)
+        if f.startswith("shard-") and f.endswith(".parquet")
+    )
+    carry: pa.Table | None = None
+    for f in files[rank::world_size]:
+        t = pq.read_table(os.path.join(shards_dir, f), columns=columns)
+        t = t if carry is None else pa.concat_tables([carry, t], promote_options="default")
+        off = 0
+        while off + batch_size <= len(t):
+            yield t.slice(off, batch_size)
+            off += batch_size
+        carry = t.slice(off) if off < len(t) else None
+    if carry is not None and len(carry) and not drop_last:
+        yield carry

@@ -999,3 +999,55 @@ class TestHashedQualityClassifier:
         assert out["clf_score"].dtype == np.float64
         with pytest.raises(ValueError):
             HashedQualityClassifier(np.ones(3))
+
+
+class TestIterTrainingBatches:
+    def test_epoch_order_and_world_partition(self, ray_session, tmp_path):
+        from opentelemetry_collector_contrib_ray.stages.llmdata import (
+            iter_training_batches,
+            write_training_shards,
+        )
+
+        ids = np.arange(700, dtype=np.int64)
+        ds = ray.data.from_arrow(pa.table({"doc_id": ids})).repartition(4)
+        out = str(tmp_path / "sh")
+        write_training_shards(ds, out, n_shards=6, seed=9)
+
+        batches = list(iter_training_batches(out, 64))
+        assert all(len(b) == 64 for b in batches[:-1])
+        got = pa.concat_tables(batches).to_pandas()
+        assert len(got) == 700 and got["doc_id"].is_unique
+        # epoch order = shard files in order, each rank-sorted inside
+        ranks = got["shuffle_rank"].to_numpy()
+        shard_of = got["doc_id"].to_numpy()  # recompute shard boundaries
+        # within each contiguous shard span ranks are ascending
+        import pyarrow.parquet as pq
+        import os
+
+        start = 0
+        for f in sorted(os.listdir(out)):
+            n = pq.read_table(os.path.join(out, f)).num_rows
+            span = ranks[start:start + n]
+            assert (np.diff(span) > 0).all()
+            start += n
+
+        # world partition: ranks cover all rows disjointly
+        parts = [
+            pa.concat_tables(list(iter_training_batches(out, 64, rank=r, world_size=3)))
+            for r in range(3)
+        ]
+        allr = pd.concat([p.to_pandas() for p in parts])
+        assert len(allr) == 700 and allr["doc_id"].is_unique
+
+        # drop_last trims the tail remainder
+        nb = list(iter_training_batches(out, 64, drop_last=True))
+        assert all(len(b) == 64 for b in nb)
+        assert sum(len(b) for b in nb) == 700 - 700 % 64 if 700 % 64 else 700
+
+    def test_rank_validation(self, tmp_path):
+        from opentelemetry_collector_contrib_ray.stages.llmdata import (
+            iter_training_batches,
+        )
+
+        with pytest.raises(ValueError):
+            list(iter_training_batches(str(tmp_path), 8, rank=3, world_size=2))
