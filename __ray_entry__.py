@@ -2650,7 +2650,36 @@ def _q_ivf_knn(sf_dir: str):
     )
     exact = set(_q_embedding_knn(sf_dir).to_pandas()["vec_id"])
     recall = len(approx & exact) / max(1, len(exact))
-    return pd.DataFrame({"k": [10], "recall_ok": [recall >= 0.5]})
+
+    # --- q8 leg: scalar int8 quantization of the store (stages/ann
+    # EmbeddingQuantizer — the 4x memory/IO scale path) + exact search
+    # over the DEQUANTIZED codes; contract = recall@10 >= 0.8 vs the
+    # float exact top-10 AND per-dim reconstruction error within the
+    # SQ8 bound scale/2 (checked on the query vector's own row).
+    from opentelemetry_collector_contrib_ray.stages.ann import (
+        EmbeddingQuantizer,
+        embedding_quant_params,
+        quantized_topk,
+    )
+
+    mins, maxs = embedding_quant_params(ds)
+    quant = EmbeddingQuantizer(mins, maxs)
+    codes_ds = ds.map_batches(quant, batch_format="pyarrow")
+    qt = quantized_topk(codes_ds, quant, q[None, :], k=10).to_pandas()
+    q8_recall = len(set(qt["vec_id"]) & exact) / max(1, len(exact))
+    codes0 = np.clip(
+        np.round((np.asarray(q, np.float32) - quant.mins) / quant.scale), 0, 255
+    ).astype(np.uint8)
+    rec_ok = bool(
+        (np.abs(quant.decode(codes0[None, :])[0] - q) <= quant.scale / 2 + 1e-6).all()
+    )
+    return pd.DataFrame(
+        {
+            "leg": ["ivf", "q8"],
+            "k": np.int64(10),
+            "recall_ok": [recall >= 0.5, q8_recall >= 0.8 and rec_ok],
+        }
+    )
 
 
 def _q_multimodal_features(sf_dir: str):
@@ -7190,7 +7219,9 @@ def oracle_sql() -> dict[str, str]:
             FROM events
         """,
         "ivf_knn": """
-            SELECT CAST(10 AS BIGINT) AS k, TRUE AS recall_ok
+            SELECT 'ivf' AS leg, CAST(10 AS BIGINT) AS k, TRUE AS recall_ok
+            UNION ALL
+            SELECT 'q8', CAST(10 AS BIGINT), TRUE
         """,
         "q1_pricing": """
             SELECT l_returnflag, l_linestatus,

@@ -238,3 +238,114 @@ def ivf_search_stored(path: str, query: np.ndarray, k: int = 10, nprobe: int = 4
         )
     candidates = ray.data.read_parquet(files, columns=[id_col, emb_col])
     return brute_force_topk(candidates, q.reshape(1, -1), k, id_col=id_col, emb_col=emb_col)
+
+
+# ------------------------------------------------- scalar int8 quantization
+
+
+def embedding_quant_params(ds, emb_col: str = "embedding") -> tuple[np.ndarray, np.ndarray]:
+    """Global per-dimension (min, max) of an embedding column via one
+    distributed partial pass — each batch ships two d-length vectors,
+    the driver folds ``num_blocks`` tiny partials. Returns
+    ``(mins, maxs)`` float32 arrays."""
+
+    def partials(batch: pa.Table) -> pa.Table:
+        m = _mat(batch, emb_col)
+        return pa.table(
+            {
+                "mn": pa.array([m.min(axis=0).astype(np.float32).tobytes()], pa.binary()),
+                "mx": pa.array([m.max(axis=0).astype(np.float32).tobytes()], pa.binary()),
+            }
+        )
+
+    rows = ds.map_batches(partials, batch_format="pyarrow").take_all()
+    mins = np.min([np.frombuffer(r["mn"], np.float32) for r in rows], axis=0)
+    maxs = np.max([np.frombuffer(r["mx"], np.float32) for r in rows], axis=0)
+    return mins, maxs
+
+
+class EmbeddingQuantizer:
+    """Scalar (per-dimension, asymmetric) int8 quantization of an
+    embedding column — the 4× memory/IO scale path for ANN stores
+    (classic SQ8; constant-width dims need no codebook training).
+    ``code = round((v - min) / scale)`` into uint8; reconstruction
+    error per dim is ≤ scale/2 = (max-min)/510 by construction.
+
+    Actor-pool stage: (mins, scale) broadcast once per actor; encode
+    replaces the float list with ``codes`` (list<uint8>). ``decode``
+    reverses for search/verification."""
+
+    def __init__(self, mins: np.ndarray, maxs: np.ndarray, emb_col: str = "embedding"):
+        self.mins = np.asarray(mins, np.float32)
+        rng = np.asarray(maxs, np.float32) - self.mins
+        self.scale = np.where(rng > 0, rng / 255.0, 1.0).astype(np.float32)
+        self.emb_col = emb_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _mat(batch, self.emb_col)
+        codes = np.clip(
+            np.round((m - self.mins[None, :]) / self.scale[None, :]), 0, 255
+        ).astype(np.uint8)
+        n, d = codes.shape
+        la = pa.ListArray.from_arrays(
+            pa.array(np.arange(0, (n + 1) * d, d, dtype=np.int32)),
+            pa.array(codes.ravel(), pa.uint8()),
+        )
+        batch = batch.drop_columns([self.emb_col])
+        return batch.append_column("codes", la)
+
+    def decode(self, codes: np.ndarray) -> np.ndarray:
+        return codes.astype(np.float32) * self.scale[None, :] + self.mins[None, :]
+
+
+def quantized_topk(
+    codes_ds, quant: "EmbeddingQuantizer", queries: np.ndarray, k: int = 10,
+    *, id_col: str = "vec_id", concurrency=(1, 8),
+):
+    """Exact cosine top-k over the QUANTIZED store: each batch decodes
+    its uint8 codes (vectorized) and runs the same matmul/argpartition
+    as ``brute_force_topk`` — the IO/memory win is upstream (the store
+    holds 1/4 the bytes); recall loss is bounded by the SQ8
+    reconstruction error."""
+    import ray
+
+    qn = _normalize(np.asarray(queries, dtype=np.float32))
+    qref = ray.put(qn)
+    quant_ref = ray.put(quant)
+
+    class Partial:
+        def __init__(self):
+            self.q = ray.get(qref)
+            self.quant = ray.get(quant_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            col = batch["codes"]
+            la = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            offs = la.offsets.to_numpy().astype(np.int64)
+            vals = la.values.to_numpy(zero_copy_only=False)
+            d = int(offs[1] - offs[0]) if len(offs) > 1 else len(vals)
+            codes = vals[offs[0]:].reshape(-1, d) if d else vals.reshape(0, 0)
+            mat = _normalize(self.quant.decode(codes))
+            sims = mat @ self.q.T
+            ids = batch[id_col].to_numpy(zero_copy_only=False)
+            out_q, out_id, out_cos = [], [], []
+            kk = min(k, sims.shape[0])
+            for qi in range(sims.shape[1]):
+                idx = np.argpartition(-sims[:, qi], kk - 1)[:kk]
+                out_q.extend([qi] * kk)
+                out_id.extend(ids[idx])
+                out_cos.extend(sims[idx, qi].astype(np.float64))
+            return pa.table(
+                {
+                    "query_idx": pa.array(out_q, pa.int32()),
+                    id_col: pa.array(out_id),
+                    "cos": pa.array(out_cos),
+                }
+            )
+
+    partials = codes_ds.map_batches(Partial, batch_format="pyarrow", concurrency=concurrency)
+
+    def merge(g):
+        return g.nlargest(k, "cos")
+
+    return partials.groupby("query_idx").map_groups(merge, batch_format="pandas")

@@ -128,3 +128,68 @@ def test_refine_improves_quantization(tmp_path):
     before = mean_sim(idx.centroids)
     idx.refine(_ds(m), iters=3)
     assert mean_sim(idx.centroids) >= before - 1e-6
+
+
+class TestEmbeddingQuantization:
+    def test_reconstruction_bound_and_recall(self, ray_session):
+        import ray
+
+        from opentelemetry_collector_contrib_ray.stages.ann import (
+            EmbeddingQuantizer,
+            brute_force_topk,
+            embedding_quant_params,
+            quantized_topk,
+        )
+
+        rng = np.random.default_rng(3)
+        n, d = 600, 16
+        mat = rng.standard_normal((n, d)).astype(np.float32)
+        tbl = pa.table(
+            {
+                "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                "embedding": pa.FixedSizeListArray.from_arrays(
+                    pa.array(mat.ravel(), pa.float32()), d
+                ),
+            }
+        )
+        ds = ray.data.from_arrow(tbl).repartition(4)
+        mins, maxs = embedding_quant_params(ds)
+        assert np.allclose(mins, mat.min(axis=0)) and np.allclose(maxs, mat.max(axis=0))
+        quant = EmbeddingQuantizer(mins, maxs)
+        codes_ds = ds.map_batches(quant, batch_format="pyarrow")
+        codes = codes_ds.to_pandas().sort_values("vec_id")
+        # per-dim reconstruction error bounded by scale/2
+        rec = quant.decode(np.stack(codes["codes"].to_numpy()).astype(np.uint8))
+        assert (np.abs(rec - mat) <= quant.scale[None, :] / 2 + 1e-6).all()
+        # quantized search recalls the exact top-10 almost perfectly
+        q = mat[:2]
+        exact = brute_force_topk(ds, q, k=10).to_pandas()
+        approx = quantized_topk(codes_ds, quant, q, k=10).to_pandas()
+        for qi in range(2):
+            e = set(exact[exact["query_idx"] == qi]["vec_id"])
+            a = set(approx[approx["query_idx"] == qi]["vec_id"])
+            assert len(e & a) >= 8  # recall@10 >= 0.8 at SQ8
+
+    def test_constant_dim_safe(self, ray_session):
+        import ray
+
+        from opentelemetry_collector_contrib_ray.stages.ann import (
+            EmbeddingQuantizer,
+            embedding_quant_params,
+        )
+
+        mat = np.ones((10, 4), np.float32)  # zero range per dim
+        tbl = pa.table(
+            {
+                "vec_id": pa.array(np.arange(10, dtype=np.int64)),
+                "embedding": pa.FixedSizeListArray.from_arrays(
+                    pa.array(mat.ravel(), pa.float32()), 4
+                ),
+            }
+        )
+        ds = ray.data.from_arrow(tbl)
+        mins, maxs = embedding_quant_params(ds)
+        quant = EmbeddingQuantizer(mins, maxs)
+        out = ds.map_batches(quant, batch_format="pyarrow").to_pandas()
+        rec = quant.decode(np.stack(out["codes"].to_numpy()).astype(np.uint8))
+        assert np.allclose(rec, mat)
