@@ -1273,6 +1273,32 @@ def _q_trace_decoders(sf_dir: str):
     _XEPOCH = 1_600_000_000  # fixed base so trace ids sit in the 28-day window
     xray_enc = XRaySegmentEncoder(epoch_now=_XEPOCH)
 
+    from opentelemetry_collector_contrib_ray.stages.datadog import (
+        DatadogSpanTranslator,
+        Denylister,
+        apply_denylist as dd_apply_denylist,
+    )
+
+    dd_translator = DatadogSpanTranslator(
+        resource_attrs={
+            "service.name": "My Service",
+            "deployment.environment": "Prod",
+            "service.version": "v1.2",
+            "container.id": "c1",
+            "k8s.pod.name": "p1",
+        },
+        instrumentation=("requests", "1.0"),
+        span_name_remappings={"requests.server": "web.request"},
+        attr_cols=[
+            "http.method", "http.route", "grpc.path", "messaging.operation",
+            "messaging.destination", "rpc.method", "rpc.service", "db.system",
+            "peer.service", "analytics.event", "http.status_code",
+            "http.status_text", "big",
+        ],
+    )
+    dd_deny_translator = DatadogSpanTranslator()
+    dd_denylister = Denylister(["^deny"])
+
     def partial(t: pa.Table) -> pa.Table:
         import json as _json
 
@@ -2115,10 +2141,199 @@ def _q_trace_decoders(sf_dir: str):
             ("uptr", "parented", int((uout["parent_id"] != 0).sum()), 0),
         ]
 
+        # ---- datadog exporter span-translation leg (stages/datadog.py) --
+        # translate_traces.go semantics under test: uint64 id decode
+        # (:457-474), operation name il.kind normalized + remap
+        # (:476-496,653-659), resource-name priority chain (:498-535),
+        # service precedence (resource > peer override, :230-242), type
+        # inference (:395-412), error propagation (status / http code
+        # windows / exception events with message fallback chain,
+        # :537-625), version + container tags (:245-254,369-384),
+        # analytics event sample rate (:434-440), top-level analyzed
+        # marks (model.go:45-74) and denylist trace drops
+        # (denylister.go:27-45). Traces are synthesized trace-complete
+        # per batch (root + child %3 + orphan %5), so the per-trace
+        # marks run batch-locally like the sentry leg.
+        from opentelemetry_collector_contrib_ray.stages.datadog import (
+            mark_analyzed as dd_mark,
+        )
+
+        _G = 1_000_000_000
+        err_np = np.array([t_ == "error" for t_ in et])
+        e4, e8, e16 = eid % 4, eid % 8, eid % 16
+        m3, m5 = eid % 3 == 0, eid % 5 == 0
+
+        def _opt(mask, val):
+            out = np.full(len(mask), None, dtype=object)
+            out[mask] = val
+            return out
+
+        def _opt2(mask1, val1, mask2, val2):
+            out = np.full(len(mask1), None, dtype=object)
+            out[mask1] = val1
+            out[mask2] = val2
+            return out
+
+        _DD_EVJ = _json.dumps(
+            [
+                {"name": "exception", "time": 1,
+                 "attributes": {"exception.type": "E1", "exception.message": "m1"}},
+                {"name": "exception", "time": 2,
+                 "attributes": {"exception.type": "E2", "exception.message": "m2"}},
+            ]
+        )
+        _DD_KINDS = np.array(
+            ["server", "client", "producer", "consumer", "internal", "unspec"],
+            dtype=object,
+        )
+        roots = pd.DataFrame(
+            {
+                "trace_id": [f"{x + 1:032x}" for x in eid],
+                "span_id": [f"{x + 1:016x}" for x in eid],
+                "parent_span_id": None,
+                "name": np.asarray(et, dtype=object),
+                "kind": _DD_KINDS[eid % 6],
+                "status_code": np.where(err_np, 2, 0),
+                "status_message": _opt(err_np & (e4 == 1), "boom"),
+                "start_ns": epoch * _G,
+                "end_ns": np.where(eid % 11 == 0, 0, (epoch + dur) * _G),
+                "trace_state": _opt(eid % 13 == 0, "k=v"),
+                "http.method": _opt(e4 == 0, "GET"),
+                "http.route": _opt(e8 == 0, "/api"),
+                "grpc.path": _opt(e16 == 4, "/pkg.Svc/M"),
+                "messaging.operation": _opt(e4 == 1, "send"),
+                "messaging.destination": _opt(e8 == 1, "queue"),
+                "rpc.method": _opt(e4 == 2, "Call"),
+                "rpc.service": _opt(e8 == 2, "Auth"),
+                "db.system": _opt2(eid % 10 == 5, "redis", eid % 10 == 0, "mysql"),
+                "peer.service": _opt(eid % 7 == 0, "peer-svc"),
+                "analytics.event": _opt2(eid % 9 == 0, "true", eid % 9 == 3, "false"),
+                "http.status_code": _opt2(
+                    err_np & (e4 == 3), "503", ~err_np & (e4 == 0), "404"
+                ),
+                "http.status_text": _opt(err_np & (e8 == 3), "SvcUnavail"),
+                "big": _opt(eid % 17 == 0, "M" * 6000),
+                "events_json": _opt(err_np & (eid % 2 == 0), _DD_EVJ),
+            }
+        )
+        kids = pd.DataFrame(
+            {
+                "trace_id": [f"{x + 1:032x}" for x in eid[m3]],
+                "span_id": [f"{x + 1 + (1 << 32):016x}" for x in eid[m3]],
+                "parent_span_id": [f"{x + 1:016x}" for x in eid[m3]],
+                "name": "child",
+                "kind": "client",
+                "status_code": 0,
+                "start_ns": epoch[m3] * _G,
+                "end_ns": (epoch[m3] + dur[m3]) * _G,
+                "db.system": _opt(eid[m3] % 6 == 0, "mysql"),
+                "analytics.event": _opt(eid[m3] % 9 == 0, "true"),
+                "http.status_code": _opt(eid[m3] % 15 == 0, "500"),
+            }
+        )
+        orph = pd.DataFrame(
+            {
+                "trace_id": [f"{x + 1:032x}" for x in eid[m5]],
+                "span_id": [f"{x + 1 + (1 << 33):016x}" for x in eid[m5]],
+                "parent_span_id": [f"{x + 1 + (1 << 34):016x}" for x in eid[m5]],
+                "name": "lost",
+                "kind": "internal",
+                "status_code": 0,
+                "start_ns": epoch[m5] * _G,
+                "end_ns": 0,
+            }
+        )
+        ddin = pd.concat([roots, kids, orph], ignore_index=True)
+        ddout = dd_mark(dd_translator(pa.Table.from_pandas(ddin, preserve_index=False)).to_pandas())
+        n_all = len(ddout)
+        meta_s = ddout["meta"]
+        exp_tid = np.concatenate([eid + 1, eid[m3] + 1, eid[m5] + 1]).astype(np.uint64)
+        exp_sid = np.concatenate(
+            [eid + 1, eid[m3] + 1 + (1 << 32), eid[m5] + 1 + (1 << 33)]
+        ).astype(np.uint64)
+        res_s = ddout["dd_resource"]
+        name_s = ddout["dd_name"]
+        typ_s = ddout["dd_type"]
+        svc_s = ddout["dd_service"]
+        dd_rows = [
+            ("dd", "n", n_all, int((ddout["duration_ns"] // _G).sum()) * 100),
+            ("dd", "ids_decoded",
+             int(((ddout["trace_id_u64"].to_numpy() == exp_tid)
+                  & (ddout["span_id_u64"].to_numpy() == exp_sid)).sum()), 0),
+            ("dd", "svc_peer", int((svc_s == "peer-svc").sum()), 0),
+            ("dd", "svc_my", int((svc_s == "my_service").sum()), 0),
+            ("dd", "name_web_request", int((name_s == "web.request").sum()), 0),
+            ("dd", "name_client", int((name_s == "requests.client").sum()), 0),
+            ("dd", "name_unspec", int((name_s == "requests.unspecified").sum()), 0),
+            ("dd", "res_get_api", int((res_s == "GET /api").sum()), 0),
+            ("dd", "res_get_grpc", int((res_s == "GET /pkg.Svc/M").sum()), 0),
+            ("dd", "res_get", int((res_s == "GET").sum()), 0),
+            ("dd", "res_send_queue", int((res_s == "send queue").sum()), 0),
+            ("dd", "res_send", int((res_s == "send").sum()), 0),
+            ("dd", "res_call_auth", int((res_s == "Call Auth").sum()), 0),
+            ("dd", "res_call", int((res_s == "Call").sum()), 0),
+            ("dd", "res_fallback",
+             int((res_s.to_numpy() == ddin["name"].to_numpy())[: len(eid)][e4 == 3].sum()), 0),
+            ("dd", "type_web", int((typ_s == "web").sum()), 0),
+            ("dd", "type_cache", int((typ_s == "cache").sum()), 0),
+            ("dd", "type_db", int((typ_s == "db").sum()), 0),
+            ("dd", "type_http", int((typ_s == "http").sum()), 0),
+            ("dd", "type_custom", int((typ_s == "custom").sum()), 0),
+            ("dd", "err_n", int(ddout["dd_error"].sum()), 0),
+            ("dd", "errmsg_m2",
+             int(meta_s.str.contains("error.msg=m2", regex=False).sum()), 0),
+            ("dd", "errmsg_boom",
+             int(meta_s.str.contains("error.msg=boom", regex=False).sum()), 0),
+            ("dd", "errmsg_503t",
+             int(meta_s.str.contains("error.msg=503 SvcUnavail", regex=False).sum()), 0),
+            ("dd", "errmsg_503",
+             int(meta_s.str.contains(r"error\.msg=503(?:;|$)", regex=True).sum()), 0),
+            ("dd", "errtype_e2",
+             int(meta_s.str.contains("error.type=E2", regex=False).sum()), 0),
+            ("dd", "err_nomsg",
+             int(((ddout["dd_error"] == 1)
+                  & ~meta_s.str.contains("error.msg=", regex=False)).sum()), 0),
+            ("dd", "version",
+             int(meta_s.str.contains("version=v1.2", regex=False).sum()), 0),
+            ("dd", "container",
+             int(meta_s.str.contains(
+                 "_dd.tags.container=container_id:c1,pod_name:p1",
+                 regex=False).sum()), 0),
+            ("dd", "tracestate",
+             int(meta_s.str.contains("w3c.tracestate=k=v", regex=False).sum()), 0),
+            ("dd", "big_trunc",
+             int((meta_s.str.extract(r"big=(M+)")[0].str.len() == 5000).sum()), 0),
+            ("dd", "rate1", int((ddout["event_sample_rate"] == 1.0).sum()), 0),
+            ("dd", "rate0", int((ddout["event_sample_rate"] == 0.0).sum()), 0),
+            ("dd", "top_level", int(ddout["top_level"].sum()), 0),
+            ("dd", "env_prod", int((ddout["env"] == "prod").sum()), 0),
+        ]
+        # denylist sub-leg: roots-only, resource = span name, '^deny'
+        # roots (%13) drop their whole trace (denylister.go:33-39)
+        deny_in = pd.DataFrame(
+            {
+                "trace_id": roots["trace_id"],
+                "span_id": roots["span_id"],
+                "parent_span_id": None,
+                "name": np.where(eid % 13 == 0, "deny", "keep").astype(object),
+                "kind": "server",
+                "status_code": 0,
+                "start_ns": 0,
+                "end_ns": 0,
+            }
+        )
+        deny_out = dd_apply_denylist(
+            dd_deny_translator(
+                pa.Table.from_pandas(deny_in, preserve_index=False)
+            ).to_pandas(),
+            dd_denylister,
+        )
+        dd_rows.append(("dd", "deny_kept", int(len(deny_out)), 0))
+
         allrows = (
             xray_rows + sfx_rows + sapm_rows + xrayx_rows + tanzu_rows + azmon_rows
             + sentry_rows + honey_rows + nr_rows + apm_rows + jthrift_rows
-            + humio_rows + uptr_rows
+            + humio_rows + uptr_rows + dd_rows
         )
         return pa.table(
             {
@@ -2565,7 +2780,112 @@ def _q_loki_streams(sf_dir: str):
     cwl = _read(
         sf_dir, "events", ["event_id", "user_id", "event_type", "ts"]
     ).map_batches(cwl_leg, batch_format="pyarrow", batch_size=4096)
-    return loki.union(emf).union(emf_decl).union(dt).union(sls).union(cwl)
+
+    # datadog metric-mapper leg (stages/datadog.py,
+    # metrics_translator.go:36-374 + metrics/utils.go +
+    # attributes/attributes.go): per event one metric point — dtype
+    # cycles e%5 (summary overrides on %7; monotonic-cumulative sums
+    # on %13 are ROUTED OUT, the reference's ttlmap delta path, and
+    # surface as 'mono|' marker rows), labels shard/user with the
+    # empty→'n/a' rule, resource-attribute tags (env/version) plus the
+    # hostname chain (host.name → h1), histogram .count/.sum +
+    # per-bucket rows, summary .count/.sum + canonical quantile tags,
+    # and the otel. namespace prepend for system./process. names —
+    # every rendered (metric, tags, ts, host, value) tuple is
+    # value-checked PER ROW against the SQL closed form.
+    from opentelemetry_collector_contrib_ray.stages.datadog import (
+        DatadogMetricMapper,
+    )
+
+    ddm_mapper = DatadogMetricMapper(
+        resource_attrs={
+            "deployment.environment": "prod",
+            "service.version": "2.0",
+            "host.name": "h1",
+        },
+        label_cols=["shard", "user"],
+        buckets=True,
+        quantiles=True,
+    )
+
+    def ddm_leg(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        et = np.asarray(t["event_type"].to_pylist(), dtype=object)
+        epoch = pc.cast(
+            pc.cast(t["ts"], pa.timestamp("s"), safe=False), pa.int64()
+        ).to_numpy()
+        dur = np.floor(t["value"].to_numpy(zero_copy_only=False)).astype(np.int64)
+        prefix = np.where(
+            eid % 3 == 0, "system.", np.where(eid % 3 == 1, "process.", "")
+        ).astype(object)
+        name = prefix + et
+        base = np.array(
+            ["int_gauge", "double_gauge", "int_sum", "double_sum", "histogram"],
+            dtype=object,
+        )
+        dtype = base[eid % 5].copy()
+        dtype[eid % 7 == 0] = "summary"
+        mono = eid % 13 == 0
+        dtype[mono] = "int_sum"
+        is_hist = (eid % 5 == 4) & (eid % 7 != 0) & ~mono
+        is_summ = (eid % 7 == 0) & ~mono
+        df = pd.DataFrame(
+            {
+                "name": name,
+                "dtype": dtype,
+                "temporality": np.where(
+                    mono | (eid % 5 == 3), "cumulative", "delta"
+                ).astype(object),
+                "monotonic": mono | (eid % 5 == 2),
+                "ts_ns": epoch * 1_000_000_000,
+                "value": dur.astype(np.float64),
+                "count": (eid % 10).astype(np.float64),
+                "sum": dur.astype(np.float64),
+                "bucket_counts": [
+                    [int(a), int(b)] if h else None
+                    for a, b, h in zip(eid % 3, eid % 4, is_hist)
+                ],
+                "quantiles": [[0.0, 0.5, 1.0] if s else None for s in is_summ],
+                "quantile_values": [[1.0, 2.0, 3.0] if s else None for s in is_summ],
+                "shard": "s" + pd.Series(eid % 4).astype(str),
+                "user": np.where(
+                    eid % 6 == 0, "", "u" + pd.Series(eid % 9).astype(str)
+                ).astype(object),
+            }
+        )
+        out = ddm_mapper(df[~mono]).to_pandas()
+        keys = (
+            out["metric"] + "|" + out["tags"] + "|" + out["ts"].astype(str)
+            + "|" + out["host"]
+        )
+        lat = np.rint(out["value"].to_numpy() * 100).astype(np.int64)
+        mono_keys = (
+            "mono|" + pd.Series(name[mono]) + "|"
+            + pd.Series(epoch[mono]).astype(str)
+        )
+        all_keys = np.concatenate([keys.to_numpy(dtype=object),
+                                   mono_keys.to_numpy(dtype=object)])
+        all_lat = np.concatenate([lat, dur[mono] * 100])
+        n = len(all_keys)
+        return pa.table(
+            {
+                "sink": pa.array(["ddm"] * n, pa.string()),
+                "key": pa.array(all_keys, pa.string()),
+                "n_dims": pa.array(np.zeros(n, np.int64)),
+                "latency": pa.array(all_lat),
+                "requests": pa.array(np.ones(n, np.int64)),
+                "unit": pa.array([""] * n, pa.string()),
+            }
+        )
+
+    ddm = _read(
+        sf_dir, "events", ["event_id", "event_type", "ts", "value"]
+    ).map_batches(ddm_leg, batch_format="pyarrow", batch_size=4096)
+    return (
+        loki.union(emf).union(emf_decl).union(dt).union(sls).union(cwl).union(ddm)
+    )
 
 
 def _q_mt_aggregate_label_values(sf_dir: str):
@@ -5857,6 +6177,83 @@ def oracle_sql() -> dict[str, str]:
                    CAST(event_id % 25 AS BIGINT),
                    CAST(FLOOR(epoch(ts)) AS BIGINT) * 1000, 1, ''
             FROM events
+            -- datadog metric-mapper legs (metrics_translator.go):
+            -- per-event rendered rows — metric|tags|ts|host keys with
+            -- the otel. namespace prepend, shard/user labels (user
+            -- 'n/a' on %6=0), env/version attribute tags; summary on
+            -- %7 expands to count/sum/3 canonical quantile tags, the
+            -- %5=4 histogram to count/sum/2 bucket_idx rows, plain
+            -- cycle rows to one gauge; %13=0 monotonic-cumulative
+            -- sums route to the delta path → 'mono|' marker rows
+            UNION ALL
+            SELECT 'ddm', part.k, CAST(0 AS BIGINT), part.v, 1, ''
+            FROM (
+                SELECT event_id AS e,
+                       CASE WHEN event_id % 3 = 0 THEN 'otel.system.'
+                            WHEN event_id % 3 = 1 THEN 'otel.process.'
+                            ELSE '' END || event_type AS mb,
+                       CASE WHEN event_id % 3 = 0 THEN 'system.'
+                            WHEN event_id % 3 = 1 THEN 'process.'
+                            ELSE '' END || event_type AS raw,
+                       'shard:s' || CAST(event_id % 4 AS VARCHAR) || ',user:'
+                         || CASE WHEN event_id % 6 = 0 THEN 'n/a'
+                                 ELSE 'u' || CAST(event_id % 9 AS VARCHAR) END
+                         || ',env:prod,version:2.0' AS tg,
+                       CAST(CAST(FLOOR(epoch(ts)) AS BIGINT) AS VARCHAR) AS tss,
+                       CAST(FLOOR(value) AS BIGINT) AS dur,
+                       event_id % 10 AS cnt
+                FROM events
+            ) ev, LATERAL (
+                SELECT * FROM (
+                    -- monotonic-cumulative marker (%13=0)
+                    SELECT 'mono|' || raw || '|' || tss AS k,
+                           dur * 100 AS v, 1 AS gate
+                    WHERE e % 13 = 0
+                    UNION ALL
+                    -- summary (%7=0, not mono)
+                    SELECT mb || '.count|' || tg || '|' || tss || '|h1',
+                           cnt * 100, 1
+                    WHERE e % 7 = 0 AND e % 13 <> 0
+                    UNION ALL
+                    SELECT mb || '.sum|' || tg || '|' || tss || '|h1',
+                           dur * 100, 1
+                    WHERE e % 7 = 0 AND e % 13 <> 0
+                    UNION ALL
+                    SELECT mb || '.quantile|' || tg || ',quantile:0|' || tss
+                             || '|h1', 100, 1
+                    WHERE e % 7 = 0 AND e % 13 <> 0
+                    UNION ALL
+                    SELECT mb || '.quantile|' || tg || ',quantile:0.5|' || tss
+                             || '|h1', 200, 1
+                    WHERE e % 7 = 0 AND e % 13 <> 0
+                    UNION ALL
+                    SELECT mb || '.quantile|' || tg || ',quantile:1.0|' || tss
+                             || '|h1', 300, 1
+                    WHERE e % 7 = 0 AND e % 13 <> 0
+                    UNION ALL
+                    -- histogram (%5=4, not summary, not mono)
+                    SELECT mb || '.count|' || tg || '|' || tss || '|h1',
+                           cnt * 100, 1
+                    WHERE e % 5 = 4 AND e % 7 <> 0 AND e % 13 <> 0
+                    UNION ALL
+                    SELECT mb || '.sum|' || tg || '|' || tss || '|h1',
+                           dur * 100, 1
+                    WHERE e % 5 = 4 AND e % 7 <> 0 AND e % 13 <> 0
+                    UNION ALL
+                    SELECT mb || '.count_per_bucket|' || tg || ',bucket_idx:0|'
+                             || tss || '|h1', (e % 3) * 100, 1
+                    WHERE e % 5 = 4 AND e % 7 <> 0 AND e % 13 <> 0
+                    UNION ALL
+                    SELECT mb || '.count_per_bucket|' || tg || ',bucket_idx:1|'
+                             || tss || '|h1', (e % 4) * 100, 1
+                    WHERE e % 5 = 4 AND e % 7 <> 0 AND e % 13 <> 0
+                    UNION ALL
+                    -- gauges: int/double gauge + delta/non-mono sums
+                    SELECT mb || '|' || tg || '|' || tss || '|h1',
+                           dur * 100, 1
+                    WHERE e % 5 < 4 AND e % 7 <> 0 AND e % 13 <> 0
+                )
+            ) part
         """,
         "mt_aggregate_label_values": """
             SELECT CASE WHEN event_type IN ('click', 'view') THEN 'engagement'
@@ -6354,7 +6751,184 @@ def oracle_sql() -> dict[str, str]:
             FROM e WHERE event_type = 'error'
             UNION ALL
             SELECT 'uptr', 'parented', COUNT(*), CAST(0 AS DECIMAL(18,2))
-            FROM e WHERE event_id % 3 = 0)
+            FROM e WHERE event_id % 3 = 0
+            -- datadog span-translation leg (translate_traces.go): per
+            -- event a root (kind cycle e%6, resource attrs from the
+            -- %4/%8/%16 grids), a same-service client child on %3
+            -- (mysql on %6=0, http 500 on %15=0, analytics on %9=0)
+            -- and an unknown-parent orphan on %5; resource service "My
+            -- Service" (peer-svc override on %7), version v1.2,
+            -- container tags, error roots carry exception events on
+            -- even ids / status message on %4=1 / http 503(+text %8=3)
+            -- on %4=3; non-error roots get http 404 on %4=0 (error
+            -- only for client kind %6=1); spans = roots+children+orphans
+            UNION ALL
+            SELECT 'dd', 'n',
+                   COUNT(*)
+                   + SUM(CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END)
+                   + SUM(CASE WHEN event_id % 5 = 0 THEN 1 ELSE 0 END),
+                   CAST(SUM(CASE WHEN event_id % 11 <> 0 THEN dur ELSE 0 END)
+                        + SUM(CASE WHEN event_id % 3 = 0 THEN dur ELSE 0 END)
+                        AS DECIMAL(18,2))
+            FROM e
+            UNION ALL
+            SELECT 'dd', 'ids_decoded',
+                   COUNT(*)
+                   + SUM(CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END)
+                   + SUM(CASE WHEN event_id % 5 = 0 THEN 1 ELSE 0 END),
+                   CAST(0 AS DECIMAL(18,2))
+            FROM e
+            UNION ALL
+            SELECT 'dd', 'svc_peer', COUNT(*), CAST(0 AS DECIMAL(18,2))
+            FROM e WHERE event_id % 7 = 0
+            UNION ALL
+            SELECT 'dd', 'svc_my',
+                   SUM(CASE WHEN event_id % 7 <> 0 THEN 1 ELSE 0 END)
+                   + SUM(CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END)
+                   + SUM(CASE WHEN event_id % 5 = 0 THEN 1 ELSE 0 END),
+                   CAST(0 AS DECIMAL(18,2))
+            FROM e
+            UNION ALL
+            SELECT 'dd', 'name_web_request', COUNT(*), CAST(0 AS DECIMAL(18,2))
+            FROM e WHERE event_id % 6 = 0
+            UNION ALL
+            SELECT 'dd', 'name_client',
+                   SUM(CASE WHEN event_id % 6 = 1 THEN 1 ELSE 0 END)
+                   + SUM(CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END),
+                   CAST(0 AS DECIMAL(18,2))
+            FROM e
+            UNION ALL
+            SELECT 'dd', 'name_unspec', COUNT(*), CAST(0 AS DECIMAL(18,2))
+            FROM e WHERE event_id % 6 = 5
+            UNION ALL
+            SELECT 'dd', 'res_get_api', COUNT(*), CAST(0 AS DECIMAL(18,2))
+            FROM e WHERE event_id % 8 = 0
+            UNION ALL
+            SELECT 'dd', 'res_get_grpc', COUNT(*), CAST(0 AS DECIMAL(18,2))
+            FROM e WHERE event_id % 16 = 4
+            UNION ALL
+            SELECT 'dd', 'res_get', COUNT(*), CAST(0 AS DECIMAL(18,2))
+            FROM e WHERE event_id % 16 = 12
+            UNION ALL
+            SELECT 'dd', 'res_send_queue', COUNT(*), CAST(0 AS DECIMAL(18,2))
+            FROM e WHERE event_id % 8 = 1
+            UNION ALL
+            SELECT 'dd', 'res_send', COUNT(*), CAST(0 AS DECIMAL(18,2))
+            FROM e WHERE event_id % 8 = 5
+            UNION ALL
+            SELECT 'dd', 'res_call_auth', COUNT(*), CAST(0 AS DECIMAL(18,2))
+            FROM e WHERE event_id % 8 = 2
+            UNION ALL
+            SELECT 'dd', 'res_call', COUNT(*), CAST(0 AS DECIMAL(18,2))
+            FROM e WHERE event_id % 8 = 6
+            UNION ALL
+            SELECT 'dd', 'res_fallback', COUNT(*), CAST(0 AS DECIMAL(18,2))
+            FROM e WHERE event_id % 4 = 3
+            UNION ALL
+            SELECT 'dd', 'type_web', COUNT(*), CAST(0 AS DECIMAL(18,2))
+            FROM e WHERE event_id % 6 = 0
+            UNION ALL
+            SELECT 'dd', 'type_cache', COUNT(*), CAST(0 AS DECIMAL(18,2))
+            FROM e WHERE event_id % 6 = 1 AND event_id % 10 = 5
+            UNION ALL
+            SELECT 'dd', 'type_db',
+                   SUM(CASE WHEN event_id % 6 = 1 AND event_id % 10 = 0
+                        THEN 1 ELSE 0 END)
+                   + SUM(CASE WHEN event_id % 3 = 0 AND event_id % 6 = 0
+                        THEN 1 ELSE 0 END),
+                   CAST(0 AS DECIMAL(18,2))
+            FROM e
+            UNION ALL
+            SELECT 'dd', 'type_http',
+                   SUM(CASE WHEN event_id % 6 = 1
+                        AND event_id % 10 NOT IN (0, 5) THEN 1 ELSE 0 END)
+                   + SUM(CASE WHEN event_id % 3 = 0 AND event_id % 6 <> 0
+                        THEN 1 ELSE 0 END),
+                   CAST(0 AS DECIMAL(18,2))
+            FROM e
+            UNION ALL
+            SELECT 'dd', 'type_custom',
+                   SUM(CASE WHEN event_id % 6 IN (2, 3, 4, 5) THEN 1 ELSE 0 END)
+                   + SUM(CASE WHEN event_id % 5 = 0 THEN 1 ELSE 0 END),
+                   CAST(0 AS DECIMAL(18,2))
+            FROM e
+            UNION ALL
+            SELECT 'dd', 'err_n',
+                   SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                   + SUM(CASE WHEN event_type <> 'error' AND event_id % 4 = 0
+                        AND event_id % 6 = 1 THEN 1 ELSE 0 END)
+                   + SUM(CASE WHEN event_id % 15 = 0 THEN 1 ELSE 0 END),
+                   CAST(0 AS DECIMAL(18,2))
+            FROM e
+            UNION ALL
+            SELECT 'dd', 'errmsg_m2', COUNT(*), CAST(0 AS DECIMAL(18,2))
+            FROM e WHERE event_type = 'error' AND event_id % 2 = 0
+            UNION ALL
+            SELECT 'dd', 'errmsg_boom', COUNT(*), CAST(0 AS DECIMAL(18,2))
+            FROM e WHERE event_type = 'error' AND event_id % 4 = 1
+            UNION ALL
+            SELECT 'dd', 'errmsg_503t', COUNT(*), CAST(0 AS DECIMAL(18,2))
+            FROM e WHERE event_type = 'error' AND event_id % 8 = 3
+            UNION ALL
+            SELECT 'dd', 'errmsg_503', COUNT(*), CAST(0 AS DECIMAL(18,2))
+            FROM e WHERE event_type = 'error' AND event_id % 8 = 7
+            UNION ALL
+            SELECT 'dd', 'errtype_e2', COUNT(*), CAST(0 AS DECIMAL(18,2))
+            FROM e WHERE event_type = 'error' AND event_id % 2 = 0
+            UNION ALL
+            SELECT 'dd', 'err_nomsg',
+                   SUM(CASE WHEN event_type <> 'error' AND event_id % 4 = 0
+                        AND event_id % 6 = 1 THEN 1 ELSE 0 END)
+                   + SUM(CASE WHEN event_id % 15 = 0 THEN 1 ELSE 0 END),
+                   CAST(0 AS DECIMAL(18,2))
+            FROM e
+            UNION ALL
+            SELECT 'dd', 'version',
+                   COUNT(*)
+                   + SUM(CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END)
+                   + SUM(CASE WHEN event_id % 5 = 0 THEN 1 ELSE 0 END),
+                   CAST(0 AS DECIMAL(18,2))
+            FROM e
+            UNION ALL
+            SELECT 'dd', 'container',
+                   COUNT(*)
+                   + SUM(CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END)
+                   + SUM(CASE WHEN event_id % 5 = 0 THEN 1 ELSE 0 END),
+                   CAST(0 AS DECIMAL(18,2))
+            FROM e
+            UNION ALL
+            SELECT 'dd', 'tracestate', COUNT(*), CAST(0 AS DECIMAL(18,2))
+            FROM e WHERE event_id % 13 = 0
+            UNION ALL
+            SELECT 'dd', 'big_trunc', COUNT(*), CAST(0 AS DECIMAL(18,2))
+            FROM e WHERE event_id % 17 = 0
+            UNION ALL
+            SELECT 'dd', 'rate1',
+                   2 * SUM(CASE WHEN event_id % 9 = 0 THEN 1 ELSE 0 END),
+                   CAST(0 AS DECIMAL(18,2))
+            FROM e
+            UNION ALL
+            SELECT 'dd', 'rate0', COUNT(*), CAST(0 AS DECIMAL(18,2))
+            FROM e WHERE event_id % 9 = 3
+            UNION ALL
+            SELECT 'dd', 'top_level',
+                   COUNT(*)
+                   + SUM(CASE WHEN event_id % 5 = 0 THEN 1 ELSE 0 END)
+                   + SUM(CASE WHEN event_id % 3 = 0
+                        AND (event_id % 9 = 0 OR event_id % 7 = 0)
+                        THEN 1 ELSE 0 END),
+                   CAST(0 AS DECIMAL(18,2))
+            FROM e
+            UNION ALL
+            SELECT 'dd', 'env_prod',
+                   COUNT(*)
+                   + SUM(CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END)
+                   + SUM(CASE WHEN event_id % 5 = 0 THEN 1 ELSE 0 END),
+                   CAST(0 AS DECIMAL(18,2))
+            FROM e
+            UNION ALL
+            SELECT 'dd', 'deny_kept', COUNT(*), CAST(0 AS DECIMAL(18,2))
+            FROM e WHERE event_id % 13 <> 0)
         """,
         "statsd_parse_agg": """
             -- leg 'agg': DECIMAL sum = exact integer arithmetic matching
