@@ -5252,10 +5252,23 @@ def _q_join_orders_customers(sf_dir: str):
         .to_pandas()["p"]
         .unique()
     )
+    # bracket count derives from the observed max price (ceil(max/w)+1)
+    # so no order can ever fall past the last interval — a fixed cap
+    # would silently drop rows the oracle's unbounded FLOOR(price/w)
+    # keeps (ADVICE r3)
+    max_price = float(
+        ordp.map_batches(
+            lambda t: pa.table({"m": [pc.max(t["o_totalprice"]).as_py()]}),
+            batch_format="pyarrow",
+        )
+        .to_pandas()["m"]
+        .max()
+    )
     br_rows = []
     for p in prios:
         w = 15000 + 2000 * int(p[0])
-        for i in range(40):
+        n_br = int(np.ceil(max_price / w)) + 1
+        for i in range(n_br):
             br_rows.append(
                 {"rpri": p, "lo": float(i * w), "hi": float((i + 1) * w), "bracket": i}
             )

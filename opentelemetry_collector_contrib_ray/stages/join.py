@@ -224,6 +224,29 @@ def _tag_pad_union(left, right, lkey: str, rkey: str, num_buckets: int):
     return both, lschema, rschema
 
 
+def _cast_to_fields(df: pd.DataFrame, fields: list[tuple[str, "pa.DataType"]]) -> pa.Table:
+    """Build an Arrow table with a CANONICAL per-bucket schema: every
+    merge_bucket output is cast to the precomputed (name, type) list so
+    all-unmatched buckets (pandas pd.NA → Arrow null type) and
+    partially-matched buckets (int64 + NaN → float64) emit the SAME
+    schema as fully-matched ones — left dtypes preserved, right attach
+    columns nullable at their original types. Without this, downstream
+    schema-dependent consumers (write_parquet, native ops) see mixed
+    per-block schemas (Ray logs 'RefBundle with a different schema')."""
+    arrays = []
+    n = len(df)
+    for name, typ in fields:
+        if name not in df.columns:
+            arrays.append(pa.nulls(n, typ))
+            continue
+        s = df[name]
+        try:
+            arrays.append(pa.array(s, type=typ, from_pandas=True))
+        except (pa.ArrowInvalid, pa.ArrowTypeError, pa.ArrowNotImplementedError):
+            arrays.append(pa.array(s, from_pandas=True).cast(typ, safe=False))
+    return pa.Table.from_arrays(arrays, names=[f[0] for f in fields])
+
+
 def asof_join(
     left,
     right,
@@ -258,6 +281,8 @@ def asof_join(
     # schema so merge_asof always sees matching types
     on_dtype = np.dtype(lschema[left_on].to_pandas_dtype())
     by_dtype = np.dtype(lschema[left_by].to_pandas_dtype())
+    # canonical output schema: left dtypes + nullable right columns
+    out_fields = [(c, lschema[c]) for c in l_cols] + [(c, rschema[c]) for c in r_cols]
 
     def merge_bucket(g: pd.DataFrame) -> pa.Table:
         lhs = g[g["_side"] == 0][l_cols].dropna(subset=[left_on, left_by])
@@ -276,7 +301,7 @@ def asof_join(
             direction=direction,
             allow_exact_matches=allow_exact_matches,
         )
-        return table_from_pandas(out)
+        return _cast_to_fields(out, out_fields)
 
     return both.groupby("_bucket").map_groups(merge_bucket, batch_format="pandas")
 
@@ -308,6 +333,10 @@ def range_join(
     l_cols, r_cols = list(lschema), list(rschema)
     by_dtype = np.dtype(lschema[left_by].to_pandas_dtype())
     r_attach = [c for c in r_cols if c != right_by]
+    # canonical output schema: left dtypes + nullable right attach
+    # columns — all-unmatched buckets (pd.NA → null type) and
+    # NaN-degraded int columns cast back to one stable schema
+    out_fields = [(c, lschema[c]) for c in l_cols] + [(c, rschema[c]) for c in r_attach]
 
     def merge_bucket(g: pd.DataFrame) -> pa.Table:
         lhs = g[g["_side"] == 0][l_cols].dropna(subset=[left_by])
@@ -321,10 +350,7 @@ def range_join(
             lsub = lsub.reset_index(drop=True)
             if rsub is None:
                 if how == "left":
-                    miss = lsub.copy()
-                    for c in r_attach:
-                        miss[c] = pd.NA
-                    outs.append(miss)
+                    outs.append(lsub)  # attach columns null-filled at cast
                 continue
             lo = rsub[lower_col].to_numpy(np.float64)
             order = np.argsort(lo, kind="stable")
@@ -338,12 +364,9 @@ def range_join(
             r_rows = rsub.iloc[order[pos[ok]]][r_attach].reset_index(drop=True)
             outs.append(pd.concat([matched, r_rows], axis=1))
             if how == "left" and (~ok).any():
-                miss = lsub[~ok].copy()
-                for c in r_attach:
-                    miss[c] = pd.NA
-                outs.append(miss)
+                outs.append(lsub[~ok])  # attach columns null-filled at cast
         if not outs:
-            return table_from_pandas(pd.DataFrame(columns=l_cols + r_attach))
-        return table_from_pandas(pd.concat(outs, ignore_index=True))
+            return _cast_to_fields(pd.DataFrame(columns=[f[0] for f in out_fields]), out_fields)
+        return _cast_to_fields(pd.concat(outs, ignore_index=True), out_fields)
 
     return both.groupby("_bucket").map_groups(merge_bucket, batch_format="pandas")

@@ -1708,12 +1708,38 @@ def write_training_shards(
     pattern — key cardinality equals the shard count, which is sized
     like a bucket count (≳ cluster cores; each shard ≈ N/n_shards rows
     must fit a worker). Returns the manifest as pandas: shard, n_rows,
-    id_sum (numeric ids), first/last id in read order, skipped."""
+    id_sum (numeric ids), first/last id in read order, skipped,
+    on_disk_rows.
+
+    Resume safety (ADVICE r3): the run config (seed, n_shards, id_col)
+    is stamped into ``_shards_meta.json`` before any shard writes; a
+    resume against a directory stamped with a DIFFERENT config raises
+    instead of silently keeping stale shards. Skipped shards also
+    report the EXISTING file's row count (``on_disk_rows``, parquet
+    metadata only — no data read) so drift from the recomputed
+    ``n_rows`` is detectable in the manifest."""
+    import json
     import os
 
     import pyarrow.parquet as pq
 
     os.makedirs(out_dir, exist_ok=True)
+    meta_path = os.path.join(out_dir, "_shards_meta.json")
+    config = {"seed": int(seed), "n_shards": int(n_shards), "id_col": id_col}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            existing = json.load(f)
+        if existing != config:
+            raise ValueError(
+                f"{out_dir} holds shards written with config {existing}; "
+                f"current run uses {config} — existing shard files would "
+                "be stale. Use a fresh directory or delete the old shards."
+            )
+    else:
+        tmp_meta = meta_path + f".tmp-{os.getpid()}"
+        with open(tmp_meta, "w") as f:
+            json.dump(config, f)
+        os.replace(tmp_meta, meta_path)
     labeled = shuffle_shards(ds, id_col, n_shards=n_shards, seed=seed)
 
     def write_one(g: pd.DataFrame) -> pd.DataFrame:
@@ -1728,6 +1754,8 @@ def write_training_shards(
                 pa.Table.from_pandas(body, preserve_index=False), tmp
             )
             os.replace(tmp, path)
+        # metadata-only read: skipped-shard drift is detectable
+        on_disk = pq.read_metadata(path).num_rows
         ids = g[id_col]
         numeric = pd.api.types.is_numeric_dtype(ids)
         return pd.DataFrame(
@@ -1738,6 +1766,7 @@ def write_training_shards(
                 "first_id": [str(ids.iloc[0])],
                 "last_id": [str(ids.iloc[-1])],
                 "skipped": [skipped],
+                "on_disk_rows": [int(on_disk)],
             }
         )
 

@@ -98,10 +98,19 @@ class RateLimiting(Policy):
     def __init__(self, spans_per_second: int):
         self.spans_per_second = spans_per_second
 
-    def apply_to_decisions(self, ddf: pd.DataFrame, ts_col: str = "first_ts") -> pd.DataFrame:
+    def apply_to_decisions(
+        self, ddf: pd.DataFrame, ts_col: str = "first_ts", tie_col: str | None = None
+    ) -> pd.DataFrame:
         """Run the per-second budget over a decision table sorted by
-        event time; returns the table with ``sampled`` updated."""
-        ddf = ddf.sort_values(ts_col, kind="stable").reset_index(drop=True)
+        event time (``tie_col`` breaks equal-timestamp ties
+        deterministically — partition order must not change results);
+        returns the table with ``sampled`` updated. The budget state is
+        SECOND-LOCAL (the counter resets on every new second,
+        rate_limiting.go:56-60), so disjoint sets of whole seconds can
+        be processed independently — the distributed path buckets on
+        the second."""
+        sort_cols = [ts_col] + ([tie_col] if tie_col else [])
+        ddf = ddf.sort_values(sort_cols, kind="stable").reset_index(drop=True)
         secs = (ddf[ts_col].astype("datetime64[ns]").astype(np.int64) // 1_000_000_000).to_numpy()
         spans = ddf["n_spans"].to_numpy()
         sampled = ddf["sampled"].to_numpy().copy()
@@ -126,18 +135,27 @@ def tail_sample(
     *,
     ts_col: str | None = None,
     batch_format: str = "pandas",
+    broadcast_threshold: int = 2_000_000,
+    num_buckets: int = 64,
 ):
-    """Returns (sampled_ds, decisions_ds).
+    """Returns (sampled_ds, decisions) where decisions is a DATASET with
+    one row per trace (trace_id, sampled, n_spans, first_ts).
 
-    decisions: one row per trace (trace_id, sampled, n_spans,
-    first_ts). Rate-limiting policies are applied AFTER the per-group
-    policies, on the driver-side decision table ordered by first_ts —
-    a tiny table (one row per trace), not the span data.
-    Sampled spans are selected by broadcasting the sampled-id set into
-    a vectorized semi-join filter (sampling/*, processor.go:156-173).
+    Scale shape (nothing driver-side is O(#traces)):
+    - per-trace policy evaluation: one bucketed hash(trace) shuffle,
+      vectorized per bucket (processor.go:191-237 OR semantics);
+    - rate limiting: the per-second budget is second-LOCAL
+      (rate_limiting.go:56-60), so it applies inside a second pass
+      bucketed on the epoch second of the decision table — whole
+      seconds co-locate, no global state;
+    - sampled-span selection (processor.go:156-173): when the sampled
+      trace-id set is small it broadcasts once via ``ray.put`` into a
+      vectorized membership filter; past ``broadcast_threshold`` ids it
+      switches to a distributed bucketed semi-join (``stages/join.
+      bucketed_hash_join`` with a key-only right side) — no O(#traces)
+      driver table or broadcast.
     """
     import ray
-    import pyarrow.compute as pc
 
     from .aggregate import bucketed_group_apply
 
@@ -172,26 +190,68 @@ def tail_sample(
         out["sampled"] = out[trace_col].isin(sampled_ids)
         return out
 
-    decisions = bucketed_group_apply(ds, trace_col, decide_bucket)
-    ddf = decisions.to_pandas()  # one row per trace — small by design
+    decisions = bucketed_group_apply(ds, trace_col, decide_bucket, num_buckets=num_buckets)
 
     if rate_policies and ts_col:
         # exact per-second budget (rate_limiting.go:50-66), tightest
-        # policy wins; runs over the tiny one-row-per-trace table
+        # policy wins; the counter is second-local, so bucket the
+        # decision table on the epoch second and run the sequential
+        # budget inside each bucket (ties broken by trace id so the
+        # result is partition-order independent)
         tightest = min(rate_policies, key=lambda p: p.spans_per_second)
-        ddf = tightest.apply_to_decisions(ddf, "first_ts")
 
-    sampled_ids = pd.unique(ddf.loc[ddf["sampled"], trace_col])
-    ids_ref = ray.put(sampled_ids)
+        def add_sec(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
 
-    def semi_join(batch: pa.Table) -> pa.Table:
-        ids = ray.get(ids_ref)  # zero-copy shared-memory read per task
-        vals = pd.Series(batch[trace_col].to_numpy(zero_copy_only=False))
-        mask = vals.isin(ids).to_numpy()  # vectorized membership
-        return batch.filter(pa.array(mask))
+            secs = pc.cast(
+                pc.cast(t["first_ts"], pa.timestamp("s"), safe=False), pa.int64()
+            )
+            return t.append_column("_sec", secs)
 
-    sampled_ds = ds.map_batches(semi_join, batch_format="pyarrow")
-    return sampled_ds, ddf
+        def per_sec_bucket(df: pd.DataFrame) -> pd.DataFrame:
+            out = tightest.apply_to_decisions(df, "first_ts", trace_col)
+            return out.drop(columns=["_sec"])
+
+        decisions = bucketed_group_apply(
+            decisions.map_batches(add_sec, batch_format="pyarrow"),
+            "_sec",
+            per_sec_bucket,
+            num_buckets=num_buckets,
+        )
+
+    # bounded distributed materialize: one row per trace, read twice
+    # (count probe + sampled-id side) — never collected to the driver
+    decisions = decisions.materialize()
+    sampled_ids_ds = decisions.filter(expr="sampled == True").select_columns([trace_col])
+
+    if sampled_ids_ds.count() <= broadcast_threshold:
+        # small sampled set → one ray.put, zero-copy membership filter
+        ids_pd = sampled_ids_ds.to_pandas()
+        # an all-filtered Dataset can surface as a zero-column frame
+        sampled_ids = (
+            ids_pd[trace_col].to_numpy()
+            if trace_col in ids_pd.columns
+            else np.empty(0, dtype=object)
+        )
+        ids_ref = ray.put(sampled_ids)
+
+        def semi_join(batch: pa.Table) -> pa.Table:
+            ids = ray.get(ids_ref)  # zero-copy shared-memory read per task
+            vals = pd.Series(batch[trace_col].to_numpy(zero_copy_only=False))
+            mask = vals.isin(ids).to_numpy()  # vectorized membership
+            return batch.filter(pa.array(mask))
+
+        sampled_ds = ds.map_batches(semi_join, batch_format="pyarrow")
+    else:
+        # large sampled set → distributed semi-join: inner bucketed
+        # hash join against the key-only right side (ids are unique per
+        # trace, so inner ≡ semi)
+        from .join import bucketed_hash_join
+
+        sampled_ds = bucketed_hash_join(
+            ds, sampled_ids_ds, trace_col, how="inner", num_buckets=num_buckets
+        )
+    return sampled_ds, decisions
 
 
 def group_by_trace(ds, trace_col: str, fn=None, batch_format: str = "pandas", num_buckets: int = 64):

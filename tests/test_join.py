@@ -203,3 +203,69 @@ def test_two_sided_helper_rejects_column_overlap():
             rd.from_pandas(left), rd.from_pandas(right),
             left_on="t", right_on="rt", left_by="k", right_by="k",
         )
+
+
+def test_range_and_asof_join_stable_schema_across_buckets():
+    """ADVICE fix: every merge_bucket output must carry ONE canonical
+    Arrow schema — all-unmatched buckets must not emit null-typed or
+    float-degraded columns (write_parquet would fail on mixed blocks)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from opentelemetry_collector_contrib_ray.stages.join import asof_join, range_join
+
+    left = pd.DataFrame(
+        {
+            "v": [5.0, 50.0, 5.0, 500.0],
+            "lk": ["a", "a", "zz_unmatched", "zz_unmatched"],
+            "lint": [1, 2, 3, 4],
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "lo": [0.0, 10.0],
+            "hi": [10.0, 100.0],
+            "rk": ["a", "a"],
+            "rint": [7, 8],
+            "rstr": ["x", "y"],
+        }
+    )
+    out = range_join(
+        rd.from_pandas(left).repartition(2),
+        rd.from_pandas(right),
+        value_col="v",
+        lower_col="lo",
+        upper_col="hi",
+        left_by="lk",
+        right_by="rk",
+        how="left",
+        num_buckets=8,
+    )
+    schema = out.schema()
+    types = dict(zip(schema.names, schema.types))
+    assert types["lint"] == pa.int64()
+    assert types["rint"] == pa.int64()  # not float64, not null
+    assert types["rstr"] == pa.string()
+    df = out.to_pandas().sort_values("lint").reset_index(drop=True)
+    assert df.loc[2, "rint"] is pd.NA or pd.isna(df.loc[2, "rint"])
+    # write_parquet over the mixed-bucket output must succeed
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        out.write_parquet(d)
+
+    aout = asof_join(
+        rd.from_pandas(pd.DataFrame(
+            {"lt": [1, 2, 9], "lby": ["a", "zz", "zz"], "lval": [1, 2, 3]})),
+        rd.from_pandas(pd.DataFrame(
+            {"rt": [0, 5], "rby": ["a", "a"], "rint": [10, 20]})),
+        left_on="lt",
+        right_on="rt",
+        left_by="lby",
+        right_by="rby",
+        num_buckets=8,
+    )
+    atypes = dict(zip(aout.schema().names, aout.schema().types))
+    assert atypes["rint"] == pa.int64()
+    adf = aout.to_pandas().sort_values("lval")
+    assert adf["rint"].tolist()[0] == 10 and pd.isna(adf["rint"].tolist()[1])

@@ -1025,7 +1025,8 @@ class TestIterTrainingBatches:
         import os
 
         start = 0
-        for f in sorted(os.listdir(out)):
+        for f in sorted(f for f in os.listdir(out)
+                        if f.startswith("shard-") and f.endswith(".parquet")):
             n = pq.read_table(os.path.join(out, f)).num_rows
             span = ranks[start:start + n]
             assert (np.diff(span) > 0).all()
@@ -1051,3 +1052,29 @@ class TestIterTrainingBatches:
 
         with pytest.raises(ValueError):
             list(iter_training_batches(str(tmp_path), 8, rank=3, world_size=2))
+
+
+def test_write_training_shards_resume_stamp(ray_session, tmp_path):
+    """ADVICE r3: a resume against a directory written with a different
+    (seed, n_shards) config must raise instead of silently keeping
+    stale shard files; skipped shards report on-disk row counts."""
+    from opentelemetry_collector_contrib_ray.stages.llmdata import (
+        write_training_shards,
+    )
+
+    ds = ray.data.from_arrow(pa.table({"doc_id": np.arange(100, dtype=np.int64)}))
+    out = str(tmp_path / "sh")
+    m1 = write_training_shards(ds, out, n_shards=4, seed=1)
+    assert not m1["skipped"].any()
+    assert (m1["on_disk_rows"] == m1["n_rows"]).all()
+    # same config resumes: all shards skipped, counts verified on disk
+    m2 = write_training_shards(ds, out, n_shards=4, seed=1)
+    assert m2["skipped"].all()
+    assert (m2["on_disk_rows"] == m2["n_rows"]).all()
+    # different seed against the same directory: refuse
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="stale"):
+        write_training_shards(ds, out, n_shards=4, seed=2)
+    with _pytest.raises(ValueError, match="stale"):
+        write_training_shards(ds, out, n_shards=8, seed=1)

@@ -39,7 +39,7 @@ def test_numeric_policy_or_string_policy():
         [NumericAttribute("latency", 400, 600), StringAttribute("svc", ["batch"])],
         ts_col="ts",
     )
-    dec = decisions.set_index("trace_id")["sampled"].to_dict()
+    dec = decisions.to_pandas().set_index("trace_id")["sampled"].to_dict()
     # t1 has latency 500 (in range) → sampled; t3 svc=batch → sampled; t2 no
     assert dec == {"t1": True, "t2": False, "t3": True}
     out = sampled.to_pandas()
@@ -52,16 +52,16 @@ def test_string_regex_policy():
     _, decisions = tail_sample(
         ds, "trace_id", [StringAttribute("svc", [r"^ba.*"], enable_regex=True)]
     )
-    dec = decisions.set_index("trace_id")["sampled"].to_dict()
+    dec = decisions.to_pandas().set_index("trace_id")["sampled"].to_dict()
     assert dec == {"t1": False, "t2": False, "t3": True}
 
 
 def test_always_sample_and_missing_key():
     ds = ray.data.from_pandas(_spans())
     _, d1 = tail_sample(ds, "trace_id", [AlwaysSample()])
-    assert d1["sampled"].all()
+    assert d1.to_pandas()["sampled"].all()
     _, d2 = tail_sample(ds, "trace_id", [NumericAttribute("nope", 0, 1)])
-    assert not d2["sampled"].any()
+    assert not d2.to_pandas()["sampled"].any()
 
 
 def test_rate_limiting_caps_throughput():
@@ -71,6 +71,7 @@ def test_rate_limiting_caps_throughput():
     )
     # budget 1 span/sec over 4s window: first trace admitted (2 spans vs
     # clip-1s budget… cumulative check), later traces rejected once over
+    dec = dec.to_pandas()
     assert dec["sampled"].sum() < len(dec)
 
 
@@ -155,5 +156,40 @@ def test_tail_sample_rate_limited_end_to_end():
     got = sampled.to_pandas()
     # sec 0: a(3) fits (3<5), b(2) → 3+2<5 fails → dropped; sec 1: c(4) fits
     assert sorted(got["trace"].unique()) == ["a", "c"]
-    dd = decisions.set_index("trace")["sampled"]
+    dd = decisions.to_pandas().set_index("trace")["sampled"]
     assert dd["a"] and dd["c"] and not dd["b"]
+
+
+def test_tail_sample_distributed_semi_join_matches_broadcast():
+    """The broadcast membership filter and the bucketed semi-join
+    (broadcast_threshold=0 forces it) must select identical spans, and
+    the rate-limited decision table must be identical too — the
+    per-second budget is second-local, so the distributed
+    bucketed-by-second pass must equal the sequential result."""
+    rng = np.random.default_rng(7)
+    n = 600
+    df = pd.DataFrame(
+        {
+            "trace_id": [f"t{i % 150}" for i in range(n)],
+            "ts": pd.to_datetime("2021-03-01")
+            + pd.to_timedelta(rng.integers(0, 30_000, n), unit="ms"),
+            "latency": rng.uniform(0, 1000, n),
+        }
+    )
+    policies = [NumericAttribute("latency", 400, 600), RateLimiting(30)]
+    ds = ray.data.from_pandas(df).repartition(6)
+    s_b, d_b = tail_sample(ds, "trace_id", policies, ts_col="ts")
+    s_d, d_d = tail_sample(
+        ds, "trace_id", policies, ts_col="ts", broadcast_threshold=0
+    )
+    b = s_b.to_pandas().sort_values(["trace_id", "ts"]).reset_index(drop=True)
+    d = (
+        s_d.to_pandas()[b.columns]
+        .sort_values(["trace_id", "ts"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(b, d)
+    db = d_b.to_pandas().sort_values("trace_id").reset_index(drop=True)
+    dd = d_d.to_pandas()[db.columns].sort_values("trace_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(db, dd)
+    assert 0 < len(b) < n  # the policy actually filtered something
