@@ -5274,7 +5274,12 @@ def _q_join_orders_customers(sf_dir: str):
             )
     import ray.data as _rd
 
-    br = _rd.from_pandas(pd.DataFrame(br_rows))
+    # from_arrow with stripped metadata: a from_pandas dataset would
+    # carry the pandas schema blob into the join's sort shuffle, where
+    # Ray's schema dedup can't hash metadata-bearing schemas
+    from opentelemetry_collector_contrib_ray._util import table_from_pandas as _tfp
+
+    br = _rd.from_arrow(_tfp(pd.DataFrame(br_rows)))
     rj = range_join(
         ordp,
         br,

@@ -57,3 +57,24 @@ def test_full_pipeline_empty_dataset():
     ds = ray.data.from_arrow(_empty_corpus_table())
     routed = build_pipeline(ds)
     assert routed.count() == 0
+
+
+def test_ray_internal_empty_partition_schema_flap(ray_session):
+    """Documents (SURVEY §9) that the 'RefBundle with a different
+    schema ... new schema: .' warning is RAY-INTERNAL: a stock
+    groupby().map_groups() with more reduce partitions than keys emits
+    schema-less empty blocks with zero engine code involved — and the
+    result is still correct. If a Ray upgrade fixes the upstream
+    behavior this test keeps passing (it asserts correctness, not the
+    warning)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    ds = rd.from_arrow(pa.table({"k": [1, 2, 3] * 4, "v": list(range(12))}))
+    out = (
+        ds.repartition(8)
+        .groupby("k")
+        .map_groups(lambda df: df.head(1), batch_format="pandas")
+        .to_pandas()
+    )
+    assert sorted(out["k"]) == [1, 2, 3]
