@@ -340,7 +340,8 @@ def test_shard_shuffle_stage(tmp_path, docs_ds):
     assert res.shards is not None
     n_packed = res.packed.count()
     assert res.shards["n_rows"].sum() == n_packed == res.stats["shard_rows"]
-    files = sorted(os.listdir(os.path.join(out, "shards")))
+    files = sorted(f for f in os.listdir(os.path.join(out, "shards"))
+                   if f.endswith(".parquet"))
     assert files == [f"shard-{int(s):05d}.parquet" for s in sorted(res.shards["shard"])]
     # each shard file is rank-sorted and the union covers every chunk
     uids = []
