@@ -75,9 +75,11 @@ def brute_force_topk(ds, queries: np.ndarray, k: int = 10, *, id_col="vec_id", e
     partials = ds.map_batches(Partial, batch_format="pyarrow", concurrency=concurrency)
 
     def merge(g):
-        import pandas as pd
+        from .._util import table_from_pandas
 
-        return g.nlargest(k, "cos")
+        # arrow out: pandas blocks would re-acquire the unhashable
+        # pandas schema blob at any downstream shuffle
+        return table_from_pandas(g.nlargest(k, "cos"))
 
     return partials.groupby("query_idx").map_groups(merge, batch_format="pandas")
 
@@ -346,6 +348,8 @@ def quantized_topk(
     partials = codes_ds.map_batches(Partial, batch_format="pyarrow", concurrency=concurrency)
 
     def merge(g):
-        return g.nlargest(k, "cos")
+        from .._util import table_from_pandas
+
+        return table_from_pandas(g.nlargest(k, "cos"))
 
     return partials.groupby("query_idx").map_groups(merge, batch_format="pandas")

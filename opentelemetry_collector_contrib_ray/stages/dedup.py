@@ -526,9 +526,14 @@ def lsh_candidate_pairs(exploded, id_col: str, *, num_buckets: int = 64):
 
     # dedupe across bands: hash-bucket the pairs (single int key — far
     # cheaper to shuffle than a two-string-column sort aggregate), then
-    # one vectorized drop_duplicates per pair bucket
-    def dedupe(df: pd.DataFrame) -> pd.DataFrame:
-        return df.drop_duplicates(["id_a", "id_b"])[["id_a", "id_b"]]
+    # one vectorized drop_duplicates per pair bucket. Emit ARROW with
+    # stripped metadata: a pandas block here re-acquires the unhashable
+    # pandas schema blob at the downstream join shuffle (Ray's schema
+    # dedup warning)
+    from .._util import table_from_pandas
+
+    def dedupe(df: pd.DataFrame) -> pa.Table:
+        return table_from_pandas(df.drop_duplicates(["id_a", "id_b"])[["id_a", "id_b"]])
 
     return pairs.groupby("_pb").map_groups(dedupe, batch_format="pandas")
 
