@@ -3569,6 +3569,58 @@ def _q_scraper_parse(sf_dir: str):
             + "]}"
         )
 
+        # container-insights decorated-metric → OTLP translation
+        # (internal/aws/containerinsight/utils.go:30-216): four Type
+        # variants cycling on (e//4)%4 — Pod exercises the SumFields
+        # list fold (extra key ignored, missing key skipped per map),
+        # NodeNet/Container the prefix-strip unit lookup and int/double
+        # gauge dispatch, Bogus the unknown-Type empty prefix plus the
+        # bool/str type-switch skips; Timestamp tag checks the ns→ms
+        # rewrite (truncation of the sub-ms digits)
+        ci_k = ci_q % 4
+        from opentelemetry_collector_contrib_ray.sources.scrapers import (
+            convert_ci_otlp,
+        )
+
+        _co_pod = (
+            '[{"pod_cpu_utilization": ' + js(e % 64) + ".25"
+            + ', "pod_memory_pgfault": ' + js(e % 16) + '.5}, '
+            + '{"pod_cpu_utilization": ' + js(e % 32) + ".5"
+            + ', "pod_extra_ignored": 1.5}, '
+            + '{"pod_memory_pgfault": 2.25}]'
+        )
+        _co_nodenet = (
+            '{"node_interface_network_rx_bytes": ' + js(e % 128) + ".5"
+            + ', "node_interface_network_rx_packets": ' + js(e % 9) + "}"
+        )
+        _co_container = (
+            '{"container_diskio_io_serviced_read": ' + js(e % 11)
+            + ', "container_memory_failcnt": ' + js(e % 5) + "}"
+        )
+        _co_bogus = (
+            '{"memory_usage": ' + js(e % 17)
+            + ', "custom_thing": 1.5, "flagged": true, "note": "x"}'
+        )
+        _co_type = pd.Series(
+            np.select(
+                [ci_k == 0, ci_k == 1, ci_k == 2],
+                ["Pod", "NodeNet", "Container"],
+                default="Bogus",
+            )
+        )
+        _co_fields = pd.Series(
+            np.select(
+                [ci_k == 0, ci_k == 1, ci_k == 2],
+                [_co_pod, _co_nodenet, _co_container],
+                default=_co_bogus,
+            )
+        )
+        ciotlp = (
+            '{"fields": ' + _co_fields
+            + ', "tags": {"Type": "' + _co_type
+            + '", "Timestamp": "1600000000123456789", "ClusterName": "c1"}}'
+        )
+
         ids = pa.array(e, pa.int64())
         # the ECS / k8s-object / container-insights translations are
         # inherently per-task Python (nested docs with joins/rollups) —
@@ -3589,14 +3641,27 @@ def _q_scraper_parse(sf_dir: str):
             ("ecs", parse_ecs_task_stats, ecs),
             ("k8sobj", parse_k8s_objects, k8sobj),
             ("ci", parse_container_insights, ci),
+            ("ciotlp", convert_ci_otlp, ciotlp),
         ):
-            if leg in ("ecs", "k8sobj", "ci"):
+            if leg in ("ecs", "k8sobj", "ci", "ciotlp"):
                 leg_ids, pay = ids_sub, payload[sub]
             else:
                 leg_ids, pay = ids, payload
             parsed = parser(
                 pa.table({"server_id": leg_ids, "payload": pa.array(pay.to_numpy(dtype=object), pa.string())})
             )
+            if leg == "ciotlp":
+                # fold units+kind into the label so the oracle
+                # value-checks the unit map and the gauge dispatch
+                lv2 = pc.binary_join_element_wise(
+                    pc.coalesce(parsed["label_value"], pa.scalar("", pa.string())),
+                    pc.coalesce(parsed["units"], pa.scalar("", pa.string())),
+                    pc.coalesce(parsed["mtype"], pa.scalar("", pa.string())),
+                    "|",
+                )
+                parsed = parsed.set_column(
+                    parsed.schema.get_field_index("label_value"), "label_value", lv2
+                )
             if leg == "ecs":
                 import pandas as _pd
 
@@ -5635,6 +5700,43 @@ def _scraper_parse_oracle() -> str:
          f"cluster=c1,ns=ns0,service=svc{j}",
          f"{e} % 4 = 0 AND ({q} + {j}) % 4 > 0", f"SUM(({q} + {j}) % 4)", "0")
         for j in (0, 1, 2)
+    ]
+    # container-insights OTLP translation (internal/aws/containerinsight/
+    # utils.go:30-216): label_value carries "tagOrType|unit|kind" so the
+    # unit map, prefix strip, int/double dispatch, SumFields fold and the
+    # Timestamp ns→ms rewrite are all value-checked; k = (e//4)%4 picks
+    # the Type variant
+    e4 = f"{e} % 4 = 0"
+    kk = f"({e} // 4) % 4"
+    legs += [
+        ("ciotlp", "resource/Timestamp", "1600000000123||resource", e4, "0", "0"),
+        ("ciotlp", "resource/ClusterName", "c1||resource", e4, "0", "0"),
+        ("ciotlp", "resource/Type", "Pod||resource", f"{e4} AND {kk} = 0", "0", "0"),
+        ("ciotlp", "resource/Type", "NodeNet||resource", f"{e4} AND {kk} = 1", "0", "0"),
+        ("ciotlp", "resource/Type", "Container||resource", f"{e4} AND {kk} = 2", "0", "0"),
+        ("ciotlp", "resource/Type", "Bogus||resource", f"{e4} AND {kk} = 3", "0", "0"),
+        # Pod: SumFields over 3 maps — cpu = m0+m1, pgfault = m0+m2
+        ("ciotlp", "pod_cpu_utilization", "Pod|Percent|double_gauge",
+         f"{e4} AND {kk} = 0", "0", f"SUM(({e} % 64) + ({e} % 32) + 0.75)"),
+        ("ciotlp", "pod_memory_pgfault", "Pod|Count/Second|double_gauge",
+         f"{e4} AND {kk} = 0", "0", f"SUM(({e} % 16) + 2.75)"),
+        ("ciotlp", "node_interface_network_rx_bytes",
+         "NodeNet|Bytes/Second|double_gauge",
+         f"{e4} AND {kk} = 1", "0", f"SUM(({e} % 128) + 0.5)"),
+        ("ciotlp", "node_interface_network_rx_packets",
+         "NodeNet|Count/Second|int_gauge",
+         f"{e4} AND {kk} = 1", f"SUM({e} % 9)", "0"),
+        ("ciotlp", "container_diskio_io_serviced_read",
+         "Container|Count/Second|int_gauge",
+         f"{e4} AND {kk} = 2", f"SUM({e} % 11)", "0"),
+        ("ciotlp", "container_memory_failcnt", "Container|Count|int_gauge",
+         f"{e4} AND {kk} = 2", f"SUM({e} % 5)", "0"),
+        # Bogus: unknown Type → empty prefix; memory_usage still maps,
+        # custom_thing gets the empty unit; bool/str fields are skipped
+        ("ciotlp", "memory_usage", "Bogus|Bytes|int_gauge",
+         f"{e4} AND {kk} = 3", f"SUM({e} % 17)", "0"),
+        ("ciotlp", "custom_thing", "Bogus||double_gauge",
+         f"{e4} AND {kk} = 3", "0", "SUM(1.5)"),
     ]
     parts = [
         f"SELECT '{leg}' AS leg, '{name}' AS name, '{lv}' AS label_value, "

@@ -1544,3 +1544,185 @@ def parse_container_insights(
         columns=["_id", "name", "units", "mtype", "monotonic", "label_key", "label_value", "value_int", "value_double"],
     )
     return _finish(out, id_col, id_type)
+
+
+# ---------------------------------------------------------------------------
+# awscontainerinsightreceiver decorated-metric → OTLP translation
+# (internal/aws/containerinsight/utils.go + const.go).  The cadvisor
+# collection half of the receiver is a literal TODO stub in the
+# reference snapshot (internal/cadvisor/cadvisor_linux.go:26-40 returns
+# []pdata.Metrics{}); the shared translation layer below is the
+# receiver's remaining logic surface.
+# ---------------------------------------------------------------------------
+
+# utils.go:96-148 getPrefixByMetricType (unknown type → "" + error log)
+_CI_TYPE_PREFIX = {
+    "Instance": "instance_",
+    "InstanceFS": "instance_",
+    "InstanceDiskIO": "instance_",
+    "InstanceNet": "instance_interface_",
+    "Node": "node_",
+    "NodeFS": "node_",
+    "NodeDiskIO": "node_",
+    "NodeNet": "node_interface_",
+    "Pod": "pod_",
+    "PodNet": "pod_interface_",
+    "Container": "container_",
+    "ContainerDiskIO": "container_",
+    "ContainerFS": "container_",
+    "Service": "service_",
+    "Cluster": "cluster_",
+    "ClusterService": "service_",
+    "ClusterNamespace": "namespace_",
+}
+
+# const.go:138-211 metricToUnitMap (units per UNPREFIXED measurement)
+_CI_METRIC_UNITS = {
+    "cpu_utilization": "Percent",
+    "cpu_reserved_capacity": "Percent",
+    "cpu_utilization_over_pod_limit": "Percent",
+    "memory_usage": "Bytes",
+    "memory_cache": "Bytes",
+    "memory_rss": "Bytes",
+    "memory_max_usage": "Bytes",
+    "memory_swap": "Bytes",
+    "memory_failcnt": "Count",
+    "memory_mapped_file": "Bytes",
+    "memory_working_set": "Bytes",
+    "memory_request": "Bytes",
+    "memory_limit": "Bytes",
+    "memory_utilization": "Percent",
+    "memory_reserved_capacity": "Percent",
+    "memory_utilization_over_pod_limit": "Percent",
+    "memory_pgfault": "Count/Second",
+    "memory_pgmajfault": "Count/Second",
+    "memory_hierarchical_pgfault": "Count/Second",
+    "memory_hierarchical_pgmajfault": "Count/Second",
+    "network_rx_bytes": "Bytes/Second",
+    "network_rx_packets": "Count/Second",
+    "network_rx_dropped": "Count/Second",
+    "network_rx_errors": "Count/Second",
+    "network_tx_bytes": "Bytes/Second",
+    "network_tx_packets": "Count/Second",
+    "network_tx_dropped": "Count/Second",
+    "network_tx_errors": "Count/Second",
+    "network_total_bytes": "Bytes/Second",
+    "filesystem_usage": "Bytes",
+    "filesystem_capacity": "Bytes",
+    "filesystem_available": "Bytes",
+    "filesystem_inodes": "Count",
+    "filesystem_inodes_free": "Count",
+    "filesystem_utilization": "Percent",
+    "node_count": "Count",
+    "failed_node_count": "Count",
+    "number_of_running_pods": "Count",
+    "number_of_running_containers": "Count",
+    "number_of_containers": "Count",
+    "number_of_container_restarts": "Count",
+    "number_of_running_tasks": "Count",
+}
+# diskio_io_service_bytes_* / diskio_io_serviced_* ops (const.go:171-180,
+# keys lowercased by strings.ToLower in the Go init)
+for _op in ("async", "read", "sync", "write", "total"):
+    _CI_METRIC_UNITS[f"diskio_io_service_bytes_{_op}"] = "Bytes/Second"
+    _CI_METRIC_UNITS[f"diskio_io_serviced_{_op}"] = "Count/Second"
+del _op
+
+
+def sum_ci_fields(fields: list) -> dict:
+    """SumFields (internal/aws/containerinsight/utils.go:30-58): merge a
+    list of field maps by summation.  The base is the FIRST map's
+    float64-valued keys; subsequent maps contribute only float64 values
+    for keys already in the base (missing/None/non-float skipped).  In
+    the JSON analogue, Go's strict float64 type assertion maps to
+    Python float (JSON ints are int and are excluded, as in Go)."""
+    if not fields:
+        return {}
+    result = {k: v for k, v in fields[0].items() if isinstance(v, float)}
+    for m in fields[1:]:
+        for k in result:
+            v = m.get(k)
+            if isinstance(v, float):
+                result[k] += v
+    return result
+
+
+def convert_ci_otlp(
+    t: pa.Table, id_col: str = "server_id", payload_col: str = "payload"
+) -> pa.Table:
+    """Container Insights decorated metric → OTLP gauges
+    (internal/aws/containerinsight/utils.go:152-216 ConvertToOTLPMetrics
+    + MetricName/RemovePrefix/GetUnitForMetric):
+
+    Payload shape: ``{"fields": {...} | [{...}, ...], "tags": {...}}``.
+    A fields LIST is first folded by :func:`sum_ci_fields` (the cadvisor
+    pod-rollup path).  Then:
+
+    * every tag becomes a ``resource`` row; the ``Timestamp`` tag's
+      value (nanoseconds) is rewritten to milliseconds
+      (utils.go:177-182, ``timeNs/uint64(time.Millisecond)``; parse
+      failure → 0 as Go ignores the ParseUint error);
+    * every field becomes one gauge row — ``name`` keeps the full
+      prefixed key; the unit is looked up AFTER stripping the
+      Type-derived prefix via first-occurrence replace
+      (utils.go:157-160 ``strings.Replace(name, prefix, "", 1)``),
+      unknown Type → empty prefix (utils.go:144-146), unmapped
+      measurement → empty unit (Go map zero value);
+    * Go int kinds → IntGauge (``int_gauge`` with ``value_int``),
+      float kinds → DoubleGauge (``double_gauge`` with
+      ``value_double``); any other JSON type (bool/str/null/obj) hits
+      the type-switch default and is skipped with a warning
+      (utils.go:192-213).  The metric Type tag is carried in
+      label_key/label_value for downstream grouping."""
+    import json as _json
+
+    id_type = t.schema.field(id_col).type
+    ids = t[id_col].to_numpy(zero_copy_only=False)
+    pay = t[payload_col].to_pylist()
+    recs: list[tuple] = []
+
+    for sid, raw in zip(ids, pay):
+        try:
+            doc = _json.loads(raw) if raw else {}
+        except (TypeError, ValueError):
+            continue
+        tags = doc.get("tags") or {}
+        fields = doc.get("fields")
+        if isinstance(fields, list):
+            fields = sum_ci_fields(fields)
+        fields = fields or {}
+        metric_type = tags.get("Type", "")
+
+        for k, v in tags.items():
+            tv = v
+            if k == "Timestamp":
+                try:
+                    ts_ns = int(v)
+                    if ts_ns < 0:
+                        ts_ns = 0
+                except (TypeError, ValueError):
+                    ts_ns = 0  # utils.go:178: ParseUint error ignored → 0
+                tv = str(ts_ns // 1_000_000)
+            recs.append((sid, None, None, "resource", False, k, tv, None, None))
+
+        prefix = _CI_TYPE_PREFIX.get(metric_type, "")
+        for k, v in fields.items():
+            stripped = k.replace(prefix, "", 1) if prefix else k
+            unit = _CI_METRIC_UNITS.get(stripped, "")
+            if isinstance(v, bool):
+                continue  # bool hits the Go type-switch default → skip
+            if isinstance(v, int):
+                recs.append(
+                    (sid, k, unit, "int_gauge", False, "Type", metric_type, v, None)
+                )
+            elif isinstance(v, float):
+                recs.append(
+                    (sid, k, unit, "double_gauge", False, "Type", metric_type, None, v)
+                )
+            # other JSON types: utils.go:209-212 warn + skip
+
+    out = pd.DataFrame(
+        recs,
+        columns=["_id", "name", "units", "mtype", "monotonic", "label_key", "label_value", "value_int", "value_double"],
+    )
+    return _finish(out, id_col, id_type)

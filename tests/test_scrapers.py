@@ -654,3 +654,119 @@ class TestContainerInsights:
         assert ("ci.namespace_number_of_running_pods", "cluster=c1,ns=ns1") not in got.index
         assert got[("ci.service_number_of_running_pods", "cluster=c1,ns=ns0,service=s1")] == 2
         assert ("ci.service_number_of_running_pods", "cluster=c1,ns=ns0,service=s0") not in got.index
+
+
+class TestContainerInsightOTLP:
+    """internal/aws/containerinsight/utils.go translation layer."""
+
+    def test_sum_fields_semantics(self):
+        from opentelemetry_collector_contrib_ray.sources.scrapers import sum_ci_fields
+
+        # utils.go:30-58: base = first map's float64 keys; later maps
+        # add only floats for existing keys; ints excluded (Go float64
+        # type assertion); empty input -> nil
+        assert sum_ci_fields([]) == {}
+        got = sum_ci_fields(
+            [
+                {"a": 1.5, "b": 2.0, "n": 7},      # n is int -> not in base
+                {"a": 0.5, "c": 9.0},              # c not in base -> ignored
+                {"b": 1.0, "a": "x"},              # non-float a -> skipped
+            ]
+        )
+        assert got == {"a": 2.0, "b": 3.0}
+
+    def test_convert_tags_fields_units(self):
+        import json
+
+        from opentelemetry_collector_contrib_ray.sources.scrapers import (
+            convert_ci_otlp,
+        )
+
+        doc = {
+            "fields": {
+                "pod_cpu_utilization": 12.5,       # float -> double gauge, Percent
+                "pod_memory_rss": 42,              # int -> int gauge, Bytes
+                "pod_number_of_containers": 3,     # Count
+                "pod_custom": 1.5,                 # unmapped -> empty unit
+                "flagged": True,                   # bool -> type-switch default, skipped
+                "note": "x",                       # string -> skipped
+            },
+            "tags": {
+                "Type": "Pod",
+                "Timestamp": "1600000000123456789",
+                "PodName": "p0",
+            },
+        }
+        out = convert_ci_otlp(
+            pa.table({"server_id": [1], "payload": [json.dumps(doc)]})
+        ).to_pandas()
+        res = out[out["mtype"] == "resource"].set_index("label_key")["label_value"]
+        # ns -> ms truncation (utils.go:177-182)
+        assert res["Timestamp"] == "1600000000123"
+        assert res["Type"] == "Pod"
+        assert res["PodName"] == "p0"
+        g = out[out["mtype"] != "resource"].set_index("name")
+        assert g.loc["pod_cpu_utilization", "mtype"] == "double_gauge"
+        assert g.loc["pod_cpu_utilization", "units"] == "Percent"
+        assert g.loc["pod_cpu_utilization", "value_double"] == 12.5
+        assert g.loc["pod_memory_rss", "mtype"] == "int_gauge"
+        assert g.loc["pod_memory_rss", "units"] == "Bytes"
+        assert g.loc["pod_memory_rss", "value_int"] == 42
+        assert g.loc["pod_number_of_containers", "units"] == "Count"
+        assert g.loc["pod_custom", "units"] == ""
+        assert "flagged" not in g.index and "note" not in g.index
+
+    def test_unknown_type_and_prefix_strip(self):
+        import json
+
+        from opentelemetry_collector_contrib_ray.sources.scrapers import (
+            convert_ci_otlp,
+        )
+
+        docs = [
+            # unknown Type -> empty prefix (utils.go:144-146): the raw
+            # key itself is the unit-map lookup key
+            {"fields": {"memory_usage": 7}, "tags": {"Type": "Weird"}},
+            # NodeNet strips "node_interface_" before the lookup
+            {
+                "fields": {"node_interface_network_rx_bytes": 1.25},
+                "tags": {"Type": "NodeNet"},
+            },
+            # bad Timestamp -> ParseUint error ignored -> 0 (utils.go:178)
+            {"fields": {}, "tags": {"Type": "Node", "Timestamp": "nope"}},
+        ]
+        out = convert_ci_otlp(
+            pa.table(
+                {
+                    "server_id": [1, 2, 3],
+                    "payload": [json.dumps(d) for d in docs],
+                }
+            )
+        ).to_pandas()
+        g = out[out["mtype"] != "resource"].set_index("name")
+        assert g.loc["memory_usage", "units"] == "Bytes"
+        assert g.loc["node_interface_network_rx_bytes", "units"] == "Bytes/Second"
+        ts = out[(out["label_key"] == "Timestamp")]["label_value"].iloc[0]
+        assert ts == "0"
+
+    def test_fields_list_folds_before_convert(self):
+        import json
+
+        from opentelemetry_collector_contrib_ray.sources.scrapers import (
+            convert_ci_otlp,
+        )
+
+        doc = {
+            "fields": [
+                {"pod_cpu_utilization": 1.5, "pod_memory_pgfault": 2.0},
+                {"pod_cpu_utilization": 2.5},
+            ],
+            "tags": {"Type": "Pod"},
+        }
+        out = convert_ci_otlp(
+            pa.table({"server_id": [1], "payload": [json.dumps(doc)]})
+        ).to_pandas()
+        g = out[out["mtype"] != "resource"].set_index("name")
+        assert g.loc["pod_cpu_utilization", "value_double"] == 4.0
+        assert g.loc["pod_memory_pgfault", "value_double"] == 2.0
+        assert g.loc["pod_memory_pgfault", "units"] == "Count/Second"
