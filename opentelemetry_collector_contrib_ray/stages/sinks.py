@@ -143,7 +143,12 @@ class EsDocModel:
         if pa.types.is_integer(typ):
             return sub.astype(np.int64).astype(str)
         if pa.types.is_floating(typ):
-            return sub.map(lambda v: repr(float(v)))  # == json.dumps float
+            # numpy's float64 str is the same shortest-roundtrip dragon4
+            # as CPython repr (== json.dumps) — one C-loop cast instead
+            # of a per-value Python lambda
+            return pd.Series(
+                sub.to_numpy(dtype=np.float64).astype(str), index=sub.index
+            )
         return sub.map(lambda v: json.dumps(v, default=str))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
