@@ -5132,6 +5132,8 @@ def _q_distinct_users(sf_dir: str):
     from opentelemetry_collector_contrib_ray.stages.sketch import distinct_count
 
     ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    # distributed finalize: the distinct-pair set never reaches the
+    # driver; only the per-key counts (one row per event_type) do
     out = distinct_count(ds, ["event_type"], "user_id")
 
     def fin(t: pa.Table) -> pa.Table:
@@ -5139,7 +5141,7 @@ def _q_distinct_users(sf_dir: str):
             t.column_names.index("distinct"), "distinct", pc.cast(t["distinct"], pa.int64())
         )
 
-    return fin(out)
+    return fin(pa.concat_tables(out.iter_batches(batch_format="pyarrow", batch_size=None)))
 
 
 def _q_sumo_source_format(sf_dir: str):

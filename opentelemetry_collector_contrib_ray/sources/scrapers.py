@@ -39,6 +39,7 @@ label_key/label_value and NULL values).
 
 from __future__ import annotations
 
+import re
 from typing import Sequence
 
 import numpy as np
@@ -1555,6 +1556,10 @@ def parse_container_insights(
 # receiver's remaining logic surface.
 # ---------------------------------------------------------------------------
 
+# strconv.ParseUint(s, 10, 64) syntax: ASCII digits only (no sign,
+# whitespace or '_' separators — base-10 ParseUint rejects all three)
+_CI_UINT_RE = re.compile(r"[0-9]+")
+
 # utils.go:96-148 getPrefixByMetricType (unknown type → "" + error log)
 _CI_TYPE_PREFIX = {
     "Instance": "instance_",
@@ -1636,6 +1641,7 @@ def sum_ci_fields(fields: list) -> dict:
     for keys already in the base (missing/None/non-float skipped).  In
     the JSON analogue, Go's strict float64 type assertion maps to
     Python float (JSON ints are int and are excluded, as in Go)."""
+    fields = [m for m in fields if isinstance(m, dict)]  # malformed entries skipped
     if not fields:
         return {}
     result = {k: v for k, v in fields[0].items() if isinstance(v, float)}
@@ -1686,22 +1692,29 @@ def convert_ci_otlp(
             doc = _json.loads(raw) if raw else {}
         except (TypeError, ValueError):
             continue
+        if not isinstance(doc, dict):
+            continue  # structurally malformed payload: skip like a decode failure
         tags = doc.get("tags") or {}
+        if not isinstance(tags, dict):
+            tags = {}
         fields = doc.get("fields")
         if isinstance(fields, list):
             fields = sum_ci_fields(fields)
-        fields = fields or {}
+        if not isinstance(fields, dict):
+            fields = {}
         metric_type = tags.get("Type", "")
 
         for k, v in tags.items():
             tv = v
             if k == "Timestamp":
-                try:
-                    ts_ns = int(v)
-                    if ts_ns < 0:
-                        ts_ns = 0
-                except (TypeError, ValueError):
-                    ts_ns = 0  # utils.go:178: ParseUint error ignored → 0
+                # strconv.ParseUint(v, 10, 64) semantics (utils.go:178,
+                # error ignored): digits only — whitespace/'+'/'_'/sign
+                # are syntax errors → 0; ErrRange saturates to MaxUint64
+                s = v if isinstance(v, str) else str(v)
+                if _CI_UINT_RE.fullmatch(s):
+                    ts_ns = min(int(s), 2**64 - 1)
+                else:
+                    ts_ns = 0
                 tv = str(ts_ns // 1_000_000)
             recs.append((sid, None, None, "resource", False, k, tv, None, None))
 

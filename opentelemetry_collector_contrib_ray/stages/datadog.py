@@ -889,16 +889,29 @@ class DatadogMetricMapper:
             outs.append(self._emit(name[summ] + ".count", ts[summ], s["count"].astype(np.float64), stags))
             outs.append(self._emit(name[summ] + ".sum", ts[summ], s["sum"].astype(np.float64), stags))
             if self.quantiles and "quantiles" in s.columns:
-                flat_names, flat_ts, flat_vals, flat_tags = [], [], [], []
-                for (_, row), t0, bt in zip(s.iterrows(), ts[summ], stags):
-                    qs = row["quantiles"] if row["quantiles"] is not None else []
-                    qvs = row["quantile_values"] if row["quantile_values"] is not None else []
-                    for q, qv in zip(qs, qvs):
-                        flat_names.append(str(row["name"]) + ".quantile")
-                        flat_ts.append(t0)
-                        flat_vals.append(float(qv))
-                        flat_tags.append((bt + "," if bt else "") + get_quantile_tag(float(q)))
-                outs.append(self._emit(flat_names, flat_ts, flat_vals, flat_tags))
+                # flatten one row per (point, quantile) with numpy
+                # repeats, mirroring the histogram-bucket kernel above;
+                # zip semantics → per-row min(len(q), len(qv))
+                qlens = s["quantiles"].map(lambda x: 0 if x is None else len(x)).to_numpy(np.int64)
+                vlens = s["quantile_values"].map(lambda x: 0 if x is None else len(x)).to_numpy(np.int64)
+                lens = np.minimum(qlens, vlens)
+                if lens.sum():
+                    rep = np.repeat(np.arange(len(s)), lens)
+                    qflat = np.concatenate(
+                        [np.asarray(x[:n], np.float64) for x, n in zip(s["quantiles"], lens) if n]
+                    )
+                    vflat = np.concatenate(
+                        [np.asarray(x[:n], np.float64) for x, n in zip(s["quantile_values"], lens) if n]
+                    )
+                    names_r = name[summ].to_numpy(dtype=object)[rep] + ".quantile"
+                    # get_quantile_tag once per DISTINCT quantile level
+                    # (a handful), then gather — no per-point Python
+                    uq, inv = np.unique(qflat, return_inverse=True)
+                    utags = np.array([get_quantile_tag(float(q)) for q in uq], dtype=object)
+                    bt = stags.to_numpy(dtype=object)[rep]
+                    sep = np.where(bt == "", "", ",")
+                    tags_r = bt + sep + utags[inv]
+                    outs.append(self._emit(names_r, ts[summ][rep], vflat, tags_r))
 
         out = pd.concat(outs, ignore_index=True) if outs else self._emit([], [], [], [])
         # ProcessMetrics namespace prepend + host attach (:358-360)

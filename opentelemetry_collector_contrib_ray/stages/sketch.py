@@ -137,9 +137,11 @@ def hll_distinct(ds, key_cols, value_col: str, *, p: int = 12, fan_in: int = 32)
         .iter_batches(batch_format="pyarrow", batch_size=None)
     ).to_pandas()
     merged: dict = {}
-    for _, row in parts.iterrows():
-        k = tuple(row[c] for c in key_cols)
-        sk = HllSketch.deserialize(row["sketch"])
+    # tiny: one row per (key tuple, surviving fan-in partition)
+    for k, raw in zip(
+        zip(*(parts[c].to_numpy() for c in key_cols)), parts["sketch"].to_numpy()
+    ):
+        sk = HllSketch.deserialize(raw)
         if k in merged:
             merged[k].merge(sk)
         else:
@@ -153,12 +155,17 @@ def hll_distinct(ds, key_cols, value_col: str, *, p: int = 12, fan_in: int = 32)
     return pa.table(out)
 
 
-def distinct_count(ds, key_cols, value_col: str, *, driver_finalize: bool = True):
+def distinct_count(ds, key_cols, value_col: str, *, driver_finalize: bool = False):
     """EXACT distinct(value) per key tuple.
 
     Stage 1 (map_batches): per-batch unique (key, value) pairs — the
     only rows entering the shuffle. Stage 2: global pair dedupe +
-    per-key count (groupby on the pair, then driver/groupby count).
+    per-key count. Default is the fully distributed finalize (two
+    ``bucketed_aggregate`` passes returning a Dataset whose size is
+    the key cardinality — nothing O(distinct pairs) ever reaches the
+    driver); ``driver_finalize=True`` collects the deduped pairs on
+    the driver instead and returns a pyarrow Table — only for
+    interactive use where the distinct-pair set is known-small.
     """
     from .aggregate import bucketed_aggregate
 

@@ -770,3 +770,65 @@ class TestContainerInsightOTLP:
         assert g.loc["pod_cpu_utilization", "value_double"] == 4.0
         assert g.loc["pod_memory_pgfault", "value_double"] == 2.0
         assert g.loc["pod_memory_pgfault", "units"] == "Count/Second"
+
+    def test_timestamp_parseuint_strictness(self):
+        # strconv.ParseUint(v, 10, 64): '+', whitespace and '_' are
+        # syntax errors -> 0; values above MaxUint64 saturate (ErrRange
+        # returns MaxUint64, error ignored per utils.go:178)
+        import json
+
+        from opentelemetry_collector_contrib_ray.sources.scrapers import (
+            convert_ci_otlp,
+        )
+
+        cases = {
+            1: "+1600000000000000000",   # leading '+' -> syntax error -> 0
+            2: " 1600000000000000000",   # whitespace -> 0
+            3: "1_000000000",            # underscore separator -> 0
+            4: str(2**64 + 5),           # over uint64 -> MaxUint64
+            5: "-5",                     # sign -> 0
+        }
+        out = convert_ci_otlp(
+            pa.table(
+                {
+                    "server_id": list(cases),
+                    "payload": [
+                        json.dumps({"fields": {}, "tags": {"Type": "Node", "Timestamp": v}})
+                        for v in cases.values()
+                    ],
+                }
+            )
+        ).to_pandas()
+        ts = out[out["label_key"] == "Timestamp"].set_index("server_id")["label_value"]
+        assert ts[1] == "0" and ts[2] == "0" and ts[3] == "0" and ts[5] == "0"
+        assert ts[4] == str((2**64 - 1) // 1_000_000)
+
+    def test_malformed_payload_rows_skipped(self):
+        # structurally malformed payloads skip the ROW (like undecodable
+        # JSON) instead of raising and failing the whole batch
+        import json
+
+        from opentelemetry_collector_contrib_ray.sources.scrapers import (
+            convert_ci_otlp,
+            sum_ci_fields,
+        )
+
+        payloads = [
+            json.dumps([1, 2, 3]),                       # top-level list
+            json.dumps("just a string"),                 # top-level scalar
+            json.dumps({"fields": "oops", "tags": {}}),  # non-dict fields
+            json.dumps({"fields": {}, "tags": [1]}),     # non-dict tags
+            json.dumps({"fields": [{"a": 1.0}, 7, None, {"a": 2.0}], "tags": {"Type": "Pod"}}),
+            json.dumps({"fields": {"pod_memory_rss": 1}, "tags": {"Type": "Pod"}}),
+        ]
+        out = convert_ci_otlp(
+            pa.table({"server_id": list(range(len(payloads))), "payload": payloads})
+        ).to_pandas()
+        # rows 0/1 skipped entirely; 2/3 contribute nothing metric-wise
+        assert set(out["server_id"]) <= {2, 3, 4, 5}
+        g = out[out["mtype"] != "resource"]
+        assert set(g["server_id"]) == {4, 5}
+        a = g[g["name"] == "a"]
+        assert len(a) == 1 and a["value_double"].iloc[0] == 3.0  # non-dict list entries skipped
+        # sum_ci_fields directly: non-dict first element doesn't raise
+        assert sum_ci_fields([7, {"x": 1.0}, {"x": 2.5}]) == {"x": 3.5}

@@ -45,6 +45,27 @@ def test_distinct_count_exact():
     assert got == {"a": 37, "b": 11}
 
 
+def test_distinct_count_paths_agree():
+    # default (distributed bucketed finalize) == driver_finalize=True
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame(
+        {
+            "k": rng.choice(["a", "b", "c"], size=5000),
+            "v": rng.integers(0, 400, size=5000),
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(8)
+    dist = distinct_count(ds, ["k"], "v").to_pandas().sort_values("k").reset_index(drop=True)
+    drv = (
+        distinct_count(ray.data.from_pandas(df).repartition(8), ["k"], "v", driver_finalize=True)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert list(dist["k"]) == list(drv["k"])
+    assert list(dist["distinct"].astype(int)) == list(drv["distinct"].astype(int))
+
+
 def test_hll_distinct_per_key():
     df = pd.DataFrame(
         {"k": ["x"] * 5000 + ["y"] * 5000, "v": list(range(5000)) + [1, 2, 3] * 1666 + [1, 2]}
