@@ -175,6 +175,14 @@ def run_headline(corpus_path: str, n_rows: int) -> dict:
 def run_bench() -> dict:
     import ray
 
+    # Quiet-gate by default: this VM carries minute-scale co-tenant
+    # noise, and an artifact captured in a loud window understates the
+    # engine 1.3-1.5x. Bounded (default 300 s, OTELRAY_QUIET_WAIT_S=0
+    # disables); the probe log ships in the JSON either way so a
+    # contaminated run carries its own evidence.
+    quiet_budget = float(os.environ.get("OTELRAY_QUIET_WAIT_S", "300"))
+    quiet_log = wait_for_quiet(quiet_budget) if quiet_budget > 0 else []
+
     control_start = host_control()
     control_par_start = host_control_parallel()
     ray.init(
@@ -288,6 +296,7 @@ def run_bench() -> dict:
     result["control_end_s"] = host_control()
     result["control_par_start"] = control_par_start
     result["control_par_end"] = host_control_parallel()
+    result["quiet_probe_log"] = quiet_log
     return result
 
 
