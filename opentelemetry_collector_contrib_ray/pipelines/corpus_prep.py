@@ -484,6 +484,20 @@ def prepare_corpus(ds, cfg: PrepConfig | None = None, out_dir: str | None = None
     # ---- stage 7: partitioned, resumable write
     if out_dir:
         os.makedirs(out_dir, exist_ok=True)
+        # A prior run died before stamping _done.json: any partial
+        # documents/packed/vocab files it left would be DOUBLED by this
+        # run's re-write (Ray parquet filenames are per-execution), so
+        # clear them. shards/ stays untouched — its files are written
+        # atomically (tmp + rename) and individually skipped on resume.
+        import shutil
+
+        for sub in ("documents", "packed"):
+            p = os.path.join(out_dir, sub)
+            if os.path.isdir(p):
+                shutil.rmtree(p)
+        vp = os.path.join(out_dir, "vocab.parquet")
+        if os.path.exists(vp):
+            os.remove(vp)
         doc_cols = [c for c in docs.schema().names]
         part_cols = ["split"] if cfg.split and "split" in doc_cols else None
         docs.write_parquet(

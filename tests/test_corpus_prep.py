@@ -214,6 +214,35 @@ def test_write_and_resume(tmp_path, docs_ds):
     assert res2.packed.count() == res1.packed.count()
 
 
+def test_rerun_after_crash_does_not_double_artifacts(tmp_path, docs_ds):
+    # a run that died AFTER writing documents/packed but BEFORE the
+    # _done marker leaves partial files; the rerun must replace them
+    # (Ray parquet filenames are per-execution — naive re-write doubles
+    # every row) while SKIPPING already-final shard files
+    import os
+
+    out = str(tmp_path / "prep_crash")
+    cfg = PrepConfig(vocab_size=40, seq_len=32, shard_shuffle=True, n_shards=4)
+    res1 = prepare_corpus(docs_ds, cfg, out_dir=out)
+    n_docs, n_packed = res1.documents.count(), res1.packed.count()
+    assert not res1.shards["skipped"].any()
+
+    os.remove(os.path.join(out, "_done.json"))  # simulate dying pre-marker
+    res2 = prepare_corpus(docs_ds, cfg, out_dir=out)
+    assert res2.stats.get("resumed") is None
+    # the doubling would land ON DISK (a second execution's files next
+    # to the first's), so count the written parquet, not the Dataset
+    import pyarrow.dataset as pads
+
+    assert pads.dataset(os.path.join(out, "documents")).count_rows() == n_docs
+    assert pads.dataset(os.path.join(out, "packed")).count_rows() == n_packed
+    assert res2.shards["skipped"].all()  # shard files survived and were skipped
+    assert res2.shards["on_disk_rows"].tolist() == res2.shards["n_rows"].tolist()
+    assert res2.shards.sort_values("shard")["n_rows"].tolist() == (
+        res1.shards.sort_values("shard")["n_rows"].tolist()
+    )
+
+
 def test_passage_dedup_removal(docs_ds):
     """ExactSubstr-style removal: a 6-word passage shared by docs 0/1/2
     is cut from non-owners; words outside the covered spans survive."""
