@@ -23,6 +23,28 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
+
+def _install_schema_flap_filter() -> None:
+    """Silence ONLY the empty-new-schema RefBundle warning ('new
+    schema: .'), which is proven Ray-internal: sort-based
+    groupby().map_groups() emits schema-less blocks for keyless
+    partitions with zero engine code involved (reproduced on stock Ray
+    in tests/test_empty.py::test_ray_internal_empty_partition_schema_flap;
+    the results are correct). Genuine schema-divergence warnings — a
+    NON-empty differing schema — still print."""
+    import logging
+
+    class _EmptySchemaFlap(logging.Filter):
+        def filter(self, record: logging.LogRecord) -> bool:
+            return "new schema: . This may lead" not in record.getMessage()
+
+    logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state"
+    ).addFilter(_EmptySchemaFlap())
+
+
+_install_schema_flap_filter()
+
 # queries() entries timed alongside the headline (representative set)
 BENCH_QUERIES = [
     "scraper_parse",
