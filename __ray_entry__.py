@@ -42,6 +42,11 @@ def _read(sf_dir: str, name: str, columns=None, **kw):
     return read_table(sf_dir, name, columns=columns, **kw)
 
 
+def _pc_mod(arr: pa.ChunkedArray | pa.Array, m: int) -> pa.Array:
+    """Integer modulo as an Arrow array (pyarrow has no mod kernel)."""
+    return pa.array(arr.to_numpy(zero_copy_only=False).astype(np.int64) % m)
+
+
 def _compute_blocks() -> int:
     """Block count for compute-heavy per-row stages: small tables read
     as 1-2 blocks, which serializes an expensive map_batches onto one
@@ -212,29 +217,179 @@ def _q_severity_map(sf_dir: str):
 
 
 def _q_route_events(sf_dir: str):
+    """routingprocessor table counts PLUS the round-5 recombine leg
+    (pytest-only → driver-oracled): stanza recombine with an
+    is_first_entry boundary regex (stages/parse.RecombineLines via the
+    partition-safe recombine_lines_grouped — one bucketed shuffle
+    co-locates each synthetic 'file' user_id%101, source order restored
+    by event_id). Lines render 'B:'(boundary, %3=0) / 'C:'(continuation)
+    prefixes; every recombined entry is value-checked — its key is
+    file#first_line_order@joined_text and its count is the entry's
+    line count; leading continuation lines join the first entry
+    (stanza semantics). Oracle: window cumsum over the same render."""
     from opentelemetry_collector_contrib_ray.stages.aggregate import two_phase_agg
+    from opentelemetry_collector_contrib_ray.stages.parse import (
+        recombine_lines_grouped,
+    )
     from opentelemetry_collector_contrib_ray.stages.route import RoutingTable
 
     ds = _read(sf_dir, "events", ["event_type"])
     router = RoutingTable("event_type", _EVENT_ROUTES, _EVENT_DEFAULT)
     routed = ds.map_batches(router, batch_format="pyarrow")
-    return two_phase_agg(routed, ["sink"], {"*": ["count"]})
+    counts = two_phase_agg(routed, ["sink"], {"*": ["count"]})
+
+    def mk_lines(t: pa.Table) -> pa.Table:
+        e = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        prefix = np.where(e % 3 == 0, "B", "C").astype(object)
+        raw = pc.binary_join_element_wise(
+            pa.array(prefix, pa.string()),
+            pc.cast(t["event_id"], pa.string()),
+            t["event_type"],
+            ":",
+        )
+        return pa.table(
+            {
+                "f": _pc_mod(t["user_id"], 101),
+                "o": t["event_id"],
+                "raw": raw,
+            }
+        )
+
+    lines = _read(sf_dir, "events", ["event_id", "user_id", "event_type"]).map_batches(
+        mk_lines, batch_format="pyarrow"
+    )
+    rec = recombine_lines_grouped(
+        lines, file_col="f", order_col="o", field="raw", is_first_entry="^B:"
+    )
+
+    def rec_fin(t: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            pc.binary_join_element_wise(
+                "rc|", pc.cast(t["f"], pa.string()), ""
+            ),
+            pc.cast(t["o"], pa.string()),
+            "#",
+        )
+        key = pc.binary_join_element_wise(key, t["raw"], "@")
+        n_lines = pc.add(
+            pc.count_substring(t["raw"], "\n"), pa.scalar(1, pa.int32())
+        )
+        return pa.table(
+            {"sink": key, "count": pc.cast(n_lines, pa.int64())}
+        )
+
+    return counts.union(rec.map_batches(rec_fin, batch_format="pyarrow"))
 
 
 def _q_json_parse_props(sf_dir: str):
-    from opentelemetry_collector_contrib_ray.stages.parse import JsonParser
+    """json_parser plus the round-5 stanza-operator legs (pytest-only
+    → driver-oracled), all per-row value-checked against closed forms:
 
-    ds = _read(sf_dir, "events", ["event_id", "props"])
+    time_parser (functions/timeparse.py, testbed/datasenders/
+    k8s.go:187-198): a rendered wall-clock string parses back to the
+    second-floored epoch ns through the strptime path (timep_ns), the
+    Go-layout translation path (timep_go_ns), and the RFC3339
+    fraction+offset normalizer (timep_rfc_ns — '.5+01:00' suffix must
+    add 500 ms and subtract the hour).
+
+    trace_parser (stages/parse.TraceParser, internal/stanza/
+    converter.go:412-430): hex ids → binary(16)/binary(8) with
+    invalid-hex rows nulled (%17 junk trace, %19 short span, %23
+    non-hex flags); the decoded binary's LAST BYTE (== event_id % 256
+    for the lpad-hex render) and W3C low-8-bits flags value-check the
+    conversion.
+
+    metadata + restructure (stages/parse.Metadata/Restructure,
+    testbed/datasenders/k8s.go:212-227): a templated attribute
+    ('svc-%{event_type}') is added, MOVED to service_name, and the
+    static env attribute is added then REMOVED (meta_env_removed)."""
+    from opentelemetry_collector_contrib_ray.functions.timeparse import (
+        parse_rfc3339_ns,
+        parse_timestamp,
+    )
+    from opentelemetry_collector_contrib_ray.stages.parse import (
+        JsonParser,
+        Metadata,
+        Restructure,
+        TraceParser,
+    )
+
+    ds = _read(sf_dir, "events", ["event_id", "props", "ts", "event_type"])
     parsed = ds.map_batches(
         JsonParser(parse_from="props", fields=["k"]), batch_format="pyarrow"
     )
 
-    def fin(t: pa.Table) -> pa.Table:
+    def _last_byte(arr: pa.ChunkedArray | pa.Array, width: int) -> pa.Array:
+        a = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+        data = np.frombuffer(a.buffers()[1], np.uint8)[
+            a.offset * width : (a.offset + len(a)) * width
+        ].reshape(-1, width)
+        valid = pc.is_valid(a).to_numpy(zero_copy_only=False)
+        return pa.array(data[:, width - 1].astype(np.int64), mask=~valid)
+
+    def stanza_ops(t: pa.Table) -> pa.Table:
+        e = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+
+        # time_parser legs: render → parse round trips (floor to whole
+        # seconds first — Arrow's strftime %S emits the fraction on
+        # sub-second units)
+        ts_s = pc.cast(t["ts"], pa.timestamp("s"), safe=False)
+        s_iso = pc.strftime(ts_s, format="%Y-%m-%dT%H:%M:%S")
+        s_go = pc.strftime(ts_s, format="%Y/%m/%d %H:%M:%S")
+        s_rfc = pc.binary_join_element_wise(s_iso, ".5+01:00", "")
+        timep = pc.cast(parse_timestamp(s_iso, "%Y-%m-%dT%H:%M:%S"), pa.int64())
+        timep_go = pc.cast(
+            parse_timestamp(s_go, "2006/01/02 15:04:05", layout_type="gotime"),
+            pa.int64(),
+        )
+        timep_rfc = pc.cast(parse_rfc3339_ns(s_rfc), pa.int64())
+
+        # trace_parser leg: lpad-hex ids with deterministic invalids
+        hexes = pa.table(
+            {
+                "trace_id_hex": pa.array(
+                    ["zz" if x % 17 == 0 else f"{x:032x}" for x in e],
+                    pa.string(),
+                ),
+                "span_id_hex": pa.array(
+                    ["abc" if x % 19 == 0 else f"{x:016x}" for x in e],
+                    pa.string(),
+                ),
+                "trace_flags_hex": pa.array(
+                    ["q" if x % 23 == 0 else format(x % 256, "x") for x in e],
+                    pa.string(),
+                ),
+            }
+        )
+        tp = TraceParser()(hexes)
+
+        # metadata (templated) + restructure (move + remove) legs
+        meta = Metadata(
+            {"svc": "svc-%{event_type}", "env": "prod"}, templated=True
+        )(t.select(["event_type"]))
+        restructured = Restructure(
+            moves={"svc": "service_name"}, removes=["env"]
+        )(meta)
+
         return pa.table(
-            {"event_id": t["event_id"], "k": pc.cast(t["k"], pa.int64())}
+            {
+                "event_id": t["event_id"],
+                "k": pc.cast(t["k"], pa.int64()),
+                "timep_ns": timep,
+                "timep_go_ns": timep_go,
+                "timep_rfc_ns": timep_rfc,
+                "tracep_valid": pc.is_valid(tp["trace_id"]),
+                "tracep_last": _last_byte(tp["trace_id"], 16),
+                "spanp_last": _last_byte(tp["span_id"], 8),
+                "trace_flags": pc.cast(tp["trace_flags"], pa.int64()),
+                "service_name": restructured["service_name"],
+                "meta_env_removed": pa.array(
+                    ["env" not in restructured.column_names] * len(t)
+                ),
+            }
         )
 
-    return parsed.map_batches(fin, batch_format="pyarrow")
+    return parsed.map_batches(stanza_ops, batch_format="pyarrow")
 
 
 def _q_statsd_timer_summary(sf_dir: str):
@@ -437,11 +592,41 @@ def _q_sampling_contracts(sf_dir: str):
 
     loadbalancingexporter ring (consistent_hashing.go): every row maps
     to exactly one of 8 backends (total routed == population), all
-    backends receive traffic, and load is uniform within tolerance."""
+    backends receive traffic, and load is uniform within tolerance.
+
+    Round-5 legs (pytest-only → driver-oracled):
+
+    groupbytraceprocessor (processor.go:82-90 via
+    stages/sampling.group_by_trace): every trace's spans are delivered
+    as exactly ONE group — the per-group callback fires once per trace
+    (gbt_traces == COUNT DISTINCT key, derived oracle-side), and no
+    span is lost across the bucket shuffle (gbt_spans_ok).
+
+    batchperresourceattr (batchperresourceattr.go:42-75 via
+    stages/route.BatchPerKey): every emitted sub-batch is
+    single-valued in the key column, the distinct-key count matches
+    (bpra_keys, derived oracle-side), and no row is dropped or
+    duplicated by the split (bpra_total_ok).
+
+    resourcedetectionprocessor (resourcedetection.go:108-139 detector
+    chain + :178-192 Insert semantics via stages/enrich): first
+    detector wins on conflicting keys (resdet_first_wins), and
+    ApplyResource inserts missing attributes as constants WITHOUT
+    overwriting an existing column — every row keeps its original
+    host.name and gains the detected cloud.region (resdet_rows ==
+    COUNT(*), derived oracle-side)."""
     import pandas as pd
 
     from opentelemetry_collector_contrib_ray.stages.aggregate import two_phase_agg
-    from opentelemetry_collector_contrib_ray.stages.sampling import probabilistic_sample
+    from opentelemetry_collector_contrib_ray.stages.enrich import (
+        ApplyResource,
+        detect_resource,
+    )
+    from opentelemetry_collector_contrib_ray.stages.route import BatchPerKey
+    from opentelemetry_collector_contrib_ray.stages.sampling import (
+        group_by_trace,
+        probabilistic_sample,
+    )
     from opentelemetry_collector_contrib_ray.stages.sinks import consistent_hash_partition
 
     def to_str(t: pa.Table) -> pa.Table:
@@ -485,6 +670,87 @@ def _q_sampling_contracts(sf_dir: str):
         8,
     )
     counts = two_phase_agg(assigned, ["backend"], {"*": ["count"]}).to_pandas()
+
+    # --- groupbytrace leg: one callback invocation per trace, no span
+    # lost across the hash-bucket shuffle. Output is one row per trace
+    # (≤997 keys by construction — bounded driver collect).
+    def add_tkey(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"tkey": pc.cast(_pc_mod(t["user_id"], 997), pa.int64())}
+        )
+
+    def one_row_per_group(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"tkey": [g["tkey"].iloc[0]], "n": [len(g)]})
+
+    gbt = group_by_trace(
+        _read(sf_dir, "events", ["user_id"]).map_batches(
+            add_tkey, batch_format="pyarrow"
+        ),
+        "tkey",
+        one_row_per_group,
+    ).to_pandas()
+
+    # --- batchperresourceattr leg: drive the real splitter per block,
+    # emit (key, n, single) per sub-batch, reduce the tiny stat table.
+    def bpra_stats(batch: pa.Table) -> pa.Table:
+        ks, ns, singles = [], [], []
+        for sub in BatchPerKey("event_type")(batch):
+            u = pc.unique(sub["event_type"])
+            ks.append(u[0].as_py() if len(u) else None)
+            ns.append(len(sub))
+            singles.append(int(len(u) == 1))
+        return pa.table(
+            {
+                "k": pa.array(ks, pa.string()),
+                "n": pa.array(ns, pa.int64()),
+                "single_min": pa.array(singles, pa.int64()),
+            }
+        )
+
+    bpra = (
+        _read(sf_dir, "events", ["event_type"])
+        .map_batches(bpra_stats, batch_format="pyarrow")
+        .to_pandas()
+    )
+
+    # --- resourcedetection leg: detector chain first-wins merge, then
+    # Insert-semantics apply (existing host.name column must survive).
+    merged = detect_resource(
+        [
+            {"cloud.region": "us-east-1"},
+            {"cloud.region": "eu-west-1", "host.name": "h-det"},
+        ]
+    )
+    first_wins = merged == {"cloud.region": "us-east-1", "host.name": "h-det"}
+
+    def with_host(t: pa.Table) -> pa.Table:
+        h = pc.binary_join_element_wise(
+            "h", pc.cast(_pc_mod(t["user_id"], 50), pa.string()), ""
+        )
+        return pa.table({"user_id": t["user_id"], "host.name": h})
+
+    applied = (
+        _read(sf_dir, "events", ["user_id"])
+        .map_batches(with_host, batch_format="pyarrow")
+        .map_batches(ApplyResource(merged), batch_format="pyarrow")
+    )
+
+    def resdet_check(t: pa.Table) -> pa.Table:
+        expect = pc.binary_join_element_wise(
+            "h", pc.cast(_pc_mod(t["user_id"], 50), pa.string()), ""
+        )
+        ok = pc.and_(
+            pc.equal(t["host.name"], expect),
+            pc.equal(t["cloud.region"], "us-east-1"),
+        )
+        return pa.table(
+            {"n_ok": pa.array([pc.sum(pc.cast(ok, pa.int64())).as_py() or 0], pa.int64())}
+        )
+
+    resdet_rows = int(
+        applied.map_batches(resdet_check, batch_format="pyarrow").to_pandas()["n_ok"].sum()
+    )
+
     return pd.DataFrame(
         {
             "rows_total": np.array([total], np.int64),
@@ -493,6 +759,14 @@ def _q_sampling_contracts(sf_dir: str):
             "ring_total_ok": [int(counts["count"].sum()) == total],
             "n_backends": np.array([len(counts)], np.int64),
             "balanced": [counts["count"].max() / max(1, counts["count"].min()) < 1.5],
+            "gbt_traces": np.array([len(gbt)], np.int64),
+            "gbt_one_group_per_trace": [int(gbt["tkey"].nunique()) == len(gbt)],
+            "gbt_spans_ok": [int(gbt["n"].sum()) == total],
+            "bpra_keys": np.array([int(bpra["k"].nunique())], np.int64),
+            "bpra_single_valued": [int(bpra["single_min"].min()) == 1],
+            "bpra_total_ok": [int(bpra["n"].sum()) == total],
+            "resdet_first_wins": [first_wins],
+            "resdet_rows": np.array([resdet_rows], np.int64),
         }
     )
 
@@ -2883,8 +3157,117 @@ def _q_loki_streams(sf_dir: str):
     ddm = _read(
         sf_dir, "events", ["event_id", "event_type", "ts", "value"]
     ).map_batches(ddm_leg, batch_format="pyarrow", batch_size=4096)
+
+    # Round-5 legs (pytest-only → driver-oracled), one fused pass:
+    #
+    # hec — splunkhecexporter outbound mapping (logdata_to_splunk.go:
+    # 41-95,130 via stages/sinks.splunk_hec_fields): canonical attrs →
+    # host/source/sourcetype/index, body → event, ns → epoch-seconds
+    # float time; the mapped tuple value-checks per row (whole-second
+    # time lands in `latency`).
+    #
+    # carbonx — carbonexporter Graphite plaintext render
+    # (stages/sinks.render_carbon_lines, inverse of the carbonreceiver
+    # parser): every `name value epoch` line value-checked.
+    #
+    # influxx — influxdbexporter line protocol render
+    # (stages/sinks.render_influx_lines): `measurement[,tags] k=v [ts]`
+    # including the empty-tag (%11) and absent-timestamp (%4) paths.
+    def misc_sink_legs(t: pa.Table) -> pa.Table:
+        from opentelemetry_collector_contrib_ray.stages.sinks import (
+            render_carbon_lines,
+            render_influx_lines,
+            splunk_hec_fields,
+        )
+
+        e = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        epoch = pc.cast(
+            pc.cast(t["ts"], pa.timestamp("s"), safe=False), pa.int64()
+        ).to_numpy()
+        vint = pc.cast(pc.floor(t["value"]), pa.int64())
+        n = len(t)
+
+        hec_in = pa.table(
+            {
+                "host.name": pa.array(np.char.add("h", (u % 50).astype(str))),
+                "com.splunk.source": pc.binary_join_element_wise(
+                    "src-", t["event_type"], ""
+                ),
+                "com.splunk.sourcetype": pa.array(
+                    np.char.add("st", (e % 3).astype(str))
+                ),
+                "com.splunk.index": pa.array(
+                    np.char.add("idx", (e % 2).astype(str))
+                ),
+                "msg": pa.array(np.char.add("payload ", e.astype(str))),
+                "ts": pa.array(epoch * 1_000_000_000, pa.int64()),
+            }
+        )
+        hec = splunk_hec_fields(hec_in, body_col="msg")
+        hec_keys = pc.binary_join_element_wise(
+            hec["host"], hec["source"], hec["sourcetype"], hec["index"],
+            hec["event"], "@",
+        )
+        hec_lat = np.rint(hec["time"].to_numpy()).astype(np.int64)
+
+        carbon = render_carbon_lines(
+            pa.table(
+                {
+                    "metric_name": pc.binary_join_element_wise(
+                        "carbon.", t["event_type"], ""
+                    ),
+                    "value": vint,
+                    "timestamp": t["ts"],
+                }
+            )
+        )
+
+        influx = render_influx_lines(
+            pa.table(
+                {
+                    "measurement": pa.array(["ev"] * n, pa.string()),
+                    "tags": pc.if_else(
+                        pa.array(e % 11 == 0),
+                        pa.scalar("", pa.string()),
+                        pc.binary_join_element_wise("type=", t["event_type"], ""),
+                    ),
+                    "field_key": pa.array(["v"] * n, pa.string()),
+                    "field_value": vint,
+                    "ts_ns": pa.array(epoch * 1_000_000_000, mask=(e % 4 == 0)),
+                }
+            )
+        )
+
+        keys = np.concatenate(
+            [
+                hec_keys.to_numpy(zero_copy_only=False).astype(object),
+                carbon["line"].to_numpy(zero_copy_only=False).astype(object),
+                influx["line"].to_numpy(zero_copy_only=False).astype(object),
+            ]
+        )
+        lats = np.concatenate([hec_lat, np.zeros(n, np.int64), np.zeros(n, np.int64)])
+        sinks = np.array(
+            ["hec"] * n + ["carbonx"] * n + ["influxx"] * n, dtype=object
+        )
+        m = len(keys)
+        return pa.table(
+            {
+                "sink": pa.array(sinks, pa.string()),
+                "key": pa.array(keys, pa.string()),
+                "n_dims": pa.array(np.zeros(m, np.int64)),
+                "latency": pa.array(lats),
+                "requests": pa.array(np.ones(m, np.int64)),
+                "unit": pa.array([""] * m, pa.string()),
+            }
+        )
+
+    misc = _read(
+        sf_dir, "events", ["event_id", "user_id", "event_type", "ts", "value"]
+    ).map_batches(misc_sink_legs, batch_format="pyarrow", batch_size=4096)
     return (
-        loki.union(emf).union(emf_decl).union(dt).union(sls).union(cwl).union(ddm)
+        loki.union(emf).union(emf_decl).union(dt).union(sls).union(cwl)
+        .union(ddm).union(misc)
     )
 
 
@@ -3843,12 +4226,96 @@ def _q_scraper_parse(sf_dir: str):
         )
         return pa.concat_tables(parts)
 
+    # ---- observer-extension leg (round 5, pytest-only → driver-
+    # oracled): k8sobserver pod→endpoint conversion (extension/
+    # observer/k8sobserver/handler.go:46-109 — pod endpoint + one per
+    # running container port, tcp/udp/unknown transport) and OnUpdate
+    # diffing (:112-168 — added / updated-on-payload-change / removed),
+    # driven through the real discovery code per subsampled pod (%50;
+    # discovery objects are inherently per-pod dicts, ~200 pods at the
+    # driver's sf0.01). Every endpoint id/target/transport/port and
+    # every diff membership is a closed form the oracle re-derives.
+    def observer_leg(t: pa.Table) -> pa.Table:
+        from opentelemetry_collector_contrib_ray.stages.observer import (
+            diff_endpoints,
+            pod_to_endpoints,
+        )
+
+        e = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+
+        def mk_pod(x: int, ip_net: int) -> dict:
+            return {
+                "uid": f"u{x}",
+                "name": f"pod{x}",
+                "namespace": f"ns{x % 3}",
+                "ip": f"10.{ip_net}.{x % 200}.{x % 100}",
+                "labels": {},
+                "annotations": {},
+                "containers": [
+                    {
+                        "name": "c0",
+                        "running": x % 5 != 0,
+                        "ports": [
+                            {"name": "http", "port": 8000 + x % 1000,
+                             "protocol": "TCP"}
+                        ],
+                    },
+                    {
+                        "name": "c1",
+                        "running": True,
+                        "ports": [
+                            {"name": "metrics", "port": 9000 + x % 500,
+                             "protocol": "UDP"},
+                            {"name": "dns", "port": 53, "protocol": ""},
+                        ],
+                    },
+                ],
+            }
+
+        base = [int(x) for x in e[e % 50 == 0]]
+        rows = [
+            ("observer", ep["id"],
+             f"{ep['target']}|{ep.get('transport', '')}", ep.get("port", 0))
+            for x in base
+            for ep in pod_to_endpoints(mk_pod(x, 0))
+        ]
+        old = [ep for x in base for ep in pod_to_endpoints(mk_pod(x, 0))]
+        new = [
+            ep
+            for x in base
+            if x % 11 != 0
+            for ep in pod_to_endpoints(mk_pod(x, 1 if x % 7 == 0 else 0))
+        ] + [
+            ep
+            for x in (int(x) for x in e[e % 50 == 25])
+            for ep in pod_to_endpoints(mk_pod(x, 0))
+        ]
+        added, updated, removed = diff_endpoints(old, new)
+        rows += [
+            ("observer_diff", kind, ep["id"], ep.get("port", 0))
+            for kind, eps in (
+                ("added", added), ("updated", updated), ("removed", removed)
+            )
+            for ep in eps
+        ]
+        n = len(rows)
+        return pa.table(
+            {
+                "leg": pa.array([r[0] for r in rows], pa.string()),
+                "name": pa.array([r[1] for r in rows], pa.string()),
+                "label_value": pa.array([r[2] for r in rows], pa.string()),
+                "value_int": pa.array([r[3] for r in rows], pa.int64()),
+                "value_double": pa.array(np.zeros(n), pa.float64()),
+            }
+        )
+
     # explicit small batch_size: the render+parse UDF costs ~0.3 ms/row,
     # and without it the fused chain inherits two_phase_agg's 64k batch
     # size, bundling the whole table into ~2 tasks (no parallelism)
     parsed = ds.map_batches(render_and_parse, batch_format="pyarrow", batch_size=2048)
+    obs = ds.map_batches(observer_leg, batch_format="pyarrow", batch_size=2048)
     out = two_phase_agg(
-        parsed,
+        parsed.union(obs),
         ["leg", "name", "label_value"],
         {"value_int": ["sum"], "value_double": ["sum"]},
         batch_size=16 * 1024,
@@ -5776,6 +6243,67 @@ def _scraper_parse_oracle() -> str:
         f"ROUND(CAST(0 AS DOUBLE), 6) AS sum_double FROM events"
         for name, cnt, si in kafka
     ]
+
+    # observer legs (k8sobserver handler.go:46-109 conversion +
+    # :112-168 diff): per subsampled pod (%50) one endpoint row per
+    # (pod, running-container port) with target|transport label, plus
+    # diff membership rows — added = the %50=25 new-only pods, updated
+    # = %7 ip-bumped pods (payload change → every endpoint), removed =
+    # %11 dropped pods. The http endpoint only exists while its
+    # container is RUNNING (%5).
+    ip = (
+        "'10.0.' || CAST(event_id % 200 AS VARCHAR) || '.' "
+        "|| CAST(event_id % 100 AS VARCHAR)"
+    )
+    pod_id = "'k8s_observer/u' || CAST(event_id AS VARCHAR)"
+    http_port = "(8000 + event_id % 1000)"
+    met_port = "(9000 + event_id % 500)"
+    endpoints = [
+        (pod_id, f"{ip} || '|'", "0", "TRUE"),
+        (
+            f"{pod_id} || '/http(' || CAST({http_port} AS VARCHAR) || ')'",
+            f"{ip} || ':' || CAST({http_port} AS VARCHAR) || '|tcp'",
+            http_port,
+            "event_id % 5 <> 0",
+        ),
+        (
+            f"{pod_id} || '/metrics(' || CAST({met_port} AS VARCHAR) || ')'",
+            f"{ip} || ':' || CAST({met_port} AS VARCHAR) || '|udp'",
+            met_port,
+            "TRUE",
+        ),
+        (f"{pod_id} || '/dns(53)'", f"{ip} || ':53|unknown'", "53", "TRUE"),
+    ]
+
+    def obs_row(leg: str, name: str, label: str, port: str, where: str) -> str:
+        return (
+            f"SELECT '{leg}' AS leg, {name} AS name, {label} AS label_value, "
+            f'CAST(1 AS BIGINT) AS "count", CAST({port} AS BIGINT) AS sum_int, '
+            f"ROUND(CAST(0 AS DOUBLE), 6) AS sum_double FROM events WHERE {where}"
+        )
+
+    for ep_id, target_label, port, cond in endpoints:
+        parts.append(
+            obs_row("observer", ep_id, target_label, port,
+                    f"event_id % 50 = 0 AND {cond}")
+        )
+        parts.append(
+            obs_row("observer_diff", "'added'", ep_id, port,
+                    f"event_id % 50 = 25 AND {cond}")
+        )
+        parts.append(
+            obs_row(
+                "observer_diff", "'updated'", ep_id, port,
+                f"event_id % 50 = 0 AND event_id % 7 = 0 "
+                f"AND event_id % 11 <> 0 AND {cond}",
+            )
+        )
+        parts.append(
+            obs_row(
+                "observer_diff", "'removed'", ep_id, port,
+                f"event_id % 50 = 0 AND event_id % 11 = 0 AND {cond}",
+            )
+        )
     return " UNION ALL ".join(parts)
 
 
@@ -5968,11 +6496,59 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1, 2
         """,
         "route_events": f"""
+            -- routing table counts + the recombine leg: window cumsum
+            -- over the same B/C line render assigns entry ids (leading
+            -- continuations join entry 1 via GREATEST), string_agg in
+            -- source order mirrors the joined entry text
             SELECT {route_case} AS sink, COUNT(*) AS "count"
             FROM events GROUP BY 1
+            UNION ALL
+            SELECT 'rc|' || CAST(f AS VARCHAR) || '#' || CAST(o0 AS VARCHAR)
+                     || '@' || j AS sink,
+                   n AS "count"
+            FROM (
+                SELECT f, MIN(o) AS o0, COUNT(*) AS n,
+                       string_agg(raw, chr(10) ORDER BY o) AS j
+                FROM (
+                    SELECT f, o, raw,
+                           GREATEST(SUM(CASE WHEN boundary THEN 1 ELSE 0 END)
+                                    OVER (PARTITION BY f ORDER BY o
+                                          ROWS UNBOUNDED PRECEDING), 1) AS gid
+                    FROM (
+                        SELECT user_id % 101 AS f, event_id AS o,
+                               event_id % 3 = 0 AS boundary,
+                               (CASE WHEN event_id % 3 = 0 THEN 'B:'
+                                     ELSE 'C:' END)
+                                 || CAST(event_id AS VARCHAR) || ':'
+                                 || event_type AS raw
+                        FROM events
+                    ) lines
+                ) marked
+                GROUP BY f, gid
+            ) entries
         """,
         "json_parse_props": """
-            SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events
+            -- json_parser + the stanza-operator legs: time_parser
+            -- (strptime / Go layout / RFC3339 '.5+01:00' = +500 ms,
+            -- -1 h), trace_parser (invalid-hex nulls on %17/%19/%23,
+            -- last decoded byte = event_id % 256, W3C low-8 flags),
+            -- metadata template + restructure move/remove
+            SELECT event_id,
+                   CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+                   CAST(FLOOR(epoch(ts)) AS BIGINT) * 1000000000 AS timep_ns,
+                   CAST(FLOOR(epoch(ts)) AS BIGINT) * 1000000000 AS timep_go_ns,
+                   CAST(FLOOR(epoch(ts)) AS BIGINT) * 1000000000
+                     + 500000000 - 3600000000000 AS timep_rfc_ns,
+                   event_id % 17 <> 0 AS tracep_valid,
+                   CASE WHEN event_id % 17 = 0 THEN NULL
+                        ELSE event_id % 256 END AS tracep_last,
+                   CASE WHEN event_id % 19 = 0 THEN NULL
+                        ELSE event_id % 256 END AS spanp_last,
+                   CASE WHEN event_id % 23 = 0 THEN NULL
+                        ELSE event_id % 256 END AS trace_flags,
+                   'svc-' || event_type AS service_name,
+                   TRUE AS meta_env_removed
+            FROM events
         """,
         "spanmetrics_hist": """
             SELECT event_type, COUNT(*) AS call_count,
@@ -6376,6 +6952,39 @@ def oracle_sql() -> dict[str, str]:
                     WHERE e % 5 < 4 AND e % 7 <> 0 AND e % 13 <> 0
                 )
             ) part
+            UNION ALL
+            -- hec leg: splunkhecexporter outbound mapping closed form
+            -- (host/source/sourcetype/index/event tuple + whole-second
+            -- time in latency)
+            SELECT 'hec',
+                   'h' || CAST(user_id % 50 AS VARCHAR)
+                     || '@src-' || event_type
+                     || '@st' || CAST(event_id % 3 AS VARCHAR)
+                     || '@idx' || CAST(event_id % 2 AS VARCHAR)
+                     || '@payload ' || CAST(event_id AS VARCHAR),
+                   CAST(0 AS BIGINT), CAST(FLOOR(epoch(ts)) AS BIGINT), 1, ''
+            FROM events
+            UNION ALL
+            -- carbonx leg: Graphite plaintext `name value epoch`
+            SELECT 'carbonx',
+                   'carbon.' || event_type || ' '
+                     || CAST(CAST(FLOOR(value) AS BIGINT) AS VARCHAR) || ' '
+                     || CAST(CAST(FLOOR(epoch(ts)) AS BIGINT) AS VARCHAR),
+                   CAST(0 AS BIGINT), CAST(0 AS BIGINT), 1, ''
+            FROM events
+            UNION ALL
+            -- influxx leg: line protocol `measurement[,tags] k=v [ts]`
+            -- incl. the empty-tag (%11) and absent-timestamp (%4) paths
+            SELECT 'influxx',
+                   'ev'
+                     || CASE WHEN event_id % 11 = 0 THEN ''
+                             ELSE ',type=' || event_type END
+                     || ' v=' || CAST(CAST(FLOOR(value) AS BIGINT) AS VARCHAR)
+                     || CASE WHEN event_id % 4 = 0 THEN ''
+                             ELSE ' ' || CAST(CAST(FLOOR(epoch(ts)) AS BIGINT)
+                                              * 1000000000 AS VARCHAR) END,
+                   CAST(0 AS BIGINT), CAST(0 AS BIGINT), 1, ''
+            FROM events
         """,
         "mt_aggregate_label_values": """
             SELECT CASE WHEN event_type IN ('click', 'view') THEN 'engagement'
@@ -7906,12 +8515,23 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings
         """,
         "sampling_contracts": """
-            -- probabilistic sampler (determinism + fraction) and the
-            -- consistent-hash ring (coverage + balance) contracts
+            -- probabilistic sampler (determinism + fraction), the
+            -- consistent-hash ring (coverage + balance), groupbytrace
+            -- (one group per trace, spans preserved — trace count
+            -- derived), batchperresourceattr (single-valued sub-batches,
+            -- rows preserved — key count derived) and resourcedetection
+            -- (first-wins chain merge + Insert semantics: every row
+            -- keeps its host.name and gains cloud.region) contracts
             SELECT CAST(COUNT(*) AS BIGINT) AS rows_total,
                    TRUE AS deterministic, TRUE AS frac_ok,
                    TRUE AS ring_total_ok,
-                   CAST(8 AS BIGINT) AS n_backends, TRUE AS balanced
+                   CAST(8 AS BIGINT) AS n_backends, TRUE AS balanced,
+                   CAST(COUNT(DISTINCT user_id % 997) AS BIGINT) AS gbt_traces,
+                   TRUE AS gbt_one_group_per_trace, TRUE AS gbt_spans_ok,
+                   CAST(COUNT(DISTINCT event_type) AS BIGINT) AS bpra_keys,
+                   TRUE AS bpra_single_valued, TRUE AS bpra_total_ok,
+                   TRUE AS resdet_first_wins,
+                   CAST(COUNT(*) AS BIGINT) AS resdet_rows
             FROM events
         """,
         "ivf_knn": """
