@@ -614,7 +614,12 @@ def _q_sampling_contracts(sf_dir: str):
     ApplyResource inserts missing attributes as constants WITHOUT
     overwriting an existing column — every row keeps its original
     host.name and gains the detected cloud.region (resdet_rows ==
-    COUNT(*), derived oracle-side)."""
+    COUNT(*), derived oracle-side).
+
+    receivercreator analogue (pipelines/builder.py,
+    observerhandler.go:68-164): a config dict compiles to a working
+    source→stages→routing→aggregate DAG whose output reproduces the
+    routing closed form (bld_rows / bld_groups, derived oracle-side)."""
     import pandas as pd
 
     from opentelemetry_collector_contrib_ray.stages.aggregate import two_phase_agg
@@ -751,6 +756,43 @@ def _q_sampling_contracts(sf_dir: str):
         applied.map_batches(resdet_check, batch_format="pyarrow").to_pandas()["n_ok"].sum()
     )
 
+    # --- receivercreator/builder leg: the declarative config→DAG
+    # compiler (pipelines/builder.py — the batch analogue of
+    # receivercreator's templated sub-pipeline instantiation,
+    # observerhandler.go:68-164) assembles source → fused stage chain
+    # (templated metadata + restructure move) → routing table → salted
+    # aggregate from a config dict; the built pipeline's output must
+    # reproduce the routing closed form: every row routed
+    # (bld_rows == COUNT(*)) and one (sink, templated-service) group
+    # per event type (bld_groups == COUNT DISTINCT event_type).
+    from opentelemetry_collector_contrib_ray.pipelines.builder import build
+
+    built = build(
+        {
+            "source": {
+                "kind": "parquet",
+                "path": os.path.join(sf_dir, "events.parquet"),
+                "columns": ["event_type"],
+            },
+            "stages": [
+                {
+                    "op": "metadata",
+                    "attributes": {"svc": "b-%{event_type}"},
+                    "templated": True,
+                },
+                {"op": "restructure", "moves": {"svc": "service"}},
+            ],
+            "routing": {
+                "from_attribute": "event_type",
+                "table": _EVENT_ROUTES,
+                "default": _EVENT_DEFAULT,
+            },
+            "aggregate": {"keys": ["sink", "service"], "aggs": {"*": ["count"]}},
+        }
+    ).to_pandas()
+    bld_rows = int(built["count"].sum())
+    bld_groups = len(built)
+
     return pd.DataFrame(
         {
             "rows_total": np.array([total], np.int64),
@@ -767,6 +809,8 @@ def _q_sampling_contracts(sf_dir: str):
             "bpra_total_ok": [int(bpra["n"].sum()) == total],
             "resdet_first_wins": [first_wins],
             "resdet_rows": np.array([resdet_rows], np.int64),
+            "bld_rows": np.array([bld_rows], np.int64),
+            "bld_groups": np.array([bld_groups], np.int64),
         }
     )
 
@@ -8531,7 +8575,9 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(DISTINCT event_type) AS BIGINT) AS bpra_keys,
                    TRUE AS bpra_single_valued, TRUE AS bpra_total_ok,
                    TRUE AS resdet_first_wins,
-                   CAST(COUNT(*) AS BIGINT) AS resdet_rows
+                   CAST(COUNT(*) AS BIGINT) AS resdet_rows,
+                   CAST(COUNT(*) AS BIGINT) AS bld_rows,
+                   CAST(COUNT(DISTINCT event_type) AS BIGINT) AS bld_groups
             FROM events
         """,
         "ivf_knn": """
