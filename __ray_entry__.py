@@ -4342,6 +4342,81 @@ def _q_scraper_parse(sf_dir: str):
             )
             for ep in eps
         ]
+
+        # --- ecsobserver matcher sweep (docker_label.go:64-135,
+        # service.go:41-104, task_definition.go:61-101,
+        # matcher.go:88-100,146-178): one synthetic ECS task per
+        # subsampled event, three matchers in order, per-container
+        # MergeTargets (existing wins on (port, metrics_path) — proven
+        # by the service 9100 target that only survives when the
+        # docker_label matcher did NOT already claim it), and the
+        # invalid-port-label ERROR path (collected, not aborting).
+        from opentelemetry_collector_contrib_ray.stages.observer import (
+            DockerLabelMatcher,
+            ServiceMatcher,
+            TaskDefinitionMatcher,
+            match_containers,
+        )
+
+        def mk_task(x: int) -> dict:
+            return {
+                "service": f"svc-{x % 4}" if x % 5 != 0 else None,
+                "task_definition_arn": f"arn:aws:ecs:task-definition/app-{x % 3}:1",
+                "containers": [
+                    {
+                        "name": "web",
+                        "port_mappings": [8080, 9100],
+                        "docker_labels": {
+                            "PROM_PORT": (
+                                "9999" if x % 7 == 0
+                                else ("bad" if x % 13 == 0 else "9100")
+                            ),
+                            "PROM_PATH": "/m1",
+                            "PROM_JOB": f"job{x % 2}",
+                        },
+                    },
+                    {"name": "sidecar", "port_mappings": [9200],
+                     "docker_labels": {}},
+                ],
+            }
+
+        tasks = [mk_task(x) for x in base]
+        matchers = [
+            DockerLabelMatcher(
+                {"port_label": "PROM_PORT", "metrics_path_label": "PROM_PATH",
+                 "job_name_label": "PROM_JOB"}
+            ),
+            ServiceMatcher(
+                {"name_pattern": "^svc-[01]$",
+                 "container_name_pattern": "^web$",
+                 "metrics_ports": [8080, 9100], "metrics_path": "/m1",
+                 "job_name": "sjob"}
+            ),
+            TaskDefinitionMatcher(
+                {"arn_pattern": "app-0:", "metrics_ports": [9200],
+                 "metrics_path": "/m3"}
+            ),
+        ]
+        merged: dict = {}
+        errors: list[str] = []
+        for mi, mt_ in enumerate(matchers):
+            res, errs = match_containers(tasks, mt_, matcher_index=mi)
+            errors += errs
+            for mc in res["containers"]:
+                key = (mc.task_index, mc.container_index)
+                if key in merged:
+                    merged[key].merge_targets(mc.targets)
+                else:
+                    merged[key] = mc
+        for (ti, _ci), mc in merged.items():
+            x = base[ti]
+            rows += [
+                ("observer_ecs", tgt.matcher_type,
+                 f"{x}|{tgt.port}|{tgt.metrics_path}|{tgt.job}", tgt.port)
+                for tgt in mc.targets
+            ]
+        rows += [("observer_ecs", "err", msg, 0) for msg in errors]
+
         n = len(rows)
         return pa.table(
             {
@@ -6348,6 +6423,41 @@ def _scraper_parse_oracle() -> str:
                 f"event_id % 50 = 0 AND event_id % 11 = 0 AND {cond}",
             )
         )
+
+    # ecsobserver matcher legs: docker_label target (port-mapping
+    # membership required, config job overrides... here label job),
+    # the two service targets — the 9100 one exists ONLY when the
+    # docker_label matcher did not already claim (9100, /m1)
+    # (MergeTargets keep-existing proof) — the task-definition target
+    # on the ARN regex, and the single aggregated invalid-port-label
+    # error row (exact message text, count = qualifying events).
+    eid_s = "CAST(event_id AS VARCHAR)"
+    ecs = [
+        ("'docker_label'",
+         f"{eid_s} || '|9100|/m1|job' || CAST(event_id % 2 AS VARCHAR)",
+         "9100", "event_id % 7 <> 0 AND event_id % 13 <> 0"),
+        ("'service'", f"{eid_s} || '|8080|/m1|sjob'", "8080",
+         "event_id % 5 <> 0 AND event_id % 4 < 2"),
+        ("'service'", f"{eid_s} || '|9100|/m1|sjob'", "9100",
+         "event_id % 5 <> 0 AND event_id % 4 < 2 "
+         "AND (event_id % 7 = 0 OR event_id % 13 = 0)"),
+        ("'task_definition'", f"{eid_s} || '|9200|/m3|'", "9200",
+         "event_id % 3 = 0"),
+    ]
+    for name, label, port, cond in ecs:
+        parts.append(
+            obs_row("observer_ecs", name, label, port,
+                    f"event_id % 50 = 0 AND {cond}")
+        )
+    parts.append(
+        "SELECT 'observer_ecs' AS leg, 'err' AS name, "
+        "'invalid port_label value, container=web labelKey=PROM_PORT "
+        "labelValue=bad' AS label_value, "
+        'CAST(COUNT(*) AS BIGINT) AS "count", CAST(0 AS BIGINT) AS sum_int, '
+        "ROUND(CAST(0 AS DOUBLE), 6) AS sum_double FROM events "
+        "WHERE event_id % 50 = 0 AND event_id % 7 <> 0 AND event_id % 13 = 0 "
+        "HAVING COUNT(*) > 0"
+    )
     return " UNION ALL ".join(parts)
 
 
