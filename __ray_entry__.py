@@ -1535,7 +1535,61 @@ def _q_carbon_parse(sf_dir: str):
             }
         )
 
-    return ds.map_batches(render_and_parse, batch_format="pyarrow")
+    # --- packet-framing leg (round 5, pytest-only → driver-oracled):
+    # the tcplog/udplog batch-source model — one datagram/stream chunk
+    # carries many newline-separated metrics (sources/lines.
+    # split_packet_lines, the framing half of receiver/tcplogreceiver
+    # + udp statsd/carbon transports; socket I/O itself stays out of
+    # batch scope). Each event renders a TWO-line carbon packet with a
+    # trailing newline; the splitter must explode it into exactly two
+    # parsed rows (pa./pb. prefixes) and drop the trailing empty line.
+    def packet_leg(t: pa.Table) -> pa.Table:
+        from opentelemetry_collector_contrib_ray.sources.lines import (
+            parse_carbon_plaintext,
+            split_packet_lines,
+        )
+
+        val = pc.cast(pc.floor(t["value"]), pa.int64())
+        epoch = pc.cast(pc.cast(t["ts"], pa.timestamp("s"), safe=False), pa.int64())
+        line_a = pc.binary_join_element_wise(
+            pc.binary_join_element_wise("pa.", t["event_type"], ""),
+            pc.cast(val, pa.string()),
+            pc.cast(epoch, pa.string()),
+            " ",
+        )
+        line_b = pc.binary_join_element_wise(
+            pc.binary_join_element_wise("pb.", t["event_type"], ""),
+            pc.cast(pc.add(val, pa.scalar(1, pa.int64())), pa.string()),
+            pc.cast(epoch, pa.string()),
+            " ",
+        )
+        packet = pc.binary_join_element_wise(line_a, line_b, "", "\n")
+        split = split_packet_lines(
+            pa.table(
+                {
+                    "event_id": t["event_id"],
+                    "user_id": t["user_id"],
+                    "raw": packet,
+                }
+            )
+        )
+        parsed = parse_carbon_plaintext(split)
+        return pa.table(
+            {
+                "event_id": parsed["event_id"],
+                "metric_name": parsed["metric_name"],
+                "value": pc.cast(parsed["value"], pa.int64()),
+                "wf_metric": pa.array(["pkt"] * len(parsed), pa.string()),
+                "wf_value": pa.array(np.zeros(len(parsed), np.int64)),
+                "wf_source": pc.binary_join_element_wise(
+                    "u", pc.cast(parsed["user_id"], pa.string()), ""
+                ),
+            }
+        )
+
+    main = ds.map_batches(render_and_parse, batch_format="pyarrow")
+    pkt = ds.map_batches(packet_leg, batch_format="pyarrow")
+    return main.union(pkt)
 
 
 def _q_trace_decoders(sf_dir: str):
@@ -6869,11 +6923,27 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 10
         """,
         "carbon_parse": """
+            -- per-event carbon + wavefront round trips, plus the
+            -- round-5 packet-framing leg: each event's TWO-line packet
+            -- (trailing newline) must explode into exactly the pa./pb.
+            -- rows — the tcplog/udplog batch-source framing model
             SELECT event_id, 'metric.' || event_type AS metric_name,
                    CAST(FLOOR(value) AS BIGINT) AS value,
                    'm.' || event_type AS wf_metric,
                    CAST(FLOOR(value) AS BIGINT) AS wf_value,
                    'u' || CAST(user_id AS VARCHAR) AS wf_source
+            FROM events
+            UNION ALL
+            SELECT event_id, 'pa.' || event_type,
+                   CAST(FLOOR(value) AS BIGINT),
+                   'pkt', CAST(0 AS BIGINT),
+                   'u' || CAST(user_id AS VARCHAR)
+            FROM events
+            UNION ALL
+            SELECT event_id, 'pb.' || event_type,
+                   CAST(FLOOR(value) AS BIGINT) + 1,
+                   'pkt', CAST(0 AS BIGINT),
+                   'u' || CAST(user_id AS VARCHAR)
             FROM events
         """,
         "tail_sampling": """
