@@ -695,31 +695,13 @@ def _q_sampling_contracts(sf_dir: str):
         one_row_per_group,
     ).to_pandas()
 
-    # --- batchperresourceattr leg: drive the real splitter per block,
-    # emit (key, n, single) per sub-batch, reduce the tiny stat table.
-    def bpra_stats(batch: pa.Table) -> pa.Table:
-        ks, ns, singles = [], [], []
-        for sub in BatchPerKey("event_type")(batch):
-            u = pc.unique(sub["event_type"])
-            ks.append(u[0].as_py() if len(u) else None)
-            ns.append(len(sub))
-            singles.append(int(len(u) == 1))
-        return pa.table(
-            {
-                "k": pa.array(ks, pa.string()),
-                "n": pa.array(ns, pa.int64()),
-                "single_min": pa.array(singles, pa.int64()),
-            }
-        )
-
-    bpra = (
-        _read(sf_dir, "events", ["event_type"])
-        .map_batches(bpra_stats, batch_format="pyarrow")
-        .to_pandas()
-    )
-
-    # --- resourcedetection leg: detector chain first-wins merge, then
-    # Insert-semantics apply (existing host.name column must survive).
+    # --- batchperresourceattr + resourcedetection legs, ONE fused pass
+    # over one column-pruned read (the two stats are independent
+    # per-batch reductions, so a second full-table job would only add
+    # wall-clock): per block, drive the real BatchPerKey splitter and
+    # emit (key, n, single) per sub-batch, then apply the detected
+    # resource with Insert semantics (existing host.name column must
+    # survive) and emit one per-batch ok-count row.
     merged = detect_resource(
         [
             {"cloud.region": "us-east-1"},
@@ -727,34 +709,46 @@ def _q_sampling_contracts(sf_dir: str):
         ]
     )
     first_wins = merged == {"cloud.region": "us-east-1", "host.name": "h-det"}
+    apply_resource = ApplyResource(merged)
 
-    def with_host(t: pa.Table) -> pa.Table:
-        h = pc.binary_join_element_wise(
-            "h", pc.cast(_pc_mod(t["user_id"], 50), pa.string()), ""
+    def bpra_resdet_stats(batch: pa.Table) -> pa.Table:
+        ks, ns, singles = [], [], []
+        for sub in BatchPerKey("event_type")(batch):
+            u = pc.unique(sub["event_type"])
+            ks.append(u[0].as_py() if len(u) else None)
+            ns.append(len(sub))
+            singles.append(int(len(u) == 1))
+
+        host = pc.binary_join_element_wise(
+            "h", pc.cast(_pc_mod(batch["user_id"], 50), pa.string()), ""
         )
-        return pa.table({"user_id": t["user_id"], "host.name": h})
-
-    applied = (
-        _read(sf_dir, "events", ["user_id"])
-        .map_batches(with_host, batch_format="pyarrow")
-        .map_batches(ApplyResource(merged), batch_format="pyarrow")
-    )
-
-    def resdet_check(t: pa.Table) -> pa.Table:
-        expect = pc.binary_join_element_wise(
-            "h", pc.cast(_pc_mod(t["user_id"], 50), pa.string()), ""
+        applied = apply_resource(
+            pa.table({"user_id": batch["user_id"], "host.name": host})
         )
         ok = pc.and_(
-            pc.equal(t["host.name"], expect),
-            pc.equal(t["cloud.region"], "us-east-1"),
+            pc.equal(applied["host.name"], host),
+            pc.equal(applied["cloud.region"], "us-east-1"),
         )
+        ks.append(None)
+        ns.append(int(pc.sum(pc.cast(ok, pa.int64())).as_py() or 0))
+        singles.append(1)
+        kinds = ["bpra"] * (len(ks) - 1) + ["resdet"]
         return pa.table(
-            {"n_ok": pa.array([pc.sum(pc.cast(ok, pa.int64())).as_py() or 0], pa.int64())}
+            {
+                "kind": pa.array(kinds, pa.string()),
+                "k": pa.array(ks, pa.string()),
+                "n": pa.array(ns, pa.int64()),
+                "single_min": pa.array(singles, pa.int64()),
+            }
         )
 
-    resdet_rows = int(
-        applied.map_batches(resdet_check, batch_format="pyarrow").to_pandas()["n_ok"].sum()
+    stats = (
+        _read(sf_dir, "events", ["event_type", "user_id"])
+        .map_batches(bpra_resdet_stats, batch_format="pyarrow")
+        .to_pandas()
     )
+    bpra = stats[stats["kind"] == "bpra"]
+    resdet_rows = int(stats.loc[stats["kind"] == "resdet", "n"].sum())
 
     # --- receivercreator/builder leg: the declarative config→DAG
     # compiler (pipelines/builder.py — the batch analogue of
@@ -4329,7 +4323,10 @@ def _q_scraper_parse(sf_dir: str):
     # observer/k8sobserver/handler.go:46-109 — pod endpoint + one per
     # running container port, tcp/udp/unknown transport) and OnUpdate
     # diffing (:112-168 — added / updated-on-payload-change / removed),
-    # driven through the real discovery code per subsampled pod (%50;
+    # driven through the real discovery code per subsampled pod (%53 —
+    # PRIME, so the %2/%3/%4/%5/%7/%11/%13 branch conditions all vary
+    # across the subsample; a %50 stride would freeze x%5 at 0 and make
+    # the running-container and ServiceMatcher legs vacuous;
     # discovery objects are inherently per-pod dicts, ~200 pods at the
     # driver's sf0.01). Every endpoint id/target/transport/port and
     # every diff membership is a closed form the oracle re-derives.
@@ -4370,7 +4367,7 @@ def _q_scraper_parse(sf_dir: str):
                 ],
             }
 
-        base = [int(x) for x in e[e % 50 == 0]]
+        base = [int(x) for x in e[e % 53 == 0]]
         rows = [
             ("observer", ep["id"],
              f"{ep['target']}|{ep.get('transport', '')}", ep.get("port", 0))
@@ -4385,7 +4382,7 @@ def _q_scraper_parse(sf_dir: str):
             for ep in pod_to_endpoints(mk_pod(x, 1 if x % 7 == 0 else 0))
         ] + [
             ep
-            for x in (int(x) for x in e[e % 50 == 25])
+            for x in (int(x) for x in e[e % 53 == 13])
             for ep in pod_to_endpoints(mk_pod(x, 0))
         ]
         added, updated, removed = diff_endpoints(old, new)
@@ -6418,9 +6415,10 @@ def _scraper_parse_oracle() -> str:
     ]
 
     # observer legs (k8sobserver handler.go:46-109 conversion +
-    # :112-168 diff): per subsampled pod (%50) one endpoint row per
+    # :112-168 diff): per subsampled pod (%53, prime — see the engine
+    # leg comment) one endpoint row per
     # (pod, running-container port) with target|transport label, plus
-    # diff membership rows — added = the %50=25 new-only pods, updated
+    # diff membership rows — added = the %53=13 new-only pods, updated
     # = %7 ip-bumped pods (payload change → every endpoint), removed =
     # %11 dropped pods. The http endpoint only exists while its
     # container is RUNNING (%5).
@@ -6458,23 +6456,23 @@ def _scraper_parse_oracle() -> str:
     for ep_id, target_label, port, cond in endpoints:
         parts.append(
             obs_row("observer", ep_id, target_label, port,
-                    f"event_id % 50 = 0 AND {cond}")
+                    f"event_id % 53 = 0 AND {cond}")
         )
         parts.append(
             obs_row("observer_diff", "'added'", ep_id, port,
-                    f"event_id % 50 = 25 AND {cond}")
+                    f"event_id % 53 = 13 AND {cond}")
         )
         parts.append(
             obs_row(
                 "observer_diff", "'updated'", ep_id, port,
-                f"event_id % 50 = 0 AND event_id % 7 = 0 "
+                f"event_id % 53 = 0 AND event_id % 7 = 0 "
                 f"AND event_id % 11 <> 0 AND {cond}",
             )
         )
         parts.append(
             obs_row(
                 "observer_diff", "'removed'", ep_id, port,
-                f"event_id % 50 = 0 AND event_id % 11 = 0 AND {cond}",
+                f"event_id % 53 = 0 AND event_id % 11 = 0 AND {cond}",
             )
         )
 
@@ -6501,7 +6499,7 @@ def _scraper_parse_oracle() -> str:
     for name, label, port, cond in ecs:
         parts.append(
             obs_row("observer_ecs", name, label, port,
-                    f"event_id % 50 = 0 AND {cond}")
+                    f"event_id % 53 = 0 AND {cond}")
         )
     parts.append(
         "SELECT 'observer_ecs' AS leg, 'err' AS name, "
@@ -6509,7 +6507,7 @@ def _scraper_parse_oracle() -> str:
         "labelValue=bad' AS label_value, "
         'CAST(COUNT(*) AS BIGINT) AS "count", CAST(0 AS BIGINT) AS sum_int, '
         "ROUND(CAST(0 AS DOUBLE), 6) AS sum_double FROM events "
-        "WHERE event_id % 50 = 0 AND event_id % 7 <> 0 AND event_id % 13 = 0 "
+        "WHERE event_id % 53 = 0 AND event_id % 7 <> 0 AND event_id % 13 = 0 "
         "HAVING COUNT(*) > 0"
     )
     return " UNION ALL ".join(parts)

@@ -253,39 +253,15 @@ def run_bench() -> dict:
     )
 
     docs_path = os.path.join(SF_DIR, "documents.parquet")
-    base_docs = _rd.read_parquet(docs_path).count()
     # amplify the sf documents table to >= 100k docs (round-3 verdict:
-    # 5k docs is fixed-latency-dominated and misreads as throughput).
-    # Deterministic: each replica re-ids its rows and uniquifies the
-    # text with a replica prefix so dedup/vocab/pack do real work at
-    # the full doc count.
+    # 5k docs is fixed-latency-dominated and misreads as throughput) —
+    # the deterministic recipe is shared with tools/prep_resume_proof.py
+    from opentelemetry_collector_contrib_ray.pipelines.corpus_prep import (
+        amplify_documents,
+    )
+
     target_docs = int(os.environ.get("OTELRAY_PREP_DOCS", "100000"))
-    reps = max(1, -(-target_docs // base_docs))
-
-    def _amplify(t):
-        import pyarrow as _pa
-        import pyarrow.compute as _pc
-
-        parts = []
-        for r in range(reps):
-            prefix = f"r{r} "
-            parts.append(
-                _pa.table(
-                    {
-                        "doc_id": _pc.add(t["doc_id"], r * 10_000_000),
-                        "text": _pc.binary_join_element_wise(
-                            prefix, t["text"], ""
-                        ),
-                        "source": t["source"],
-                    }
-                )
-            )
-        return _pa.concat_tables(parts)
-
-    amplified = _rd.read_parquet(
-        docs_path, columns=["doc_id", "text", "source"]
-    ).map_batches(_amplify, batch_format="pyarrow")
-    n_docs = base_docs * reps
+    amplified, n_docs = amplify_documents(docs_path, target_docs)
     t0 = time.perf_counter()
     prep = prep_pipeline(
         amplified,

@@ -189,6 +189,43 @@ def _ds_from_table(tbl: pa.Table):
     return ray.data.from_arrow(tbl)
 
 
+def amplify_documents(docs_path: str, target_docs: int):
+    """Deterministic amplification of the sf documents table to
+    ``>= target_docs`` rows for benchmark and durability runs: each
+    replica re-ids its rows (doc_id + r*10M) and uniquifies the text
+    with a replica prefix ('r{r} ') so dedup, vocab and pack do real
+    work at the full doc count. SHARED by bench.py and
+    tools/prep_resume_proof.py so the kill-resume proof measures
+    exactly the benchmark workload. Returns ``(Dataset, n_docs)``."""
+    import ray.data as rd
+
+    base_docs = rd.read_parquet(docs_path).count()
+    reps = max(1, -(-target_docs // base_docs))
+
+    def _amplify(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        parts = []
+        for r in range(reps):
+            parts.append(
+                pa.table(
+                    {
+                        "doc_id": pc.add(t["doc_id"], r * 10_000_000),
+                        "text": pc.binary_join_element_wise(
+                            f"r{r} ", t["text"], ""
+                        ),
+                        "source": t["source"],
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    ds = rd.read_parquet(docs_path, columns=["doc_id", "text", "source"]).map_batches(
+        _amplify, batch_format="pyarrow"
+    )
+    return ds, base_docs * reps
+
+
 def _exact_drop_ids(ds, text_col: str, id_col: str) -> np.ndarray:
     """Duplicate ids under exact dedup (everything but the min-id row
     per content hash).  One shuffle of (hash, id) pairs: per batch the

@@ -40,35 +40,13 @@ KILL_DIR = "/tmp/prep_proof_kill"
 
 
 def _amplified_docs():
-    """Same deterministic amplification recipe as bench.py: each replica
-    re-ids its rows and prefixes the text so dedup/vocab/pack do real
-    work at the full doc count."""
-    import pyarrow as pa
-    import pyarrow.compute as pc
-    import ray.data as rd
-
-    docs_path = os.path.join(SF_DIR, "documents.parquet")
-    base_docs = rd.read_parquet(docs_path).count()
-    reps = max(1, -(-TARGET_DOCS // base_docs))
-
-    def amplify(t: pa.Table) -> pa.Table:
-        parts = []
-        for r in range(reps):
-            parts.append(
-                pa.table(
-                    {
-                        "doc_id": pc.add(t["doc_id"], r * 10_000_000),
-                        "text": pc.binary_join_element_wise(f"r{r} ", t["text"], ""),
-                        "source": t["source"],
-                    }
-                )
-            )
-        return pa.concat_tables(parts)
-
-    ds = rd.read_parquet(docs_path, columns=["doc_id", "text", "source"]).map_batches(
-        amplify, batch_format="pyarrow"
+    """The benchmark's amplification recipe, imported so the proof
+    measures exactly the bench workload (one shared definition)."""
+    from opentelemetry_collector_contrib_ray.pipelines.corpus_prep import (
+        amplify_documents,
     )
-    return ds, base_docs * reps
+
+    return amplify_documents(os.path.join(SF_DIR, "documents.parquet"), TARGET_DOCS)
 
 
 def run_child(out_dir: str) -> None:
